@@ -1,0 +1,202 @@
+package graft.pdf
+
+import java.util.zip.Inflater
+import scala.collection.mutable.ArrayBuffer
+
+/** Stream filter decoders (ISO 32000-1 §7.4), from scratch on JDK
+  * primitives. FlateDecode covers every fixture plus xref/object
+  * streams; predictors 2 and 10-15 are required for xref streams
+  * (SURVEY.md §7.4.2). Image-only filters (DCTDecode, JPXDecode) are
+  * passed through opaque — the reference never surfaces decoded pixels
+  * in its analytic output (SURVEY.md §2.6.1).
+  */
+object Filters {
+
+  def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new ArrayBuffer[Byte](data.length * 4 + 64)
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsDictionary()) {
+        val n = inf.inflate(chunk)
+        if (n == 0 && inf.needsInput() && !inf.finished())
+          throw new PdfParseException("truncated Flate stream")
+        out ++= chunk.take(n)
+      }
+      out.toArray
+    } catch {
+      case e: java.util.zip.DataFormatException =>
+        throw new PdfParseException(s"bad Flate data: ${e.getMessage}")
+    } finally inf.end()
+  }
+
+  /** Undo PNG (10-15) / TIFF (2) predictors (§7.4.4.4). */
+  def unpredict(data: Array[Byte], predictor: Int, colors: Int, bpc: Int, columns: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (predictor == 2) { // TIFF horizontal differencing (8-bit path)
+      if (bpc != 8) throw new PdfParseException("TIFF predictor requires 8 bpc")
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = bpp
+        while (i < rowLen) {
+          out(r + i) = ((out(r + i) + out(r + i - bpp)) & 0xff).toByte
+          i += 1
+        }
+        r += rowLen
+      }
+      out
+    } else { // PNG predictors: per-row filter byte
+      val stride = rowLen + 1
+      val nRows = data.length / stride
+      val out = new Array[Byte](nRows * rowLen)
+      val prior = new Array[Byte](rowLen)
+      var r = 0
+      while (r < nRows) {
+        val ft = data(r * stride) & 0xff
+        val row = new Array[Byte](rowLen)
+        System.arraycopy(data, r * stride + 1, row, 0, rowLen)
+        var i = 0
+        while (i < rowLen) {
+          val raw = row(i) & 0xff
+          val left = if (i >= bpp) row(i - bpp) & 0xff else 0
+          val up = prior(i) & 0xff
+          val upLeft = if (i >= bpp) prior(i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case 4 =>
+              val p = left + up - upLeft
+              val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - upLeft)
+              raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+            case other => throw new PdfParseException(s"unknown PNG filter $other")
+          }
+          row(i) = (v & 0xff).toByte
+          i += 1
+        }
+        System.arraycopy(row, 0, out, r * rowLen, rowLen)
+        System.arraycopy(row, 0, prior, 0, rowLen)
+        r += 1
+      }
+      out
+    }
+  }
+
+  def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '>') done = true
+      else {
+        val v =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (v >= 0) { if (hi < 0) hi = v else { out += ((hi << 4) | v).toByte; hi = -1 } }
+      }
+      i += 1
+    }
+    if (hi >= 0) out += (hi << 4).toByte
+    out.toArray
+  }
+
+  def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    var tuple = 0L; var n = 0; var i = 0; var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) out ++= Array[Byte](0, 0, 0, 0)
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!'); n += 1
+        if (n == 5) {
+          out += ((tuple >> 24) & 0xff).toByte; out += ((tuple >> 16) & 0xff).toByte
+          out += ((tuple >> 8) & 0xff).toByte; out += (tuple & 0xff).toByte
+          tuple = 0; n = 0
+        }
+      }
+      i += 1
+    }
+    if (n > 1) { // partial group: pad with 'u', keep n-1 bytes
+      var k = n
+      while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
+      val bytes = Array(((tuple >> 24) & 0xff).toByte, ((tuple >> 16) & 0xff).toByte,
+        ((tuple >> 8) & 0xff).toByte, (tuple & 0xff).toByte)
+      out ++= bytes.take(n - 1)
+    }
+    out.toArray
+  }
+
+  def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ArrayBuffer[Byte]()
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val len = data(i) & 0xff
+      if (len == 128) done = true
+      else if (len < 128) {
+        val n = len + 1
+        out ++= data.slice(i + 1, i + 1 + n)
+        i += 1 + n
+      } else {
+        if (i + 1 < data.length) { val b = data(i + 1); var k = 0; while (k < 257 - len) { out += b; k += 1 } }
+        i += 2
+      }
+    }
+    out.toArray
+  }
+
+  /** Image filters we pass through as opaque payloads. */
+  val opaqueFilters: Set[String] = Set("DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode")
+
+  /** Decode a stream's payload through its /Filter chain. `resolve`
+    * dereferences indirect params. Returns Left(filterName) when the
+    * terminal filter is image-opaque (payload stays raw). */
+  def decode(dict: PDict, raw: Array[Byte], resolve: PdfObj => PdfObj): Either[String, Array[Byte]] = {
+    val filters: Vector[String] = resolve(dict.get("Filter").getOrElse(PNull)) match {
+      case PName(n)   => Vector(n)
+      case PArr(xs)   => xs.map(x => resolve(x) match { case PName(n) => n; case _ => "" })
+      case _          => Vector.empty
+    }
+    val parmsList: Vector[PdfObj] = resolve(dict.get("DecodeParms").orElse(dict.get("DP")).getOrElse(PNull)) match {
+      case d: PDict => Vector(d)
+      case PArr(xs) => xs.map(resolve)
+      case _        => Vector.fill(filters.length)(PNull)
+    }
+    var cur = raw
+    var i = 0
+    while (i < filters.length) {
+      val f = filters(i)
+      val parms = if (i < parmsList.length) parmsList(i) else PNull
+      f match {
+        case "FlateDecode" | "Fl" =>
+          cur = inflate(cur)
+          parms match {
+            case d: PDict =>
+              val pred = resolve(d.get("Predictor").getOrElse(PInt(1))).asInt.getOrElse(1L).toInt
+              val colors = resolve(d.get("Colors").getOrElse(PInt(1))).asInt.getOrElse(1L).toInt
+              val bpc = resolve(d.get("BitsPerComponent").getOrElse(PInt(8))).asInt.getOrElse(8L).toInt
+              val cols = resolve(d.get("Columns").getOrElse(PInt(1))).asInt.getOrElse(1L).toInt
+              cur = unpredict(cur, pred, colors, bpc, cols)
+            case _ =>
+          }
+        case "ASCIIHexDecode" | "AHx" => cur = asciiHexDecode(cur)
+        case "ASCII85Decode" | "A85"  => cur = ascii85Decode(cur)
+        case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur)
+        case f if opaqueFilters.contains(f) => return Left(f)
+        case other => throw new PdfParseException(s"unsupported filter $other")
+      }
+      i += 1
+    }
+    Right(cur)
+  }
+}

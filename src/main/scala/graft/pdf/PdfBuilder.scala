@@ -1,0 +1,221 @@
+package graft.pdf
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.Deflater
+
+/** Deterministic minimal-PDF builder for fixtures (FIXTURES.md §4).
+  *
+  * The reference ships no sample PDFs (SURVEY.md §5.1), so expected
+  * extraction output is fixed *by construction*: every content stream
+  * here is authored with unambiguous Tj/TJ text. No wall-clock, no
+  * randomness — byte-identical output for identical inputs.
+  */
+object PdfBuilder {
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** PNG "Up" predictor (filter type 2) encoding, for xref streams. */
+  private def predictUp(data: Array[Byte], rowLen: Int): Array[Byte] = {
+    val nRows = data.length / rowLen
+    val out = new Array[Byte]((rowLen + 1) * nRows)
+    val prior = new Array[Byte](rowLen)
+    var r = 0
+    while (r < nRows) {
+      out(r * (rowLen + 1)) = 2
+      var i = 0
+      while (i < rowLen) {
+        val cur = data(r * rowLen + i)
+        out(r * (rowLen + 1) + 1 + i) = ((cur - prior(i)) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(data, r * rowLen, prior, 0, rowLen)
+      r += 1
+    }
+    out
+  }
+
+  private final class Builder {
+    val out = new ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.TreeMap.empty[Int, Int]
+    def pos: Int = out.size()
+    def raw(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    def raw(b: Array[Byte]): Unit = out.write(b)
+    def obj(num: Int)(body: => Unit): Unit = {
+      offsets(num) = pos
+      raw(s"$num 0 obj\n"); body; raw("\nendobj\n")
+    }
+    def streamObj(num: Int, dictExtra: String, data: Array[Byte]): Unit = obj(num) {
+      raw(s"<< /Length ${data.length} $dictExtra >>\nstream\n")
+      raw(data)
+      raw("\nendstream")
+    }
+    def bytes: Array[Byte] = out.toByteArray
+  }
+
+  /** Object layout for an n-page doc: 1=Catalog 2=Pages 3=Font F1,
+    * then per page i (0-based): page = 4+2i, content = 5+2i. */
+  private def writeHeaderObjects(b: Builder, nPages: Int, fontExtra: String = ""): Unit = {
+    b.raw("%PDF-1.7\n%âãÏÓ\n")
+    b.obj(1) { b.raw("<< /Type /Catalog /Pages 2 0 R >>") }
+    val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
+    b.obj(2) { b.raw(s"<< /Type /Pages /Kids [$kids] /Count $nPages /MediaBox [0 0 612 792] >>") }
+    b.obj(3) { b.raw(s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica $fontExtra >>") }
+  }
+
+  private def writeClassicXref(b: Builder, rootRef: String = "1 0 R"): Array[Byte] = {
+    val maxObj = b.offsets.keys.max
+    val xrefPos = b.pos
+    b.raw(s"xref\n0 ${maxObj + 1}\n")
+    b.raw(f"${0}%010d 65535 f \n")
+    (1 to maxObj).foreach { n =>
+      val off = b.offsets.getOrElse(n, 0)
+      b.raw(f"$off%010d 00000 n \n")
+    }
+    b.raw(s"trailer\n<< /Size ${maxObj + 1} /Root $rootRef >>\nstartxref\n$xrefPos\n%%EOF\n")
+    b.bytes
+  }
+
+  /** Classic-xref document. Each element of `pageContents` is raw
+    * content-stream source; `flate` compresses the content streams. */
+  def simple(pageContents: Seq[String], flate: Boolean = false,
+             pageExtras: Seq[String] = Seq.empty): Array[Byte] = {
+    val b = new Builder
+    writeHeaderObjects(b, pageContents.length)
+    pageContents.zipWithIndex.foreach { case (content, i) =>
+      val pageNum = 4 + 2 * i
+      val contNum = 5 + 2 * i
+      val extra = if (pageExtras.isDefinedAt(i)) pageExtras(i) else ""
+      b.obj(pageNum) {
+        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contNum 0 R " +
+          s"/Resources << /Font << /F1 3 0 R >> $extra >> >>")
+      }
+      val data = content.getBytes(ISO_8859_1)
+      if (flate) b.streamObj(contNum, "/Filter /FlateDecode", deflate(data))
+      else b.streamObj(contNum, "", data)
+    }
+    writeClassicXref(b)
+  }
+
+  /** Page content helper: one `(text) Tj` line at the given y. */
+  def tjLine(text: String, y: Int = 720): String = {
+    val esc = text.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    s"BT /F1 12 Tf 72 $y Td ($esc) Tj ET"
+  }
+
+  /** Multi-line page: each string on its own Td-positioned line. */
+  def multiLine(lines: Seq[String]): String = {
+    val body = lines.zipWithIndex.map { case (t, i) =>
+      val esc = t.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      val move = if (i == 0) "72 720 Td" else "0 -14 Td"
+      s"$move ($esc) Tj"
+    }.mkString(" ")
+    s"BT /F1 12 Tf $body ET"
+  }
+
+  /** TJ-array page: `[(Hel) -20 (lo)] TJ` — kerning inserts nothing. */
+  def tjArray(parts: Seq[String], kern: Int = -20): String = {
+    val arr = parts.map { p =>
+      val esc = p.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      s"($esc)"
+    }.mkString(s" $kern ")
+    s"BT /F1 12 Tf 72 720 Td [$arr] TJ ET"
+  }
+
+  /** Document whose body objects live in a /Type /ObjStm object stream
+    * addressed through a Flate+predictor-12 xref stream (§7.5.7-7.5.8).
+    * Content stream stays top-level (streams cannot be compressed
+    * objects). Layout: 5=content, 6=ObjStm{1,2,3,4}, 7=XRef stream. */
+  def objStm(pageContent: String): Array[Byte] = {
+    val b = new Builder
+    b.raw("%PDF-1.7\n%âãÏÓ\n")
+    // content stream (top level)
+    val data = pageContent.getBytes(ISO_8859_1)
+    b.streamObj(5, "", data)
+
+    // object stream containing objects 1..4
+    val inner = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> "<< /Type /Pages /Kids [4 0 R] /Count 1 /MediaBox [0 0 612 792] >>",
+      3 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+      4 -> "<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources << /Font << /F1 3 0 R >> >> >>")
+    val bodies = inner.map(_._2)
+    val offs = bodies.scanLeft(0)((acc, s) => acc + s.length + 1).init
+    val header = inner.map(_._1).zip(offs).map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val stmPayload = (header + bodies.mkString("\n")).getBytes(ISO_8859_1)
+    val stmDeflated = deflate(stmPayload)
+    b.offsets(6) = b.pos
+    b.raw(s"6 0 obj\n<< /Type /ObjStm /N ${inner.length} /First ${header.length} " +
+      s"/Length ${stmDeflated.length} /Filter /FlateDecode >>\nstream\n")
+    b.raw(stmDeflated)
+    b.raw("\nendstream\nendobj\n")
+
+    // xref stream: W [1 2 2]; rows for objects 0..7
+    val xrefPos = b.pos
+    def row(t: Int, f2: Int, f3: Int): Array[Byte] =
+      Array(t.toByte, ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+        ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+    val rows = new ByteArrayOutputStream()
+    rows.write(row(0, 0, 0xffff))                    // obj 0: free
+    (1 to 4).zipWithIndex.foreach { case (_, idx) => rows.write(row(2, 6, idx)) }
+    rows.write(row(1, b.offsets(5), 0))              // obj 5: content
+    rows.write(row(1, b.offsets(6), 0))              // obj 6: ObjStm
+    rows.write(row(1, xrefPos, 0))                   // obj 7: this stream
+    val predicted = predictUp(rows.toByteArray, 5)
+    val xrefData = deflate(predicted)
+    b.offsets(7) = xrefPos
+    b.raw(s"7 0 obj\n<< /Type /XRef /Size 8 /W [1 2 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns 5 >> " +
+      s"/Length ${xrefData.length} >>\nstream\n")
+    b.raw(xrefData)
+    b.raw("\nendstream\nendobj\n")
+    b.raw(s"startxref\n$xrefPos\n%%EOF\n")
+    b.bytes
+  }
+
+  /** One page with a Tj line plus three image XObjects (DCT-opaque,
+    * Flate, raw DeviceGray) — FIXTURES.md `pdf_with_images`. Images
+    * must not affect span output (parity pin SURVEY.md §2.6.1). */
+  def withImages(text: String): Array[Byte] = {
+    val b = new Builder
+    b.raw("%PDF-1.7\n%âãÏÓ\n")
+    b.obj(1) { b.raw("<< /Type /Catalog /Pages 2 0 R >>") }
+    b.obj(2) { b.raw("<< /Type /Pages /Kids [4 0 R] /Count 1 /MediaBox [0 0 612 792] >>") }
+    b.obj(3) { b.raw("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") }
+    b.obj(4) {
+      b.raw("<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources " +
+        "<< /Font << /F1 3 0 R >> /XObject << /Im0 6 0 R /Im1 7 0 R /Im2 8 0 R >> >> >>")
+    }
+    val content = (tjLine(text) + " q 100 0 0 100 72 500 cm /Im0 Do Q" +
+      " q 100 0 0 100 200 500 cm /Im1 Do Q q 8 0 0 8 320 500 cm /Im2 Do Q").getBytes(ISO_8859_1)
+    b.streamObj(5, "", content)
+    // DCT (opaque payload — deterministic pseudo-JPEG bytes)
+    val dct = Array.tabulate[Byte](64)(i => ((i * 37 + 11) & 0xff).toByte)
+    b.streamObj(6, "/Type /XObject /Subtype /Image /Width 8 /Height 8 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode", dct)
+    // Flate gray 4x4
+    val gray = Array.tabulate[Byte](16)(i => (i * 16).toByte)
+    b.streamObj(7, "/Type /XObject /Subtype /Image /Width 4 /Height 4 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /FlateDecode", deflate(gray))
+    // raw gray 2x2
+    b.streamObj(8, "/Type /XObject /Subtype /Image /Width 2 /Height 2 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 8", Array[Byte](0, 64, -128, -1))
+    writeClassicXref(b)
+  }
+
+  /** Truncated-xref document for the fail-soft path. */
+  def corrupt(): Array[Byte] = {
+    val good = simple(Seq(tjLine("doomed")))
+    val s = new String(good, ISO_8859_1)
+    val cut = s.indexOf("xref")
+    (s.substring(0, cut) + "startxref\n999999\n%%EOF\n").getBytes(ISO_8859_1)
+  }
+}

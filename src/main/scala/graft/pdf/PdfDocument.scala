@@ -1,0 +1,325 @@
+package graft.pdf
+
+import scala.collection.mutable
+
+/** From-scratch PDF document reader: xref table + xref-stream walk,
+  * object-stream (/Type /ObjStm) decode, page-tree traversal — the
+  * surface the reference reaches through `lopdf::Document::load` /
+  * `get_pages` (/root/reference/extractor/src/engine/mod.rs:58,63,72),
+  * re-implemented from ISO 32000-1 §7.5. No external parsing library.
+  */
+final class PdfDocument private (
+    val buf: Array[Byte],
+    entries: Map[Int, PdfDocument.XrefEntry],
+    val trailer: PDict) {
+
+  import PdfDocument._
+
+  private val cache = mutable.HashMap.empty[Int, PdfObj]
+  private val objStmCache = mutable.HashMap.empty[Int, Map[Int, PdfObj]]
+  private val loading = mutable.HashSet.empty[Int] // cycle guard
+
+  def getObject(num: Int): PdfObj = cache.getOrElseUpdate(num, {
+    if (!loading.add(num)) throw new PdfParseException(s"reference cycle at obj $num")
+    try entries.get(num) match {
+      case Some(Direct(offset)) => parseIndirectAt(offset, num)
+      case Some(InStream(stm, idx)) =>
+        objStmObjects(stm).getOrElse(idx, PNull)
+      case _ => PNull
+    } finally loading.remove(num)
+  })
+
+  /** Deref indirect references (transitively). */
+  def resolve(o: PdfObj): PdfObj = o match {
+    case PRef(n, _) => resolve(getObject(n))
+    case x          => x
+  }
+
+  def dictGet(d: PDict, key: String): PdfObj = resolve(d.get(key).getOrElse(PNull))
+
+  /** Decode a stream's payload through its filter chain. */
+  def streamData(s: PStream): Either[String, Array[Byte]] =
+    Filters.decode(s.dict, trimToLength(s), resolve)
+
+  private def trimToLength(s: PStream): Array[Byte] = {
+    val len = resolve(s.dict.get("Length").getOrElse(PNull)).asInt.map(_.toInt)
+    len match {
+      case Some(l) if l >= 0 && l <= s.raw.length => s.raw.take(l)
+      case _ => s.raw
+    }
+  }
+
+  private def parseIndirectAt(offset: Int, expectNum: Int): PdfObj = {
+    if (offset < 0 || offset >= buf.length)
+      throw new PdfParseException(s"xref offset $offset out of range for obj $expectNum")
+    val lx = new Lexer(buf, offset)
+    lx.skipWs()
+    val n = lx.parseObject().asInt.getOrElse(throw new PdfParseException(s"bad obj header at $offset"))
+    lx.parseObject() // gen
+    lx.expectKeyword("obj")
+    if (n != expectNum)
+      throw new PdfParseException(s"xref points obj $expectNum at obj $n")
+    val body = lx.parseObject()
+    lx.skipWs()
+    body match {
+      case d: PDict if lx.peekKeyword("stream") =>
+        lx.pos += "stream".length
+        // EOL after 'stream': CRLF or LF (§7.3.8.1)
+        if (lx.pos < buf.length && buf(lx.pos) == '\r') lx.pos += 1
+        if (lx.pos < buf.length && buf(lx.pos) == '\n') lx.pos += 1
+        val start = lx.pos
+        val end = resolve(d.get("Length").getOrElse(PNull)).asInt match {
+          case Some(l) if start + l <= buf.length &&
+              endstreamFollows(start + l.toInt) => start + l.toInt
+          case _ => findEndstream(start)
+        }
+        PStream(d, buf.slice(start, end))
+      case other => other
+    }
+  }
+
+  private def endstreamFollows(at: Int): Boolean = {
+    var p = at
+    while (p < buf.length && (buf(p) == '\r' || buf(p) == '\n' || buf(p) == ' ')) p += 1
+    p + 9 <= buf.length &&
+      new String(buf, p, 9, java.nio.charset.StandardCharsets.US_ASCII) == "endstream"
+  }
+
+  private def findEndstream(start: Int): Int = {
+    val pat = "endstream".getBytes
+    var p = start
+    while (p <= buf.length - pat.length) {
+      var i = 0
+      while (i < pat.length && buf(p + i) == pat(i)) i += 1
+      if (i == pat.length) {
+        // back off trailing EOL before the keyword
+        var e = p
+        if (e > start && buf(e - 1) == '\n') e -= 1
+        if (e > start && buf(e - 1) == '\r') e -= 1
+        return e
+      }
+      p += 1
+    }
+    throw new PdfParseException("endstream not found")
+  }
+
+  /** Parse all objects packed in an object stream (§7.5.7). */
+  private def objStmObjects(stmNum: Int): Map[Int, PdfObj] =
+    objStmCache.getOrElseUpdate(stmNum, {
+      getObject(stmNum) match {
+        case s: PStream =>
+          val data = streamData(s) match {
+            case Right(d) => d
+            case Left(f)  => throw new PdfParseException(s"ObjStm with opaque filter $f")
+          }
+          val n = resolve(s.dict.get("N").getOrElse(PNull)).asInt
+            .getOrElse(throw new PdfParseException("ObjStm missing /N")).toInt
+          val first = resolve(s.dict.get("First").getOrElse(PNull)).asInt
+            .getOrElse(throw new PdfParseException("ObjStm missing /First")).toInt
+          val hdr = new Lexer(data, 0)
+          val pairs = (0 until n).map { _ =>
+            val num = hdr.parseObject().asInt.getOrElse(0L).toInt
+            val off = hdr.parseObject().asInt.getOrElse(0L).toInt
+            (num, off)
+          }
+          pairs.zipWithIndex.map { case ((num, off), idx) =>
+            val lx = new Lexer(data, first + off)
+            idx -> lx.parseObject()
+          }.toMap // keyed by index within the stream (xref type-2 field 3)
+        case _ => throw new PdfParseException(s"obj $stmNum is not an ObjStm")
+      }
+    })
+
+  // ---- page tree ----------------------------------------------------
+
+  /** Leaf pages in document order, each with inheritable attributes
+    * (/Resources /MediaBox /Rotate, §7.7.3.4) merged in. 1-based page
+    * numbers follow from position (matching lopdf's BTreeMap order,
+    * /root/reference/extractor/src/engine/mod.rs:72).
+    */
+  lazy val pages: Vector[PDict] = {
+    val root = dictGet(trailer, "Root") match {
+      case d: PDict => d
+      case _        => throw new PdfParseException("missing /Root catalog")
+    }
+    val top = dictGet(root, "Pages") match {
+      case d: PDict => d
+      case _        => throw new PdfParseException("missing /Pages")
+    }
+    val out = Vector.newBuilder[PDict]
+    val inheritable = Seq("Resources", "MediaBox", "Rotate", "CropBox")
+    val seen = mutable.HashSet.empty[Int]
+    def walk(node: PDict, inherited: Map[String, PdfObj], depth: Int): Unit = {
+      if (depth > 64) throw new PdfParseException("page tree too deep")
+      val inh = inherited ++ inheritable.flatMap(k => node.get(k).map(k -> _))
+      dictGet(node, "Type") match {
+        case PName("Page") =>
+          out += PDict((inh ++ node.m).toMap)
+        case _ =>
+          dictGet(node, "Kids") match {
+            case PArr(kids) =>
+              kids.foreach { k =>
+                k match {
+                  case PRef(n, _) if !seen.add(n) =>
+                    throw new PdfParseException("page tree cycle")
+                  case _ =>
+                }
+                resolve(k) match {
+                  case kd: PDict => walk(kd, inh, depth + 1)
+                  case _         =>
+                }
+              }
+            case _ => // intermediate node with no kids: nothing
+          }
+      }
+    }
+    walk(top, Map.empty, 0)
+    out.result()
+  }
+
+  def pageCount: Int = pages.length
+}
+
+object PdfDocument {
+
+  sealed trait XrefEntry
+  final case class Direct(offset: Int) extends XrefEntry
+  final case class InStream(objStm: Int, idx: Int) extends XrefEntry
+
+  /** Load a document: locate `startxref`, walk the xref chain
+    * (classic tables and/or xref streams, /Prev links), merge
+    * trailers (§7.5.4-7.5.8). */
+  def load(bytes: Array[Byte]): PdfDocument = {
+    val sxOff = lastIndexOf(bytes, "startxref".getBytes,
+      math.max(0, bytes.length - 2048))
+    if (sxOff < 0) throw new PdfParseException("startxref not found")
+    val lx = new Lexer(bytes, sxOff + "startxref".length)
+    lx.skipWs()
+    val firstXref = lx.parseObject().asInt
+      .getOrElse(throw new PdfParseException("bad startxref offset")).toInt
+
+    val entries = mutable.HashMap.empty[Int, XrefEntry]
+    var trailer = Map.empty[String, PdfObj]
+    val visited = mutable.HashSet.empty[Int]
+    var next: Option[Int] = Some(firstXref)
+
+    while (next.isDefined) {
+      val off = next.get
+      if (!visited.add(off)) next = None
+      else {
+        val (sectionEntries, sectionTrailer) = parseXrefSection(bytes, off)
+        // earlier sections (parsed first) win — they are the newest
+        sectionEntries.foreach { case (k, v) =>
+          if (!entries.contains(k)) entries(k) = v
+        }
+        sectionTrailer.m.foreach { case (k, v) =>
+          if (!trailer.contains(k)) trailer += (k -> v)
+        }
+        next = sectionTrailer.get("Prev").flatMap(_.asInt).map(_.toInt)
+      }
+    }
+    new PdfDocument(bytes, entries.toMap, PDict(trailer))
+  }
+
+  /** One xref section at `off`: classic `xref` table or xref stream. */
+  private def parseXrefSection(bytes: Array[Byte], off: Int): (Map[Int, XrefEntry], PDict) = {
+    if (off < 0 || off >= bytes.length)
+      throw new PdfParseException(s"xref offset $off out of range")
+    val lx = new Lexer(bytes, off)
+    lx.skipWs()
+    if (lx.peekKeyword("xref")) {
+      lx.pos += 4
+      val entries = mutable.HashMap.empty[Int, XrefEntry]
+      lx.skipWs()
+      while (!lx.peekKeyword("trailer")) {
+        val start = lx.parseObject().asInt
+          .getOrElse(throw new PdfParseException("bad xref subsection start")).toInt
+        val count = lx.parseObject().asInt
+          .getOrElse(throw new PdfParseException("bad xref subsection count")).toInt
+        var i = 0
+        while (i < count) {
+          lx.skipWs()
+          val o = lx.parseObject().asInt.getOrElse(0L).toInt
+          lx.parseObject() // gen
+          lx.skipWs()
+          val kind = lx.readKeyword()
+          if (kind == "n") entries(start + i) = Direct(o)
+          i += 1
+        }
+        lx.skipWs()
+      }
+      lx.pos += "trailer".length
+      val tr = lx.parseObject() match {
+        case d: PDict => d
+        case _        => throw new PdfParseException("bad trailer dict")
+      }
+      (entries.toMap, tr)
+    } else {
+      // xref stream: "N G obj << /Type /XRef ... >> stream"
+      lx.parseObject(); lx.parseObject() // num gen
+      lx.expectKeyword("obj")
+      val d = lx.parseObject() match {
+        case dd: PDict => dd
+        case _         => throw new PdfParseException("xref stream: dict expected")
+      }
+      lx.skipWs()
+      lx.expectKeyword("stream")
+      if (lx.pos < bytes.length && bytes(lx.pos) == '\r') lx.pos += 1
+      if (lx.pos < bytes.length && bytes(lx.pos) == '\n') lx.pos += 1
+      val len = d.get("Length").flatMap(_.asInt)
+        .getOrElse(throw new PdfParseException("xref stream needs direct /Length")).toInt
+      val raw = bytes.slice(lx.pos, lx.pos + len)
+      val data = Filters.decode(d, raw, identity) match {
+        case Right(x) => x
+        case Left(f)  => throw new PdfParseException(s"xref stream opaque filter $f")
+      }
+      val w = d.get("W") match {
+        case Some(PArr(xs)) => xs.flatMap(_.asInt).map(_.toInt)
+        case _              => throw new PdfParseException("xref stream missing /W")
+      }
+      if (w.length < 3) throw new PdfParseException("xref /W needs 3 fields")
+      val size = d.get("Size").flatMap(_.asInt).getOrElse(0L).toInt
+      val index: Vector[(Int, Int)] = d.get("Index") match {
+        case Some(PArr(xs)) =>
+          xs.flatMap(_.asInt).map(_.toInt).grouped(2).collect { case Seq(a, b) => (a, b) }.toVector
+        case _ => Vector((0, size))
+      }
+      val rowLen = w.sum
+      val entries = mutable.HashMap.empty[Int, XrefEntry]
+      var p = 0
+      index.foreach { case (start, count) =>
+        var i = 0
+        while (i < count && p + rowLen <= data.length) {
+          def field(k: Int): Long = {
+            var v = 0L
+            val base = p + w.take(k).sum
+            var j = 0
+            while (j < w(k)) { v = (v << 8) | (data(base + j) & 0xff); j += 1 }
+            v
+          }
+          val t = if (w(0) == 0) 1L else field(0) // default type 1 (§7.5.8.3)
+          val f2 = field(1); val f3 = field(2)
+          t match {
+            case 1 => entries(start + i) = Direct(f2.toInt)
+            case 2 => entries(start + i) = InStream(f2.toInt, f3.toInt)
+            case _ => // type 0 (free) or unknown: skip
+          }
+          p += rowLen
+          i += 1
+        }
+      }
+      (entries.toMap, d)
+    }
+  }
+
+  private def lastIndexOf(hay: Array[Byte], needle: Array[Byte], from: Int): Int = {
+    var p = hay.length - needle.length
+    while (p >= from) {
+      var i = 0
+      while (i < needle.length && hay(p + i) == needle(i)) i += 1
+      if (i == needle.length) return p
+      p -= 1
+    }
+    -1
+  }
+}

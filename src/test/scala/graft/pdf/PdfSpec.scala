@@ -1,0 +1,126 @@
+package graft.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixture-driven tests for the from-scratch PDF reader — one test per
+  * FIXTURES.md §4 row. Expected text is known by construction.
+  */
+class PdfSpec extends AnyFunSuite {
+
+  private def pageTexts(bytes: Array[Byte]): Vector[String] = {
+    val doc = PdfDocument.load(bytes)
+    doc.pages.map(p => ContentText.extractPageText(doc, p))
+  }
+
+  test("pdf_single_tj: classic xref, uncompressed Tj") {
+    val b = PdfBuilder.simple(Seq(PdfBuilder.tjLine("Hello pdfz")))
+    assert(pageTexts(b) == Vector("Hello pdfz"))
+  }
+
+  test("pdf_two_pages: FlateDecode'd streams, page order") {
+    val b = PdfBuilder.simple(Seq(
+      PdfBuilder.tjLine("page one text"),
+      PdfBuilder.tjLine("page two text")), flate = true)
+    assert(pageTexts(b) == Vector("page one text", "page two text"))
+  }
+
+  test("pdf_tj_array: kerning numbers insert nothing") {
+    val b = PdfBuilder.simple(Seq(PdfBuilder.tjArray(Seq("Hel", "lo"))))
+    assert(pageTexts(b) == Vector("Hello"))
+  }
+
+  test("pdf_objstm: object stream + xref stream with predictor 12") {
+    val b = PdfBuilder.objStm(PdfBuilder.tjLine("Hello pdfz"))
+    assert(pageTexts(b) == Vector("Hello pdfz"))
+  }
+
+  test("pdf_multiline: Td-moved lines join with newline (pinned rule)") {
+    val b = PdfBuilder.simple(Seq(PdfBuilder.multiLine(Seq("First line", "Second line"))))
+    assert(pageTexts(b) == Vector("First line\nSecond line"))
+  }
+
+  test("pdf_with_images: images never contribute to text") {
+    val b = PdfBuilder.withImages("text beside images")
+    assert(pageTexts(b) == Vector("text beside images"))
+    val doc = PdfDocument.load(b)
+    assert(ContentText.pageImageNames(doc, doc.pages.head) == Vector("Im0", "Im1", "Im2"))
+  }
+
+  test("pdf_corrupt: truncated xref throws PdfParseException") {
+    assertThrows[PdfParseException] {
+      PdfDocument.load(PdfBuilder.corrupt()).pages
+    }
+  }
+
+  test("literal string escapes and nested parens") {
+    val b = PdfBuilder.simple(Seq(PdfBuilder.tjLine("a(b)c\\d")))
+    assert(pageTexts(b) == Vector("a(b)c\\d"))
+  }
+
+  test("10-page doc: ascending page order, distinct texts") {
+    val pages = (1 to 10).map(i => PdfBuilder.tjLine(s"page $i"))
+    assert(pageTexts(PdfBuilder.simple(pages, flate = true)) ==
+      (1 to 10).map(i => s"page $i").toVector)
+  }
+
+  test("quote operator moves to next line then shows") {
+    val content = "BT /F1 12 Tf 14 TL 72 720 Td (first) Tj (second) ' ET"
+    assert(pageTexts(PdfBuilder.simple(Seq(content))) == Vector("first\nsecond"))
+  }
+
+  test("hex strings decode") {
+    val content = "BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj ET"
+    assert(pageTexts(PdfBuilder.simple(Seq(content))) == Vector("Hello"))
+  }
+
+  test("filters: ascii85 + runlength + hex round-trips") {
+    val data = "The quick brown fox".getBytes("ISO-8859-1")
+    assert(Filters.asciiHexDecode(data.map(b => f"$b%02X").mkString.getBytes) sameElements data)
+    val rle = Array[Byte](3, 'a', 'b', 'c', 'd', (257 - 250).toByte) // literal run only check
+    assert(Filters.runLengthDecode(Array[Byte](3, 'a', 'b', 'c', 'd', -128.toByte)) sameElements
+      Array[Byte]('a', 'b', 'c', 'd'))
+  }
+
+  test("predictor 12 round-trip (via builder's Up-encoder)") {
+    // objStm() exercises encode; decode correctness is implied by the
+    // objstm test, but pin unpredict directly too:
+    val rows = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9) // 3 rows x 3 cols
+    val enc = {
+      val out = new java.io.ByteArrayOutputStream()
+      var prior = new Array[Byte](3)
+      rows.grouped(3).foreach { r =>
+        out.write(2)
+        r.zip(prior).foreach { case (c, p) => out.write((c - p) & 0xff) }
+        prior = r
+      }
+      out.toByteArray
+    }
+    assert(Filters.unpredict(enc, 12, 1, 8, 3) sameElements rows)
+  }
+
+  test("ToUnicode CMap bfchar/bfrange decode") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <00> <FF> endcodespacerange
+        |2 beginbfchar <41> <0061> <42> <0062> endbfchar
+        |1 beginbfrange <50> <52> <0070> endbfrange
+        |endcmap end end""".stripMargin.getBytes("ISO-8859-1")
+    val dec = ContentText.parseToUnicode(cmap)
+    assert(dec.decode(Array[Byte](0x41, 0x42)) == "ab")
+    assert(dec.decode(Array[Byte](0x50, 0x51, 0x52)) == "pqr")
+  }
+
+  test("encoding /Differences remap") {
+    val table = Array.fill[String](256)("")
+    // exercised through fontDecoder with a dict-encoded font
+    val b = PdfBuilder.simple(Seq(PdfBuilder.tjLine("AZ")))
+    val doc = PdfDocument.load(b)
+    val font = PDict(Map(
+      "Type" -> PName("Font"),
+      "Encoding" -> PDict(Map(
+        "Differences" -> PArr(Vector(PInt(65), PName("zero"), PName("one")))))))
+    val dec = ContentText.fontDecoder(doc, font)
+    assert(dec.decode("ABC".getBytes) == "01C")
+  }
+}
