@@ -1,0 +1,114 @@
+package graft.engine
+
+import java.util.Base64
+import graft.core.model._
+import graft.html.Boilerplate
+import graft.pdf.{ContentText, PdfDocument, PdfParseException}
+
+/** The per-document extraction core — the pure function at the heart
+  * of the `mapPartitions` stage. Re-expresses the reference worker's
+  * `MainEngine::run`/`extract_file` loop
+  * (/root/reference/extractor/src/engine/mod.rs:27-94) with the parity
+  * pins of SURVEY.md §2.6:
+  *
+  *  1. one text span per kept PDF page, ascending page order; OCR text
+  *     computed (engine invoked) then dropped from spans;
+  *  2. start-page off-by-one: requested start s keeps pages ≥ max(0,s-1)
+  *     (`saturating_sub(1)` at engine/mod.rs:70 vs 1-based page nums);
+  *  3. the page limit counts emitted pages and is clamped to the total
+  *     page count (engine/mod.rs:63-68,79-83);
+  *  4. page fragments would join with " " (engine/mod.rs:134) — our
+  *     extractor emits one fragment per page, so this is an identity,
+  *     as in the reference.
+  *
+  * Determinism: pure function of (doc, opts) — no wall-clock, no
+  * randomness — so Spark task retries are idempotent (SURVEY.md §4.3).
+  */
+object Extractor {
+
+  final case class DocResult(
+      doc: Option[ExtractedDoc], // None => failed doc
+      error: Option[String],
+      spanCount: Int,
+      bytesIn: Long,
+      ocrChars: Long) // chars OCR'd then dropped (parity metric)
+
+  def extractDoc(in: InterleavedDoc, opts: ExtractOptions): DocResult = {
+    val engineOrErr = OcrEngine.forName(opts.engine, opts.ocrModel)
+    engineOrErr match {
+      case Left(err) => DocResult(None, Some(err), 0, bytesOf(in), 0)
+      case Right(engine) =>
+        try {
+          var order = 0
+          var ocrChars = 0L
+          val out = Vector.newBuilder[Span]
+          def emit(kind: String, text: String, mediaRef: String): Unit = {
+            out += Span(kind, text, mediaRef, order)
+            order += 1
+          }
+          in.spans.sortBy(_.offset).foreach { raw =>
+            raw.kind match {
+              case "text" =>
+                emit("text", raw.text, "")
+              case "media" =>
+                // media spans pass through; OCR is run (metrics only) and
+                // its text dropped — parity pin 1
+                engine.extractTextFromImage(raw.media_ref) match {
+                  case Right(t) => ocrChars += t.length
+                  case Left(_)  => // skip-and-continue, engine/mod.rs:118-127
+                }
+                emit("media", "", raw.media_ref)
+              case "html" =>
+                Boilerplate.extract(raw.text).foreach {
+                  case Boilerplate.TextPiece(t)  => emit("text", t, "")
+                  case Boilerplate.MediaPiece(s) => emit("media", "", s)
+                }
+              case "pdf_bytes" =>
+                val bytes = Base64.getDecoder.decode(raw.text)
+                val doc = PdfDocument.load(bytes)
+                val total = doc.pageCount
+                // parity pin 3: clamp limit to total
+                val pageLimit =
+                  if (opts.pageCount == 0 || opts.pageCount > total) total else opts.pageCount
+                // parity pin 2: saturating_sub(1) on the requested start
+                val effStart =
+                  if (opts.parityStartOffByOne) math.max(0, opts.startPage - 1) else opts.startPage
+                var kept = 0
+                var pageNum = 1
+                while (pageNum <= total && kept < pageLimit) {
+                  if (pageNum >= effStart) {
+                    val page = doc.pages(pageNum - 1)
+                    val text = ContentText.extractPageText(doc, page)
+                    // image enumeration + OCR, text dropped (parity pin 1);
+                    // media name formula mirrors engine/mod.rs:108
+                    ContentText.pageImageNames(doc, page).zipWithIndex.foreach { case (_, i) =>
+                      val ref = s"${in.doc_id}_${pageNum}_$i.png"
+                      engine.extractTextFromImage(ref) match {
+                        case Right(t) => ocrChars += t.length
+                        case Left(_)  =>
+                      }
+                    }
+                    emit("text", text, "")
+                    kept += 1
+                  }
+                  pageNum += 1
+                }
+              case other =>
+                return DocResult(None, Some(s"unsupported span kind '$other'"),
+                  0, bytesOf(in), ocrChars)
+            }
+          }
+          val spans = out.result()
+          DocResult(Some(ExtractedDoc(in.doc_id, spans)), None, spans.length, bytesOf(in), ocrChars)
+        } catch {
+          case e: PdfParseException =>
+            DocResult(None, Some(s"pdf: ${e.getMessage}"), 0, bytesOf(in), 0)
+          case e: IllegalArgumentException =>
+            DocResult(None, Some(s"base64: ${e.getMessage}"), 0, bytesOf(in), 0)
+        }
+    }
+  }
+
+  def bytesOf(in: InterleavedDoc): Long =
+    in.spans.iterator.map(s => s.text.length.toLong + s.media_ref.length).sum
+}

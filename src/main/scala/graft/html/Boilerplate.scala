@@ -1,0 +1,214 @@
+package graft.html
+
+import scala.collection.mutable
+
+/** HTML main-content extraction: DOM-lite tag tokenizer + boilerplate
+  * classifier (north_rule "HTML boilerplate strip, DOM heuristics").
+  *
+  * The reference is PDF-only — this module's scope comes from
+  * BASELINE.json `north_rule`; semantics are pinned by our fixtures
+  * (FIXTURES.md §5) and follow the published boilerpipe-style
+  * link-density heuristic (Kohlschütter et al., WSDM 2010):
+  *
+  *   - content inside nav/header/footer/aside/form/script/style/
+  *     noscript/head/svg/button/template is stripped wholesale;
+  *   - remaining text is segmented into blocks at block-level tags;
+  *   - a block is kept iff its trimmed text is non-empty and its
+  *     link density (chars inside <a> / total chars) ≤ 0.5;
+  *   - <img src=...> outside stripped regions becomes a media span at
+  *     its interleaved document position.
+  */
+object Boilerplate {
+
+  /** One extracted piece, in document order. */
+  sealed trait Piece
+  final case class TextPiece(text: String) extends Piece
+  final case class MediaPiece(src: String) extends Piece
+
+  private val stripTags = Set("nav", "header", "footer", "aside", "form",
+    "script", "style", "noscript", "head", "svg", "button", "template", "iframe")
+  private val blockTags = Set("p", "div", "article", "section", "main", "body",
+    "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "table", "tr", "td",
+    "blockquote", "pre", "br", "hr", "figure", "figcaption")
+
+  private val entities = Map("amp" -> "&", "lt" -> "<", "gt" -> ">",
+    "quot" -> "\"", "apos" -> "'", "nbsp" -> " ", "mdash" -> "—",
+    "ndash" -> "–", "hellip" -> "…", "copy" -> "©", "reg" -> "®")
+
+  def decodeEntities(s: String): String = {
+    if (!s.contains('&')) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        if (semi > i && semi - i <= 10) {
+          val name = s.substring(i + 1, semi)
+          if (name.startsWith("#x") || name.startsWith("#X")) {
+            try { sb.appendCodePoint(Integer.parseInt(name.substring(2), 16)); i = semi + 1 }
+            catch { case _: Exception => sb.append(c); i += 1 }
+          } else if (name.startsWith("#")) {
+            try { sb.appendCodePoint(Integer.parseInt(name.substring(1))); i = semi + 1 }
+            catch { case _: Exception => sb.append(c); i += 1 }
+          } else entities.get(name.toLowerCase) match {
+            case Some(r) => sb.append(r); i = semi + 1
+            case None    => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private final case class Tag(name: String, closing: Boolean, selfClosing: Boolean,
+      attrs: Map[String, String])
+
+  /** Parse the tag starting at `<`; returns (tag, posAfter). Malformed
+    * tags are treated as text (fail-soft). */
+  private def parseTag(s: String, start: Int): Option[(Tag, Int)] = {
+    var i = start + 1
+    if (i >= s.length) return None
+    // comments and doctype / CDATA
+    if (s.startsWith("<!--", start)) {
+      val end = s.indexOf("-->", start + 4)
+      return Some((Tag("!--", closing = false, selfClosing = true, Map.empty),
+        if (end < 0) s.length else end + 3))
+    }
+    if (s.charAt(i) == '!' || s.charAt(i) == '?') {
+      val end = s.indexOf('>', i)
+      return Some((Tag("!", closing = false, selfClosing = true, Map.empty),
+        if (end < 0) s.length else end + 1))
+    }
+    val closing = s.charAt(i) == '/'
+    if (closing) i += 1
+    val nameStart = i
+    while (i < s.length && (s.charAt(i).isLetterOrDigit || s.charAt(i) == '-')) i += 1
+    if (i == nameStart) return None // "<" followed by junk: treat as text
+    val name = s.substring(nameStart, i).toLowerCase
+    val attrs = mutable.HashMap.empty[String, String]
+    var selfClosing = false
+    var done = false
+    while (!done && i < s.length) {
+      val c = s.charAt(i)
+      if (c == '>') { done = true; i += 1 }
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '>') {
+        selfClosing = true; done = true; i += 2
+      } else if (c.isWhitespace) i += 1
+      else {
+        val aStart = i
+        while (i < s.length && !s.charAt(i).isWhitespace &&
+          s.charAt(i) != '=' && s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
+        val aName = s.substring(aStart, i).toLowerCase
+        while (i < s.length && s.charAt(i).isWhitespace) i += 1
+        if (i < s.length && s.charAt(i) == '=') {
+          i += 1
+          while (i < s.length && s.charAt(i).isWhitespace) i += 1
+          if (i < s.length && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+            val q = s.charAt(i); i += 1
+            val vStart = i
+            while (i < s.length && s.charAt(i) != q) i += 1
+            attrs(aName) = s.substring(vStart, math.min(i, s.length))
+            if (i < s.length) i += 1
+          } else {
+            val vStart = i
+            while (i < s.length && !s.charAt(i).isWhitespace && s.charAt(i) != '>') i += 1
+            attrs(aName) = s.substring(vStart, i)
+          }
+        } else if (aName.nonEmpty) attrs(aName) = ""
+        else i += 1
+      }
+    }
+    Some((Tag(name, closing, selfClosing, attrs.toMap)), i).map { case (t, p) => (t, p) }
+  }
+
+  /** Extract ordered content pieces from raw HTML. */
+  def extract(html: String): Vector[Piece] = {
+    val out = Vector.newBuilder[Piece]
+    val text = new java.lang.StringBuilder
+    var linkChars = 0
+    var totalChars = 0
+    var stripDepth = 0
+    var linkDepth = 0
+    // raw-text elements whose content is consumed until the close tag
+    var rawUntil: String = null
+
+    def flushBlock(): Unit = {
+      val t = normalizeWs(text.toString)
+      if (t.nonEmpty) {
+        val density = if (totalChars == 0) 0.0 else linkChars.toDouble / totalChars
+        if (density <= 0.5) out += TextPiece(t)
+      }
+      text.setLength(0); linkChars = 0; totalChars = 0
+    }
+
+    var i = 0
+    while (i < html.length) {
+      if (rawUntil != null) {
+        // consume until matching close tag of a raw-text element
+        val close = html.toLowerCase.indexOf(s"</$rawUntil", i)
+        if (close < 0) i = html.length
+        else {
+          val gt = html.indexOf('>', close)
+          i = if (gt < 0) html.length else gt + 1
+        }
+        rawUntil = null
+      } else {
+        val c = html.charAt(i)
+        if (c == '<') {
+          parseTag(html, i) match {
+            case Some((tag, next)) =>
+              i = next
+              tag.name match {
+                case "!--" | "!" => // comment/doctype: skip
+                case n if stripTags.contains(n) =>
+                  if (tag.closing) stripDepth = math.max(0, stripDepth - 1)
+                  else if (!tag.selfClosing) {
+                    if (n == "script" || n == "style" || n == "noscript" || n == "template") {
+                      // raw-text content: consume to close tag directly
+                      rawUntil = n
+                    } else { flushBlock(); stripDepth += 1 }
+                  }
+                case "img" =>
+                  if (stripDepth == 0) {
+                    flushBlock()
+                    tag.attrs.get("src").filter(_.nonEmpty).foreach(src => out += MediaPiece(src))
+                  }
+                case "a" =>
+                  if (tag.closing) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
+                case n if blockTags.contains(n) =>
+                  if (stripDepth == 0) flushBlock()
+                case _ => // inline tag: no block boundary
+              }
+            case None =>
+              if (stripDepth == 0) { text.append(c); totalChars += 1 }
+              i += 1
+          }
+        } else {
+          if (stripDepth == 0) {
+            text.append(c)
+            if (!c.isWhitespace) {
+              totalChars += 1
+              if (linkDepth > 0) linkChars += 1
+            }
+          }
+          i += 1
+        }
+      }
+    }
+    flushBlock()
+    out.result()
+  }
+
+  def normalizeWs(s: String): String = {
+    val decoded = decodeEntities(s)
+    val sb = new java.lang.StringBuilder(decoded.length)
+    var lastWs = true
+    decoded.foreach { c =>
+      if (c.isWhitespace) { if (!lastWs) sb.append(' '); lastWs = true }
+      else { sb.append(c); lastWs = false }
+    }
+    val r = sb.toString
+    if (r.endsWith(" ")) r.substring(0, r.length - 1) else r
+  }
+}

@@ -1,0 +1,104 @@
+package graft.job
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.core.model._
+import graft.fixtures.InterleavedGen
+import graft.io.TableIO
+
+/** Pipeline-level tests: output parity vs golden, resume-after-kill
+  * equivalence (SURVEY.md §5.2.3), fail-soft accounting, lineage
+  * metrics (north_rule resumability + per-partition lineage).
+  */
+class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  lazy val spark: SparkSession = graft.spark.Sessions.local(4, "extract-job-spec")
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def corpusDf(n: Long) = {
+    import spark.implicits._
+    spark.range(0, n, 1, 4).map(i => InterleavedGen.docWithGolden(i)._1).toDF()
+  }
+
+  private def readSpans(tableDir: String): Map[String, Seq[Span]] = {
+    import spark.implicits._
+    spark.read.parquet(TableIO.dataDir(tableDir)).as[ExtractJob.OutRow]
+      .collect().map(r => r.doc_id -> r.spans.sortBy(_.order)).toMap
+  }
+
+  test("full run matches by-construction goldens") {
+    val table = tmpDir("graft-full")
+    val stats = ExtractJob.run(spark, corpusDf(80), table,
+      ExtractJob.Config(numBuckets = 16, saltsPerBucket = 2))
+    assert(stats.docs == 80 && stats.failedDocs == 0 && stats.bucketsProcessed == 16)
+    val got = readSpans(table)
+    (0L until 80L).foreach { i =>
+      val (_, exp) = InterleavedGen.docWithGolden(i)
+      assert(got.get(exp.doc_id).contains(exp.spans), s"doc $i")
+    }
+  }
+
+  test("kill after k chunks + resume ≡ single run (resume invariance)") {
+    val input = corpusDf(60)
+    val cfgBase = ExtractJob.Config(jobId = "resume-test", numBuckets = 16,
+      saltsPerBucket = 2, chunkBuckets = 4)
+
+    val killed = tmpDir("graft-killed")
+    val s1 = ExtractJob.run(spark, input, killed, cfgBase.copy(maxChunks = 2)) // "killed" after 2/4 chunks
+    assert(s1.bucketsProcessed == 8)
+    val s2 = ExtractJob.run(spark, input, killed, cfgBase.copy(attempt = 2)) // resume
+    assert(s2.committedBucketsBefore == 8 && s2.bucketsProcessed == 8)
+    assert(s1.docs + s2.docs == 60)
+
+    val single = tmpDir("graft-single")
+    ExtractJob.run(spark, input, single, cfgBase)
+    assert(readSpans(killed) == readSpans(single))
+  }
+
+  test("rerun of a complete table is a metadata no-op") {
+    val table = tmpDir("graft-noop")
+    val input = corpusDf(20)
+    ExtractJob.run(spark, input, table, ExtractJob.Config(numBuckets = 8))
+    val again = ExtractJob.run(spark, input, table, ExtractJob.Config(numBuckets = 8))
+    assert(again.bucketsProcessed == 0 && again.docs == 0 && again.committedBucketsBefore == 8)
+  }
+
+  test("corrupt docs: counted failed, partition still commits, good docs kept") {
+    import spark.implicits._
+    val mixed = spark.range(0, 10, 1, 2).map { i =>
+      if (i == 3 || i == 7) InterleavedGen.corruptDoc(i)
+      else InterleavedGen.docWithGolden(i)._1
+    }.toDF()
+    val table = tmpDir("graft-corrupt")
+    val stats = ExtractJob.run(spark, mixed, table, ExtractJob.Config(numBuckets = 4))
+    assert(stats.docs == 10 && stats.failedDocs == 2 && stats.bucketsProcessed == 4)
+    assert(readSpans(table).size == 8)
+    val lin = TableIO.readLineage(spark, table)
+    assert(lin.agg(org.apache.spark.sql.functions.sum("failed_docs")).collect()(0).getLong(0) == 2)
+  }
+
+  test("progress view reflects partial completion") {
+    val table = tmpDir("graft-prog")
+    val input = corpusDf(40)
+    val cfg = ExtractJob.Config(jobId = "prog", numBuckets = 8, chunkBuckets = 2)
+    ExtractJob.run(spark, input, table, cfg.copy(maxChunks = 2)) // 4/8 buckets
+    val row = ExtractJob.progress(spark, table, "prog", 8).collect()(0)
+    assert(row.getInt(0) == 50)
+  }
+
+  test("point read returns one doc, partition-pruned") {
+    val table = tmpDir("graft-point")
+    ExtractJob.run(spark, corpusDf(20), table, ExtractJob.Config(numBuckets = 8))
+    val df = ExtractJob.readDoc(spark, table, InterleavedGen.docId(5))
+    assert(df.count() == 1)
+    // bucket pruning visible in the plan: PartitionFilters on bucket would
+    // need the literal bucket value; doc_id pushdown at least must appear
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") || plan.contains("Filter"))
+  }
+}
