@@ -1,0 +1,115 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data
+  * pipelines (tokenization, language ID, quality scoring, document
+  * fingerprinting). All are pure `Column` expressions built from
+  * `org.apache.spark.sql.functions` — whole-stage-codegen-friendly, no
+  * UDFs — and every one has an exact ANSI-SQL twin runnable in DuckDB
+  * (see `graft.SparkEntry.oracleSql`), which requires two design rules:
+  *
+  *  1. hashing is md5-hex (identical string output in every engine) —
+  *     never `xxhash64`/`hash`, whose algorithms are engine-specific;
+  *  2. ratios are integer permille (`floor(x*1000/y)`) — never double
+  *     division, whose last-ulp rounding can differ across engines.
+  *
+  * The reference system (codad5/pdfz) has no text analytics at all
+  * (SURVEY.md §2.7); these are the training-pipeline extensions the
+  * engine adds on top of its extraction core.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenizer. `split` on a single space matches DuckDB's
+    * `string_split(text, ' ')`; testdata text is single-space joined. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Distinct-token count (vocabulary size of the doc). */
+  def distinctTokenCount(text: Column): Column = size(array_distinct(tokens(text)))
+
+  /** English stopword list used by the quality/lang heuristics. */
+  val StopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stopword ratio in permille — integer arithmetic for cross-engine
+    * exactness: floor(1000 * |stop tokens| / |tokens|). */
+  def stopRatioPermille(text: Column): Column = {
+    val toks = tokens(text)
+    val stops = filter(toks, t => t.isin(StopwordsEn: _*))
+    floor(size(stops).cast("long") * lit(1000L) / size(toks)).cast("long")
+  }
+
+  /** Mean token length in centichars: floor(100*chars_in_tokens/tokens).
+    * A classic quality signal (gibberish/boilerplate has extreme values). */
+  def meanTokenLenCenti(text: Column): Column = {
+    val toks = tokens(text)
+    val chars = aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+    floor(chars * lit(100L) / size(toks)).cast("long")
+  }
+
+  /** Composite quality bucket 0..3: length, vocabulary diversity and
+    * stopword presence. Thresholds are permille-integer so the DuckDB
+    * twin is exact. */
+  def qualityBucket(text: Column): Column = {
+    val n = tokenCount(text)
+    val diversity = floor(distinctTokenCount(text).cast("long") * lit(1000L) / n)
+    val stop = stopRatioPermille(text)
+    (when(n >= 20, 1).otherwise(0) +
+      when(diversity >= 400, 1).otherwise(0) +
+      when(stop.between(10, 600), 1).otherwise(0)).cast("int")
+  }
+
+  /** Language-ID by stopword-marker counts (n-gram/marker heuristic).
+    * Deterministic argmax with fixed tie-break order en > es > de. */
+  def langIdHeuristic(text: Column): Column = {
+    def score(markers: Seq[String]): Column =
+      size(filter(tokens(text), t => t.isin(markers: _*)))
+    val en = score(Seq("the", "a", "of", "is"))
+    val es = score(Seq("el", "la", "de", "es"))
+    val de = score(Seq("der", "die", "das", "und"))
+    when(en === 0 && es === 0 && de === 0, "unknown")
+      .when(en >= es && en >= de, "en")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  /** Content fingerprint: md5 of the sorted distinct token set —
+    * invariant to token order and duplication, so it detects
+    * shuffled/near-identical documents. */
+  def fingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokens(text))), " "))
+
+  /** Word n-gram shingles as md5 strings (dedup/minhash input).
+    * transform over a 0..len-n index range keeps this a single
+    * codegen'd expression (no explode needed at call sites that only
+    * want the array). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val count = size(toks) - lit(n - 1)
+    when(count <= 0, typedLit(Seq.empty[String]))
+      .otherwise(transform(sequence(lit(0), count - 1, lit(1)),
+        i => md5(array_join(slice(toks, i + 1, lit(n)), " "))))
+  }
+
+  /** 16-bit SimHash from per-token md5 nibbles. For each token the
+    * first 4 hex chars of md5(token) supply 16 bits; each bit votes
+    * +1/-1; the sketch bit is 1 iff the vote sum is positive. Integer
+    * arithmetic end-to-end → exact DuckDB twin. Returns BIGINT 0..65535. */
+  def simhash16(text: Column): Column = {
+    // per-token 16-bit value = first 4 md5 nibbles (hex→dec via conv;
+    // the DuckDB twin spells it as 4 strpos-nibble terms)
+    val tokVals = transform(tokens(text),
+      t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
+    // bit b of the sketch: sum over tokens of (2*bit(v,b)-1) > 0
+    (0 until 16).map { b =>
+      val votes = aggregate(tokVals, lit(0L),
+        (acc, v) => acc + (shiftright(v, b) % 2L) * 2L - 1L)
+      when(votes > 0, lit(1L << b)).otherwise(0L)
+    }.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash sketches. */
+  def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

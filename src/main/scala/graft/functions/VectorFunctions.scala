@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector (embedding) column functions for similarity search and
+  * near-duplicate detection over `array<float>` embedding columns.
+  *
+  * Exactness design: embeddings are quantized to BIGINT milliunits
+  * (`round(x*1000)`) once, after which every dot product, norm, and
+  * threshold test is EXACT integer arithmetic — identical in Spark and
+  * DuckDB, immune to float-summation-order drift, and cheap (64-dim
+  * dot = 64 long multiply-adds inside one codegen'd `aggregate`).
+  *
+  * Cosine thresholding never divides: cos(a,b) ≥ t (t = tPct/100) is
+  * evaluated as `dot ≥ 0 AND 10000·dot² ≥ tPct²·|a|²·|b|²` — exact in
+  * BIGINT for 64-dim milliunit vectors (dot ≤ 6.4e7 ⇒ dot² ≤ 4.1e15,
+  * well inside 2^63).
+  */
+object VectorFunctions {
+
+  /** Quantize array<float> to array<bigint> milliunits. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => round(x.cast("double") * 1000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Exact integer squared L2 norm of a quantized vector. */
+  def normSqQ(a: Column): Column =
+    aggregate(a, lit(0L), (acc, v) => acc + v * v)
+
+  /** cos(a,b) ≥ tPct/100, exact. `dot`, `na`, `nb` are the quantized
+    * dot and squared norms. */
+  def cosineGePct(dot: Column, na: Column, nb: Column, tPct: Int): Column =
+    dot > 0 && dot * dot * 10000L >= na * nb * (tPct.toLong * tPct)
+
+  /** Sign-LSH bucket: one bit per leading dimension (axis-aligned
+    * random-hyperplane LSH). `bits` ≤ 16. Vectors whose first `bits`
+    * coordinates share signs land in the same bucket; at cluster scale
+    * this turns an O(n²) all-pairs search into per-bucket searches. */
+  def signBucket(vec: Column, bits: Int): Column =
+    (0 until bits).map { i =>
+      when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+/** Deduplication operators for web-scale training corpora, over a
+  * `documents(doc_id, text, ...)` table. Each returns a DataFrame with
+  * deterministic output (stable ordering keys, integer/string-exact
+  * values) so the driver's DuckDB oracle can hash-compare it.
+  *
+  * Scale notes (the 100 TB plan, not just the sf0.01 test):
+  *  - exact dedup is one hash-aggregate — a single shuffle on the
+  *    fingerprint, map-side partial aggregation applies;
+  *  - MinHash/LSH never materializes all pairs: docs are shuffled once
+  *    on (band, signature) and only same-bucket candidates pair up —
+  *    the standard way all-pairs similarity survives 10^12 rows;
+  *  - n-gram Jaccard joins on shingle hash — the join explodes only
+  *    docs sharing a shingle; salting/AQE handles hot shingles;
+  *  - embedding near-dup buckets by sign-LSH before pairing.
+  */
+object Dedup {
+
+  /** Exact dedup by content fingerprint. One row per duplicate group
+    * with the kept (minimum) doc_id and group size. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+      .groupBy("fp")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** Candidate near-duplicate pairs by MinHash + LSH banding.
+    *
+    * `numHashes` minhash values per doc (hash k = min over shingles of
+    * md5(k:shingle) — md5-string min is engine-portable), grouped into
+    * `bands` bands of numHashes/bands rows; docs agreeing on ALL rows
+    * of any band become a candidate pair. Output: (a_id, b_id) with
+    * a_id < b_id, distinct. */
+  def minhashLshPairs(docs: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), shingleN)).as("sh"))
+    // minhash k = min md5("k:" ++ shingle); string min is portable
+    val aggs = (0 until numHashes).map(k =>
+      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
+    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // band signature = md5 of its concatenated rows
+    val banded = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("sig"))
+    }.reduce(_ unionAll _)
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
+        col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for every doc pair sharing at
+    * least one shingle, in permille: floor(1000·|A∩B|/|A∪B|). Pairs
+    * below `minPermille` are dropped. Integer-exact. */
+  def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
+      minPermille: Int = 200): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TF.shingles(col("text"), shingleN))).as("sh"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("l")
+      .join(sh.as("r"), col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard_pm",
+        floor(col("inter") * 1000L / (col("na") + col("nb") - col("inter"))).cast("long"))
+      .where(col("jaccard_pm") >= minPermille)
+      .select("a_id", "b_id", "jaccard_pm")
+  }
+
+  /** Per-doc 16-bit SimHash sketch plus near-dup pairs at Hamming
+    * distance ≤ maxHamming, paired within 4-bit LSH blocks (any pair
+    * with ≤ maxHamming differing bits agrees exactly on at least one
+    * of the 4 blocks when maxHamming < 4 — the classic simhash
+    * block-permutation index, no all-pairs join). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-block index covers hamming < 4")
+    val sketch = docs.select(col("doc_id"), TF.simhash16(col("text")).as("sh"))
+    val blocks = (0 until 4).map { b =>
+      sketch.select(col("doc_id"), col("sh"), lit(b).as("block"),
+        shiftright(col("sh"), b * 4).bitwiseAND(lit(15L)).as("key"))
+    }.reduce(_ unionAll _)
+    blocks.as("l")
+      .join(blocks.as("r"),
+        col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+        TF.hammingDist(col("l.sh"), col("r.sh")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ tPct/100, exact
+    * integer test over milliunit-quantized vectors, bucketed by
+    * sign-LSH on the first `lshBits` dims so the pair join is
+    * per-bucket, not all-pairs. NOTE: sign-LSH is approximate — a pair
+    * straddling a hyperplane in those dims is missed; raise recall
+    * with multiple rotated bucket tables at scale. */
+  def embeddingNearDupPairs(emb: DataFrame, tPct: Int = 80,
+      lshBits: Int = 4): DataFrame = {
+    val q = emb.select(col("vec_id"),
+      VF.signBucket(col("embedding"), lshBits).as("bucket"),
+      VF.quantize(col("embedding")).as("qv"))
+      .withColumn("nsq", VF.normSqQ(col("qv")))
+    q.as("l").join(q.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("dot", VF.dotQ(col("l.qv"), col("r.qv")))
+      .where(VF.cosineGePct(col("dot"), col("l.nsq"), col("r.nsq"), tPct))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"), col("dot"))
+  }
+}

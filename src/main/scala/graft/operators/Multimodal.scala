@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: image/audio/video payloads ride the
+  * pipeline as opaque `binary` columns with typed metadata, and
+  * decode / feature-extraction runs as a batched `mapPartitions`
+  * stage (the Scala analog of `mapInPandas`: one partition = one
+  * batch, decoder state amortized across the batch).
+  *
+  * The sandbox has no image/audio codecs, so [[StubDecoder]] is a
+  * clearly-marked deterministic fake — a pure function of the payload
+  * bytes — while everything Spark-grade around it (schema, typed
+  * Dataset stage, partition batching, per-batch decoder reuse) is real
+  * and tested. Swap `StubDecoder` for a JNI/process-backed decoder in
+  * production; the stage contract does not change.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted per media object. */
+  final case class MediaFeatures(
+      doc_id: String,
+      media_ref: String,
+      byte_len: Int,
+      format: String,
+      width: Int,
+      height: Int,
+      phash: String)
+
+  /** Decoder contract — one instance per partition (batch). */
+  trait MediaDecoder extends Serializable {
+    def decode(ref: String, bytes: Array[Byte]): MediaFeatures
+  }
+
+  /** STUB: deterministic fake decode — md5-derived "dimensions" and
+    * perceptual-hash. Stands in for a real image decoder (none is
+    * available in this container); NOT a real codec. */
+  final class StubDecoder(docId: String) extends MediaDecoder {
+    private val md = MessageDigest.getInstance("MD5") // reused per batch
+    def decode(ref: String, bytes: Array[Byte]): MediaFeatures = {
+      md.reset()
+      val d = md.digest(bytes)
+      def u(i: Int) = d(i) & 0xff
+      val format = Seq("png", "jpeg", "webp")(u(0) % 3)
+      MediaFeatures(docId, ref, bytes.length, format,
+        width = 16 * (1 + u(1) % 64), height = 16 * (1 + u(2) % 64),
+        phash = d.take(8).map(b => f"${b & 0xff}%02x").mkString)
+    }
+  }
+
+  /** Input: (doc_id string, media_ref string, payload binary).
+    * Output: Dataset[MediaFeatures]. Decoder constructed once per
+    * partition — the batching that makes real codecs affordable. */
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("string"), col("media_ref").cast("string"),
+        col("payload").cast("binary"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder cache (here keyed by doc for the stub's
+        // doc_id capture; a real codec would be one shared instance)
+        val cache = scala.collection.mutable.HashMap.empty[String, MediaDecoder]
+        it.map { case (docId, ref, bytes) =>
+          cache.getOrElseUpdate(docId, new StubDecoder(docId)).decode(ref, bytes)
+        }
+      }
+  }
+
+  /** Deterministic synthetic media table (doc_id, media_ref, payload)
+    * for tests/benches: payload bytes are a pure function of (i, j). */
+  def syntheticMedia(spark: SparkSession, nDocs: Int, perDoc: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(nDocs.toLong * perDoc).select(
+      format_string("doc%08d", floor(col("id") / perDoc).cast("long")).as("doc_id"),
+      format_string("m_%d_%d.bin", floor(col("id") / perDoc).cast("long"),
+        pmod(col("id"), lit(perDoc))).as("media_ref"),
+      // payload: md5-hex of the id, repeated — deterministic bytes
+      repeat(md5(col("id").cast("string")), 4).cast("binary").as("payload"))
+  }
+}

@@ -1,0 +1,302 @@
+package graft.spark
+
+/** DuckDB twins of [[Queries]] — ANSI-ish SQL the driver executes in
+  * DuckDB over the same parquet tables (bare names = testdata tables;
+  * the interleaved corpus is read with read_parquet from the fixed
+  * path [[InterleavedTable.VerifyPath]], the very file the Spark
+  * queries produce/consume).
+  *
+  * Cross-engine exactness contract (see Queries): md5-only hashing,
+  * integer cents/permille/milliunit arithmetic (DuckDB SUM→HUGEINT is
+  * CAST back to BIGINT), identical deterministic ORDER BY. `round()`
+  * is HALF-AWAY-FROM-ZERO in both engines; `/` on integers is double
+  * division in both, so `CAST(floor(a*k/b) AS BIGINT)` is bit-identical.
+  */
+object Oracles {
+
+  private val IV =
+    s"read_parquet('${InterleavedTable.VerifyPath}/*.parquet')"
+
+  /** Exploded interleaved spans with position (aligned UNNEST). */
+  private val ivExploded =
+    s"""(SELECT doc_id, CAST(unnest(range(len(spans))) AS INTEGER) AS pos,
+       | unnest(spans, recursive := true) FROM $IV)""".stripMargin
+
+  /** documents ∪ mutated near-duplicate copies — must mirror
+    * Queries.docsPlus exactly. */
+  private val docsPlus =
+    """docs_plus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text, ' ') + 1) AS text
+      | FROM documents)""".stripMargin
+
+  /** 3-gram md5 shingles over docs_plus (twin of TextFunctions.shingles). */
+  private val sh3 =
+    """sh3 AS (
+      | SELECT doc_id, unnest(list_transform(
+      |   range(0, greatest(len(string_split(text,' ')) - 2, 0)),
+      |   i -> md5(array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS sh
+      | FROM docs_plus)""".stripMargin
+
+  /** 16-bit simhash per doc of table `src` (twin of simhash16). */
+  private def simhashCte(src: String) =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM $src),
+       |tv AS (SELECT doc_id,
+       |  (strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096
+       | +(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256
+       | +(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16
+       | +(strpos('0123456789abcdef', substr(md5(t),4,1))-1) AS v FROM tok),
+       |bits AS (SELECT doc_id, b, sum(((v >> b) % 2)*2 - 1) AS votes
+       |  FROM tv, range(16) r(b) GROUP BY 1, 2),
+       |shx AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
+       |  FROM bits GROUP BY 1)""".stripMargin
+
+  /** Milliunit-quantized embeddings with sign-LSH bucket (twin of
+    * VectorFunctions.quantize/signBucket). */
+  private val qEmb =
+    """qemb AS (
+      | SELECT vec_id,
+      |  (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+      |  +CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+      |  +CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+      |  +CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv
+      | FROM embeddings)""".stripMargin
+
+  private def dot(a: String, b: String) =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS BIGINT)"
+
+  val sql: Map[String, String] = Map(
+    // ---- reference-pipeline relational ops over the interleaved corpus
+    "pdfz_explode" ->
+      s"""SELECT doc_id, pos, kind, media_ref,
+         | CAST(length(text) AS INTEGER) AS text_len, md5(text) AS text_md5
+         |FROM $ivExploded ORDER BY doc_id, pos""".stripMargin,
+
+    "pdfz_page_window" ->
+      s"""WITH ex AS (SELECT doc_id, CAST(len(spans) AS INTEGER) AS total,
+         | CAST(unnest(range(len(spans))) AS INTEGER) AS pos,
+         | unnest(spans, recursive := true) FROM $IV),
+         |pages AS (
+         | SELECT doc_id, pos + 1 AS page_num, kind, text,
+         |  CASE WHEN 2 = 0 OR 2 > total THEN total ELSE 2 END AS page_limit
+         | FROM ex WHERE pos + 1 >= 2),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY page_num) AS rk
+         | FROM pages)
+         |SELECT doc_id, CAST(page_num AS INTEGER) AS page_num, kind, md5(text) AS text_md5
+         |FROM ranked WHERE rk <= page_limit ORDER BY doc_id, page_num""".stripMargin,
+
+    "pdfz_reassemble" ->
+      s"""SELECT doc_id, string_agg(substr(md5(text), 1, 8), ' ' ORDER BY pos) AS assembled
+         |FROM $ivExploded GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "pdfz_resume_antijoin" ->
+      s"""SELECT CAST(strpos('0123456789abcdef', substr(md5(doc_id),1,1)) - 1 AS INTEGER) AS bucket,
+         | count(*) AS pending_docs, CAST(sum(len(spans)) AS BIGINT) AS pending_spans
+         |FROM $IV
+         |WHERE strpos('0123456789abcdef', substr(md5(doc_id),1,1)) - 1 NOT IN (0,1,2,3,4,5)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "pdfz_progress" ->
+      s"""WITH per AS (
+         | SELECT CAST(strpos('0123456789abcdef', substr(md5(doc_id),1,1)) - 1 AS INTEGER) AS bucket,
+         |  count(*) AS doc_count, CAST(sum(len(spans)) AS BIGINT) AS span_count
+         | FROM $IV GROUP BY 1)
+         |SELECT bucket, doc_count, span_count,
+         | CAST(floor(doc_count * 100 / (sum(doc_count) OVER ())) AS BIGINT) AS pct_of_corpus
+         |FROM per ORDER BY bucket""".stripMargin,
+
+    "pdfz_dispatch" ->
+      """SELECT doc_id,
+        | lower(CASE WHEN doc_id % 3 = 0 THEN 'Tesseract'
+        |            WHEN doc_id % 3 = 1 THEN 'OLLAMA' ELSE 'gpt' END) AS engine_norm,
+        | CAST(lower(CASE WHEN doc_id % 3 = 0 THEN 'Tesseract'
+        |            WHEN doc_id % 3 = 1 THEN 'OLLAMA' ELSE 'gpt' END)
+        |      IN ('tesseract','ollama') AS INTEGER) AS supported,
+        | CASE WHEN contains(source, ':') THEN source ELSE source || ':latest' END AS model_tag
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pdfz_point_lookup" ->
+      s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
+         | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5
+         |FROM $IV WHERE doc_id = 'doc00000123'""".stripMargin,
+
+    // ---- analytic layer
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (1000 - CAST(round(l_discount*1000) AS BIGINT))) AS BIGINT) AS rev_micros,
+        | count(*) AS n
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-31'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (1000 - CAST(round(l_discount*1000) AS BIGINT))) AS BIGINT) AS rev_micros,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY rev_micros DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT r_name, n_name,
+        | CAST(SUM(CAST(round(l_extendedprice*100) AS BIGINT)
+        |      * (1000 - CAST(round(l_discount*1000) AS BIGINT))) AS BIGINT) AS rev_micros,
+        | count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, price_cents, CAST(rk AS INTEGER) AS rk
+        |FROM (SELECT o_custkey, o_orderkey,
+        |       CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |       row_number() OVER (PARTITION BY o_custkey
+        |         ORDER BY CAST(round(o_totalprice*100) AS BIGINT) DESC, o_orderkey) AS rk
+        |      FROM orders)
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type,
+        | count(*) AS n,
+        | CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_permille
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events),
+        |flags AS (SELECT user_id,
+        |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w > 1800000
+        |       THEN 1 ELSE 0 END AS new_sess
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id))
+        |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS sessions, count(*) AS events
+        |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // ---- dedup / similarity / text analysis
+    "dedup_exact" ->
+      s"""WITH $docsPlus
+         |SELECT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp,
+         | min(doc_id) AS keep_id, count(*) AS dup_count
+         |FROM docs_plus GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
+
+    "dedup_minhash_lsh" -> {
+      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sigs")
+        .mkString("\n UNION ALL ")
+      s"""WITH $docsPlus, $sh3,
+         |sigs AS (SELECT doc_id, $mins FROM sh3 GROUP BY doc_id),
+         |banded AS ($bands)
+         |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+         |FROM banded l JOIN banded r
+         | ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
+    "dedup_jaccard" ->
+      s"""WITH $docsPlus, $sh3,
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS i
+         | FROM shd l JOIN shd r ON l.sh = r.sh AND l.doc_id < r.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         | CAST(floor(i * 1000 / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_pm
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE floor(i * 1000 / (sa.n + sb.n - i)) >= 500
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $docsPlus, ${simhashCte("docs_plus")},
+         |blocks AS (
+         | SELECT doc_id, sh, b AS block, (sh >> (b*4)) & 15 AS key
+         | FROM shx, range(4) r(b)),
+         |pairs AS (
+         | SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+         |  CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+         | FROM blocks l JOIN blocks r
+         |  ON l.block = r.block AND l.key = r.key AND l.doc_id < r.doc_id)
+         |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH $qEmb,
+         |muts AS (SELECT vec_id + 100000 AS vec_id, bucket,
+         |  list_transform(list_zip(qv, range(len(qv))),
+         |    p -> CASE WHEN p[2] = 0 THEN CAST(0 AS BIGINT) ELSE p[1] END) AS qv
+         | FROM qemb),
+         |allv AS (SELECT *, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+         | FROM (SELECT * FROM qemb UNION ALL SELECT * FROM muts)),
+         |pairs AS (SELECT l.vec_id AS a_id, r.vec_id AS b_id,
+         |  ${dot("l.qv", "r.qv")} AS dot, l.nsq AS nl, r.nsq AS nr
+         | FROM allv l JOIN allv r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
+         |SELECT a_id, b_id, dot FROM pairs
+         |WHERE dot > 0 AND dot*dot*10000 >= nl*nr*6400
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "sim_topk_brute" ->
+      s"""WITH $qEmb,
+         |q AS (SELECT vec_id AS query_id, qv AS q_qv FROM qemb WHERE vec_id < 8),
+         |it AS (SELECT vec_id AS item_id, qv FROM qemb),
+         |scored AS (SELECT query_id, item_id, ${dot("q_qv", "qv")} AS dot
+         | FROM q, it WHERE query_id <> item_id)
+         |SELECT query_id, item_id, dot, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dot DESC, item_id) AS rnk FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_topk_lsh" ->
+      s"""WITH $qEmb,
+         |q AS (SELECT vec_id AS query_id, bucket, qv AS q_qv FROM qemb WHERE vec_id < 8),
+         |it AS (SELECT vec_id AS item_id, bucket, qv FROM qemb),
+         |scored AS (SELECT query_id, item_id, ${dot("q_qv", "qv")} AS dot
+         | FROM q JOIN it USING (bucket) WHERE query_id <> item_id)
+         |SELECT query_id, item_id, dot, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dot DESC, item_id) AS rnk FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "text_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+        |  CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS n_chars_tok
+        | FROM t)
+        |SELECT doc_id, n_tokens, n_distinct,
+        | CAST(floor(n_stop * 1000 / n_tokens) AS BIGINT) AS stop_pm,
+        | CAST(floor(n_chars_tok * 100 / n_tokens) AS BIGINT) AS tok_len_centi,
+        | CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 400 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END)
+        |   AS INTEGER) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      s"""WITH ${simhashCte("documents")},
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+         |sc AS (SELECT doc_id, text,
+         |  len(list_filter(toks, x -> x IN ('the','a','of','is'))) AS s_en,
+         |  len(list_filter(toks, x -> x IN ('el','la','de','es'))) AS s_es,
+         |  len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS s_de
+         | FROM t)
+         |SELECT sc.doc_id,
+         | CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 THEN 'unknown'
+         |      WHEN s_en >= s_es AND s_en >= s_de THEN 'en'
+         |      WHEN s_es >= s_de THEN 'es' ELSE 'de' END AS lang_pred,
+         | md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp,
+         | shx.sh AS simhash
+         |FROM sc JOIN shx ON sc.doc_id = shx.doc_id ORDER BY sc.doc_id""".stripMargin
+    })
+}

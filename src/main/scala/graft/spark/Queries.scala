@@ -1,0 +1,384 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.model._
+import graft.engine.Extractor
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** The engine's query surface — one entry per operator in SURVEY.md §2
+  * plus the training-data-pipeline operators (dedup, similarity
+  * search, text analysis, multimodal plumbing). Every SQL-expressible
+  * query has an exact DuckDB twin in [[Oracles]]; cross-engine
+  * exactness rules (md5-only hashing, integer permille/cents/milliunit
+  * arithmetic, deterministic ORDER BY) are described in
+  * [[graft.functions.TextFunctions]] / [[graft.functions.VectorFunctions]].
+  */
+object Queries {
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Money doubles → exact integer cents/permille (HALF_UP both engines). */
+  private def cents(c: Column): Column = round(c * 100).cast("long")
+  private def permille(c: Column): Column = round(c * 1000).cast("long")
+
+  // ===================================================================
+  // Reference-pipeline relational operators (SURVEY.md §2) over the
+  // interleaved corpus (fixed deterministic parquet, see
+  // InterleavedTable.VerifyPath — the DuckDB oracle reads the same file)
+  // ===================================================================
+
+  /** T1 analog: explode spans with position (posexplode ≡ aligned
+    * UNNEST). Span text reduced to (len, md5) so output stays small. */
+  def pdfzExplode(s: SparkSession, dir: String): DataFrame = {
+    val docs = InterleavedTable.readVerifyCorpus(s)
+    docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), col("span.kind").as("kind"),
+        col("span.media_ref").as("media_ref"),
+        length(col("span.text")).as("text_len"), md5(col("span.text")).as("text_md5"))
+      .orderBy("doc_id", "pos")
+  }
+
+  /** P1+P2 analog: page-range filter with the reference's start-page
+    * off-by-one (effective start = max(1, s-1), SURVEY.md §2.6.2) and
+    * emitted-page limit clamped to the total (§2.6.3). Spans play the
+    * role of 1-based pages (page_num = pos+1); s=3, pageCount=2. */
+  def pdfzPageWindow(s: SparkSession, dir: String): DataFrame = {
+    val startPage = 3; val pageCount = 2
+    val docs = InterleavedTable.readVerifyCorpus(s)
+    val pages = docs
+      .select(col("doc_id"), size(col("spans")).as("total"),
+        posexplode(col("spans")).as(Seq("pos", "span")))
+      .withColumn("page_num", col("pos") + 1)
+      .withColumn("page_limit",
+        when(lit(pageCount) === 0 || lit(pageCount) > col("total"), col("total"))
+          .otherwise(lit(pageCount)))
+      .where(col("page_num") >= math.max(1, startPage - 1)) // parity off-by-one
+    val w = Window.partitionBy("doc_id").orderBy("page_num")
+    pages.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("page_limit"))
+      .select(col("doc_id"), col("page_num"), col("span.kind").as("kind"),
+        md5(col("span.text")).as("text_md5"))
+      .orderBy("doc_id", "page_num")
+  }
+
+  /** T10 analog: ordered per-doc reassembly (collect_list over order ≡
+    * string_agg ORDER BY). Pieces are md5 prefixes of span text. */
+  def pdfzReassemble(s: SparkSession, dir: String): DataFrame = {
+    val docs = InterleavedTable.readVerifyCorpus(s)
+    docs
+      .select(col("doc_id"), posexplode(col("spans")).as(Seq("pos", "span")))
+      .select(col("doc_id"), col("pos"), substring(md5(col("span.text")), 1, 8).as("piece"))
+      .groupBy("doc_id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("piece")))),
+          x => x.getField("piece")), " ").as("assembled"))
+      .orderBy("doc_id")
+  }
+
+  /** P6 analog: resume anti-join — pending = input buckets NOT in the
+    * committed set (0..5 of 16 md5-nibble buckets). The committed side
+    * is metadata-small → broadcast, never a corpus shuffle. */
+  def pdfzResumeAntijoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = InterleavedTable.readVerifyCorpus(s)
+      .withColumn("bucket", conv(substring(md5(col("doc_id")), 1, 1), 16, 10).cast("int"))
+    val committed = (0 to 5).toDF("bucket")
+    docs.join(broadcast(committed), Seq("bucket"), "left_anti")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("pending_docs"), sum(size(col("spans"))).cast("long").as("pending_spans"))
+      .orderBy("bucket")
+  }
+
+  /** A1/A2 analog: lineage-style progress metrics per bucket with the
+    * reference's integer-percent arithmetic (page*100/total, floored). */
+  def pdfzProgress(s: SparkSession, dir: String): DataFrame = {
+    val docs = InterleavedTable.readVerifyCorpus(s)
+      .withColumn("bucket", conv(substring(md5(col("doc_id")), 1, 1), 16, 10).cast("int"))
+    val per = docs.groupBy("bucket")
+      .agg(count(lit(1)).as("doc_count"), sum(size(col("spans"))).cast("long").as("span_count"))
+    per.withColumn("pct_of_corpus",
+        floor(col("doc_count") * 100 / sum(col("doc_count")).over(Window.partitionBy())).cast("long"))
+      .orderBy("bucket")
+  }
+
+  /** P4+P8 analog: engine dispatch (case-insensitive whitelist) and
+    * model-tag normalization (append ":latest" iff no ":"). */
+  def pdfzDispatch(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .withColumn("engine",
+        when(col("doc_id") % 3 === 0, "Tesseract")
+          .when(col("doc_id") % 3 === 1, "OLLAMA").otherwise("gpt"))
+      .select(col("doc_id"), lower(col("engine")).as("engine_norm"),
+        lower(col("engine")).isin("tesseract", "ollama").cast("int").as("supported"),
+        when(col("source").contains(":"), col("source"))
+          .otherwise(concat(col("source"), lit(":latest"))).as("model_tag"))
+      .orderBy("doc_id")
+
+  /** S8 analog: point lookup of one document's content (`GET
+    * /content/:id`) — partition-prunable scan, no shuffle. */
+  def pdfzPointLookup(s: SparkSession, dir: String): DataFrame = {
+    val docs = InterleavedTable.readVerifyCorpus(s)
+    docs.where(col("doc_id") === "doc00000123")
+      .select(col("doc_id"), size(col("spans")).as("n_spans"),
+        md5(array_join(transform(col("spans"), x => x.getField("text")), "|")).as("content_md5"))
+  }
+
+  // ===================================================================
+  // Analytic operators (scan/filter/agg/join/window/time-window) —
+  // the general-purpose query layer, TPC-H-shaped
+  // ===================================================================
+
+  /** Pricing summary (TPC-H Q1 shape): scan+filter+hash-agg, exact
+    * integer cents/permille arithmetic. */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .where(col("l_shipdate") <= lit("2000-12-31").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(round(col("l_quantity")).cast("long")).as("sum_qty"),
+        sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+        sum(cents(col("l_extendedprice")) * (lit(1000L) - permille(col("l_discount"))))
+          .as("rev_micros"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Shipping-priority revenue (TPC-H Q3 shape): selective dim filter →
+    * broadcast join → agg → top-10. The customer side is filtered and
+    * broadcast; only lineitem (the fact table) streams. */
+  def q3TopOrders(s: SparkSession, dir: String): DataFrame = {
+    val cust = rd(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = rd(s, dir, "orders")
+      .where(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = rd(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        (cents(col("l_extendedprice")) * (lit(1000L) - permille(col("l_discount")))).as("rev"))
+    li.join(ord.join(broadcast(cust), col("o_custkey") === col("c_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(sum(col("rev")).as("rev_micros"), count(lit(1)).as("n_lines"))
+      .orderBy(col("rev_micros").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Region revenue (TPC-H Q5 shape): star join fact⋈orders⋈customer⋈
+    * nation⋈region with all dims broadcast. */
+  def q5RegionRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem").select(col("l_orderkey"),
+      (cents(col("l_extendedprice")) * (lit(1000L) - permille(col("l_discount")))).as("rev"))
+    val ord = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+    val cust = rd(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val nat = rd(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    val reg = rd(s, dir, "region").select("r_regionkey", "r_name")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("rev")).as("rev_micros"), count(lit(1)).as("n_lines"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Top-3 orders per customer by price (window row_number, the
+    * limit-per-group pattern of reference op P2 generalized). */
+  def qWindowTopN(s: SparkSession, dir: String): DataFrame = {
+    val ord = rd(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    val w = Window.partitionBy("o_custkey").orderBy(col("price_cents").desc, col("o_orderkey"))
+    ord.withColumn("rk", row_number().over(w)).where(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** Hourly tumbling-window aggregation over the events stream table
+    * (batch twin of the Structured Streaming windowed agg). */
+  def qEventsHourly(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "events")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(permille(col("value"))).as("value_permille"))
+      .orderBy("hour", "event_type")
+
+  /** Sessionization: per-user session count with a 30-minute
+    * inactivity gap (lag + cumulative flag — the standard formulation). */
+  def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("tms"), col("event_id"))
+    val w = Window.partitionBy("user_id").orderBy("tms", "event_id")
+    ev.withColumn("prev", lag(col("tms"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev").isNull || col("tms") - col("prev") > 1800000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum(col("new_sess")).as("sessions"), count(lit(1)).as("events"))
+      .orderBy("user_id")
+  }
+
+  // ===================================================================
+  // Training-data pipeline: dedup / similarity / text analysis
+  // ===================================================================
+
+  /** documents ∪ mutated copies (doc_id+100000, first token dropped) —
+    * the deterministic near-duplicate testbed used by the dedup
+    * queries; same construction in the DuckDB oracle. */
+  private def docsPlus(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents").select("doc_id", "text")
+    d.unionAll(d.select((col("doc_id") + 100000).as("doc_id"),
+      expr("substring(text, instr(text, ' ') + 1)").as("text")))
+  }
+
+  /** Exact dedup by content fingerprint — groups with ≥2 members. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(docsPlus(s, dir))
+      .where(col("dup_count") >= 2)
+      .orderBy("fp")
+
+  /** MinHash+LSH candidate pairs (8 hashes, 4 bands × 2 rows). */
+  def dedupMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docsPlus(s, dir), shingleN = 3, numHashes = 8, bands = 4)
+      .orderBy("a_id", "b_id")
+
+  /** Exact 3-gram Jaccard pairs ≥ 0.5 (permille-integer). */
+  def dedupJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsPlus(s, dir), shingleN = 3, minPermille = 500)
+      .orderBy("a_id", "b_id")
+
+  /** SimHash near-dup pairs (16-bit sketch, hamming ≤ 3, 4-bit block
+    * index — no all-pairs join). */
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docsPlus(s, dir), maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
+  /** Embedding near-dup pairs: embeddings ∪ perturbed copies
+    * (vec_id+100000, first component zeroed), sign-LSH bucketed,
+    * exact integer cosine ≥ 0.80 test. */
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val base = rd(s, dir, "embeddings").select(col("vec_id"),
+      VF.signBucket(col("embedding"), 4).as("bucket"),
+      VF.quantize(col("embedding")).as("qv"))
+    val mut = base.select((col("vec_id") + 100000).as("vec_id"), col("bucket"),
+      transform(col("qv"), (x, i) => when(i === 0, lit(0L)).otherwise(x)).as("qv"))
+    val all = base.unionAll(mut).withColumn("nsq", VF.normSqQ(col("qv")))
+    all.as("l").join(all.as("r"),
+        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
+      .withColumn("dot", VF.dotQ(col("l.qv"), col("r.qv")))
+      .where(VF.cosineGePct(col("dot"), col("l.nsq"), col("r.nsq"), 80))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"), col("dot"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** Brute-force top-5 neighbors by exact integer dot product for the
+    * first 8 vectors (the ANN correctness baseline). */
+  def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.where(col("vec_id") < 8), emb, k = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Sign-LSH-bucketed top-5 (the scale path: per-bucket search). */
+  def simTopkLsh(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    Similarity.lshTopK(emb.where(col("vec_id") < 8), emb, k = 5, lshBits = 4)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Per-document text statistics: token counts, stopword/length
+    * ratios (permille/centichar integers), quality bucket. */
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        TF.distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+        TF.stopRatioPermille(col("text")).as("stop_pm"),
+        TF.meanTokenLenCenti(col("text")).as("tok_len_centi"),
+        TF.qualityBucket(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Language-ID heuristic + content fingerprint + simhash sketch. */
+  def textLangId(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").select(col("doc_id"),
+        TF.langIdHeuristic(col("text")).as("lang_pred"),
+        TF.fingerprint(col("text")).as("fp"),
+        TF.simhash16(col("text")).as("simhash"))
+      .orderBy("doc_id")
+
+  // ===================================================================
+  // Extraction pipeline (no SQL oracle — the by-construction golden
+  // corpus is the oracle, enforced by `sbt test` and extract_parity)
+  // ===================================================================
+
+  /** Flagship: extract the deterministic interleaved corpus and emit
+    * one row per output span. */
+  def extractSpans(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = InterleavedTable.VerifyDocs
+    InterleavedTable.generate(s, n)
+      .repartition(s.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val opts = ExtractOptions()
+        it.flatMap(doc => Extractor.extractDoc(doc, opts).doc)
+      }
+      .flatMap(d => d.spans.map(sp => (d.doc_id, sp.order, sp.kind, sp.media_ref, sp.text)))
+      .toDF("doc_id", "ord", "kind", "media_ref", "text")
+      .select(col("doc_id"), col("ord"), col("kind"), col("media_ref"),
+        md5(col("text")).as("text_md5"))
+      .orderBy("doc_id", "ord")
+  }
+
+  /** Span-sequence parity vs the by-construction goldens: one summary
+    * row; docs == matched ⟺ 100% span-sequence equality
+    * (kind, text, media_ref, order). */
+  def extractParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = InterleavedTable.VerifyDocs
+    val got = InterleavedTable.generate(s, n).mapPartitions { it =>
+      val opts = ExtractOptions()
+      it.flatMap(doc => Extractor.extractDoc(doc, opts).doc)
+    }
+    val exp = InterleavedTable.goldens(s, n)
+    got.toDF("doc_id", "spans").as("g")
+      .join(exp.toDF("doc_id", "spans").as("e"), Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (col("g.spans") === col("e.spans")).cast("int").as("ok"))
+      .agg(count(lit(1)).as("docs"), sum(col("ok")).as("matched"))
+  }
+
+  /** Multimodal plumbing: deterministic stub feature extraction over a
+    * synthetic binary media table (see operators.Multimodal). */
+  def mmMediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, nDocs = 200, perDoc = 3))
+      .toDF()
+      .orderBy("doc_id", "media_ref")
+
+  /** name → query. Keys match Oracles.sql keys (rows-only checks for
+    * the extraction/multimodal entries, which SQL cannot express). */
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pdfz_explode" -> (pdfzExplode _),
+    "pdfz_page_window" -> (pdfzPageWindow _),
+    "pdfz_reassemble" -> (pdfzReassemble _),
+    "pdfz_resume_antijoin" -> (pdfzResumeAntijoin _),
+    "pdfz_progress" -> (pdfzProgress _),
+    "pdfz_dispatch" -> (pdfzDispatch _),
+    "pdfz_point_lookup" -> (pdfzPointLookup _),
+    "q1_pricing" -> (q1Pricing _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q5_region_revenue" -> (q5RegionRevenue _),
+    "q_window_topn" -> (qWindowTopN _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "q_events_sessions" -> (qEventsSessions _),
+    "dedup_exact" -> (dedupExact _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_simhash" -> (dedupSimhash _),
+    "dedup_embedding" -> (dedupEmbedding _),
+    "sim_topk_brute" -> (simTopkBrute _),
+    "sim_topk_lsh" -> (simTopkLsh _),
+    "text_stats" -> (textStats _),
+    "text_langid" -> (textLangId _),
+    "extract_spans" -> (extractSpans _),
+    "extract_parity" -> (extractParity _),
+    "mm_media_features" -> (mmMediaFeatures _))
+}
