@@ -11,9 +11,15 @@ import graft.io.TableIO
   * (queue → worker pool → engines → JSON sink → Redis tracker,
   * SURVEY.md §3.1) as ONE Spark query per chunk:
   *
-  *   read input → resume anti-join(lineage) → salted repartition
+  *   read input → resume anti-join(lineage) → [salted repartition]
   *     → mapPartitions(extract) → append output parquet
   *     → commit lineage manifest
+  *
+  * Two physical modes (Config.mode): the default "scan" plan is
+  * map-only — extraction is embarrassingly parallel, so shuffling the
+  * corpus is pure cost; resumability does NOT require it because the
+  * commit unit (bucket = hash(doc_id)) is row-wise. "bucketed" pays
+  * one salted shuffle for bucket-aligned output layout.
   *
   * Scale design (SURVEY.md §4.3):
   *  - bucket = pmod(xxhash64(doc_id), numBuckets): deterministic across
@@ -38,6 +44,20 @@ object ExtractJob {
       chunkBuckets: Int = 0, // 0 = all pending buckets in one action
       maxChunks: Int = Int.MaxValue, // stop after N chunks (incremental / kill simulation)
       attempt: Int = 1,
+      /** "scan" (default): map-only — extraction runs inside the scan
+        * partitions, NO shuffle of corpus bytes, output files carry
+        * `bucket` as a plain column. The lineage/commit protocol is
+        * unchanged (buckets are row-wise hashes, so a successful chunk
+        * action fully covers its buckets regardless of physical
+        * layout). At 10^12 docs this saves shuffling the entire corpus.
+        *
+        * "bucketed": salted repartition on (bucket, salt) before
+        * extraction + partitionBy(bucket) output — pays one full
+        * shuffle to get bucket-aligned output files (downstream
+        * bucket-join locality, per-bucket point-read pruning) and
+        * salt-spread skew. Use when the output table's layout matters
+        * more than extraction throughput. */
+      mode: String = "scan",
       opts: ExtractOptions = ExtractOptions())
 
   final case class JobStats(
@@ -100,12 +120,13 @@ object ExtractJob {
       spark.sparkContext.register(acc, s"${cfg.jobId}-stats-$chunkIdx")
 
       val sub = pending.filter($"bucket".isin(chunk.map(Integer.valueOf): _*))
-      // spread (bucket × salt) combos over tasks; AQE may coalesce
-      val parallelism = math.max(spark.sparkContext.defaultParallelism,
-        math.min(chunk.size * cfg.saltsPerBucket, 4 * spark.sparkContext.defaultParallelism))
-      val repartitioned = sub
-        .repartition(parallelism, $"bucket", $"salt")
-        .as[InRow]
+      // "bucketed": spread (bucket × salt) combos over tasks (AQE may
+      // coalesce); "scan": stay in scan partitions — map-only plan
+      val repartitioned = (if (cfg.mode == "bucketed") {
+        val parallelism = math.max(spark.sparkContext.defaultParallelism,
+          math.min(chunk.size * cfg.saltsPerBucket, 4 * spark.sparkContext.defaultParallelism))
+        sub.repartition(parallelism, $"bucket", $"salt")
+      } else sub).as[InRow]
 
       val extracted: Dataset[OutRow] = repartitioned.mapPartitions { it =>
         val opts = bOpts.value
@@ -121,7 +142,9 @@ object ExtractJob {
       }
 
       // ONE action: the write. Metrics ride the accumulator.
-      extracted.write.mode("append").partitionBy("bucket").parquet(TableIO.dataDir(tableDir))
+      val writer = extracted.write.mode("append")
+      (if (cfg.mode == "bucketed") writer.partitionBy("bucket") else writer)
+        .parquet(TableIO.dataDir(tableDir))
 
       val stats = acc.value
       val now = System.currentTimeMillis()

@@ -62,7 +62,7 @@ object ContentText {
     * ASCII identity over 0x20-0x7E (identical across those encodings
     * for the printable ASCII range, spec Annex D) plus the common
     * WinAnsi high range. */
-  private def baseTable(encoding: String): Array[String] = {
+  private def buildBaseTable(encoding: String): Array[String] = {
     val t = Array.fill[String](256)("")
     (0x20 to 0x7e).foreach(i => t(i) = i.toChar.toString)
     if (encoding == "WinAnsiEncoding") {
@@ -75,6 +75,17 @@ object ContentText {
     }
     t
   }
+
+  // tables are immutable in practice (Differences clones before edit) —
+  // build each once; a fresh 256-String table per page was a measurable
+  // allocation hot spot on multi-thousand-page corpora
+  private val stdTable = buildBaseTable("StandardEncoding")
+  private val winTable = buildBaseTable("WinAnsiEncoding")
+  private def baseTable(encoding: String): Array[String] =
+    if (encoding == "WinAnsiEncoding") winTable else stdTable
+
+  /** Shared default decoder (table is never mutated). */
+  private val stdDecoder = TableDecoder(stdTable)
 
   sealed trait FontDecoder { def decode(bytes: Array[Byte]): String }
 
@@ -201,7 +212,7 @@ object ContentText {
           case _ =>
         }
         TableDecoder(t)
-      case _ => TableDecoder(baseTable("StandardEncoding"))
+      case _ => stdDecoder
     }
   }
 
@@ -242,7 +253,7 @@ object ContentText {
     def decoderFor(name: String): FontDecoder =
       decoders.getOrElseUpdate(name, fontDict.get(name).map(doc.resolve) match {
         case Some(f: PDict) => fontDecoder(doc, f)
-        case _              => TableDecoder(baseTable("StandardEncoding"))
+        case _              => stdDecoder
       })
 
     val toks = new Lexer(content, 0).tokenizeContent()

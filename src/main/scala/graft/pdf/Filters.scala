@@ -1,7 +1,7 @@
 package graft.pdf
 
+import java.io.ByteArrayOutputStream
 import java.util.zip.Inflater
-import scala.collection.mutable.ArrayBuffer
 
 /** Stream filter decoders (ISO 32000-1 §7.4), from scratch on JDK
   * primitives. FlateDecode covers every fixture plus xref/object
@@ -12,23 +12,38 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Filters {
 
+  // Inflater is reused per thread: constructing one per stream costs a
+  // native malloc/free, and the extraction hot path decodes millions of
+  // streams per executor. (Primitive output buffer, no Scala generic
+  // collections — ArrayBuffer[Byte] boxes into Array[AnyRef], 8× the
+  // memory traffic, which measurably collapses >8-thread scaling.)
+  private val localInflater: ThreadLocal[Inflater] =
+    ThreadLocal.withInitial(() => new Inflater())
+  private val localChunk: ThreadLocal[Array[Byte]] =
+    ThreadLocal.withInitial(() => new Array[Byte](16384))
+
   def inflate(data: Array[Byte]): Array[Byte] = {
-    val inf = new Inflater()
+    val inf = localInflater.get()
+    inf.reset()
     try {
       inf.setInput(data)
-      val out = new ArrayBuffer[Byte](data.length * 4 + 64)
-      val chunk = new Array[Byte](8192)
+      val chunk = localChunk.get()
+      // fast path: whole stream fits the scratch buffer in one call
+      val n0 = inf.inflate(chunk)
+      if (inf.finished()) return java.util.Arrays.copyOf(chunk, n0)
+      val out = new ByteArrayOutputStream(math.max(256, data.length * 3))
+      out.write(chunk, 0, n0)
       while (!inf.finished() && !inf.needsDictionary()) {
         val n = inf.inflate(chunk)
         if (n == 0 && inf.needsInput() && !inf.finished())
           throw new PdfParseException("truncated Flate stream")
-        out ++= chunk.take(n)
+        out.write(chunk, 0, n)
       }
-      out.toArray
+      out.toByteArray
     } catch {
       case e: java.util.zip.DataFormatException =>
         throw new PdfParseException(s"bad Flate data: ${e.getMessage}")
-    } finally inf.end()
+    }
   }
 
   /** Undo PNG (10-15) / TIFF (2) predictors (§7.4.4.4). */
@@ -88,7 +103,7 @@ object Filters {
   }
 
   def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte]()
+    val out = new ByteArrayOutputStream(data.length / 2 + 1)
     var hi = -1
     var i = 0
     var done = false
@@ -101,26 +116,26 @@ object Filters {
           else if (c >= 'a' && c <= 'f') c - 'a' + 10
           else if (c >= 'A' && c <= 'F') c - 'A' + 10
           else -1
-        if (v >= 0) { if (hi < 0) hi = v else { out += ((hi << 4) | v).toByte; hi = -1 } }
+        if (v >= 0) { if (hi < 0) hi = v else { out.write((hi << 4) | v); hi = -1 } }
       }
       i += 1
     }
-    if (hi >= 0) out += (hi << 4).toByte
-    out.toArray
+    if (hi >= 0) out.write(hi << 4)
+    out.toByteArray
   }
 
   def ascii85Decode(data: Array[Byte]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte]()
+    val out = new ByteArrayOutputStream(data.length * 4 / 5 + 4)
     var tuple = 0L; var n = 0; var i = 0; var done = false
     while (i < data.length && !done) {
       val c = data(i) & 0xff
       if (c == '~') done = true
-      else if (c == 'z' && n == 0) out ++= Array[Byte](0, 0, 0, 0)
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
       else if (c >= '!' && c <= 'u') {
         tuple = tuple * 85 + (c - '!'); n += 1
         if (n == 5) {
-          out += ((tuple >> 24) & 0xff).toByte; out += ((tuple >> 16) & 0xff).toByte
-          out += ((tuple >> 8) & 0xff).toByte; out += (tuple & 0xff).toByte
+          out.write(((tuple >> 24) & 0xff).toInt); out.write(((tuple >> 16) & 0xff).toInt)
+          out.write(((tuple >> 8) & 0xff).toInt); out.write((tuple & 0xff).toInt)
           tuple = 0; n = 0
         }
       }
@@ -131,28 +146,28 @@ object Filters {
       while (k < 5) { tuple = tuple * 85 + 84; k += 1 }
       val bytes = Array(((tuple >> 24) & 0xff).toByte, ((tuple >> 16) & 0xff).toByte,
         ((tuple >> 8) & 0xff).toByte, (tuple & 0xff).toByte)
-      out ++= bytes.take(n - 1)
+      out.write(bytes, 0, n - 1)
     }
-    out.toArray
+    out.toByteArray
   }
 
   def runLengthDecode(data: Array[Byte]): Array[Byte] = {
-    val out = new ArrayBuffer[Byte]()
+    val out = new ByteArrayOutputStream(data.length * 2)
     var i = 0
     var done = false
     while (i < data.length && !done) {
       val len = data(i) & 0xff
       if (len == 128) done = true
       else if (len < 128) {
-        val n = len + 1
-        out ++= data.slice(i + 1, i + 1 + n)
-        i += 1 + n
+        val n = math.min(len + 1, data.length - i - 1)
+        out.write(data, i + 1, n)
+        i += 1 + (len + 1)
       } else {
-        if (i + 1 < data.length) { val b = data(i + 1); var k = 0; while (k < 257 - len) { out += b; k += 1 } }
+        if (i + 1 < data.length) { val b = data(i + 1) & 0xff; var k = 0; while (k < 257 - len) { out.write(b); k += 1 } }
         i += 2
       }
     }
-    out.toArray
+    out.toByteArray
   }
 
   /** Image filters we pass through as opaque payloads. */

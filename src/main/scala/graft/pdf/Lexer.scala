@@ -1,6 +1,5 @@
 package graft.pdf
 
-import scala.collection.mutable.ArrayBuffer
 
 /** Byte-level PDF lexer/parser (ISO 32000-1 §7.2-7.3), from scratch.
   *
@@ -39,6 +38,15 @@ final class Lexer(val buf: Array[Byte], var pos: Int = 0) {
     sb.toString
   }
 
+  /** Skip ws, consume one keyword token, return its first byte only —
+    * for single-letter keywords (xref 'n'/'f') without a String. */
+  def readKeywordChar(): Int = {
+    skipWs()
+    val c0 = cur
+    while (isRegular(cur)) pos += 1
+    c0
+  }
+
   /** True if the bytes at `pos` match `s` and the match ends at a
     * token boundary (non-regular char or EOF). */
   def peekKeyword(s: String): Boolean = {
@@ -56,28 +64,61 @@ final class Lexer(val buf: Array[Byte], var pos: Int = 0) {
     pos += s.length
   }
 
+  /** Skip ws and parse a bare non-negative integer without boxing —
+    * the xref fast path (two ints per entry over millions of entries). */
+  def parsePrimInt(): Long = {
+    skipWs()
+    var v = 0L
+    var digits = 0
+    while (cur >= '0' && cur <= '9') { v = v * 10 + (cur - '0'); digits += 1; pos += 1 }
+    if (digits == 0) throw new PdfParseException(s"expected integer at $pos")
+    v
+  }
+
   private def parseNumber(): PdfObj = {
     val start = pos
-    if (cur == '+' || cur == '-') pos += 1
-    var isReal = false
-    while (cur >= '0' && cur <= '9') pos += 1
-    if (cur == '.') { isReal = true; pos += 1; while (cur >= '0' && cur <= '9') pos += 1 }
-    val s = new String(buf, start, pos - start, java.nio.charset.StandardCharsets.US_ASCII)
-    if (s.isEmpty || s == "+" || s == "-" || s == ".")
-      throw new PdfParseException(s"bad number at $start")
-    if (isReal) PReal(s.toDouble) else PInt(s.toLong)
+    var neg = false
+    if (cur == '+' || cur == '-') { neg = cur == '-'; pos += 1 }
+    var intPart = 0L
+    var digits = 0
+    while (cur >= '0' && cur <= '9') { intPart = intPart * 10 + (cur - '0'); digits += 1; pos += 1 }
+    if (cur == '.') {
+      // reals go through String.toDouble to keep exact JDK parse semantics
+      pos += 1
+      while (cur >= '0' && cur <= '9') pos += 1
+      val s = new String(buf, start, pos - start, java.nio.charset.StandardCharsets.US_ASCII)
+      if (s == "+." || s == "-." || s == ".")
+        throw new PdfParseException(s"bad number at $start")
+      PReal(s.toDouble)
+    } else {
+      if (digits == 0) throw new PdfParseException(s"bad number at $start")
+      PInt(if (neg) -intPart else intPart)
+    }
   }
 
   private def parseName(): PName = {
     pos += 1 // '/'
-    val sb = new java.lang.StringBuilder
+    val start = pos
+    var hasEscape = false
     while (isRegular(cur)) {
-      if (cur == '#' && hexVal(peek(1)) >= 0 && hexVal(peek(2)) >= 0) {
-        sb.append(((hexVal(peek(1)) << 4) | hexVal(peek(2))).toChar)
-        pos += 3
-      } else { sb.append(cur.toChar); pos += 1 }
+      if (cur == '#' && hexVal(peek(1)) >= 0 && hexVal(peek(2)) >= 0) { hasEscape = true; pos += 3 }
+      else pos += 1
     }
-    PName(sb.toString)
+    if (!hasEscape) {
+      val s = new String(buf, start, pos - start, java.nio.charset.StandardCharsets.US_ASCII)
+      val cached = Lexer.internedNames.get(s)
+      if (cached != null) cached else PName(s)
+    } else {
+      pos = start
+      val sb = new java.lang.StringBuilder
+      while (isRegular(cur)) {
+        if (cur == '#' && hexVal(peek(1)) >= 0 && hexVal(peek(2)) >= 0) {
+          sb.append(((hexVal(peek(1)) << 4) | hexVal(peek(2))).toChar)
+          pos += 3
+        } else { sb.append(cur.toChar); pos += 1 }
+      }
+      PName(sb.toString)
+    }
   }
 
   @inline private def hexVal(c: Int): Int =
@@ -88,7 +129,7 @@ final class Lexer(val buf: Array[Byte], var pos: Int = 0) {
 
   private def parseLiteralString(): PStr = {
     pos += 1 // '('
-    val out = new ArrayBuffer[Byte]()
+    val out = new java.io.ByteArrayOutputStream(32)
     var depth = 1
     while (depth > 0) {
       if (atEnd) throw new PdfParseException("unterminated string")
@@ -97,53 +138,53 @@ final class Lexer(val buf: Array[Byte], var pos: Int = 0) {
         pos += 1
         val e = cur
         e match {
-          case 'n' => out += '\n'.toByte; pos += 1
-          case 'r' => out += '\r'.toByte; pos += 1
-          case 't' => out += '\t'.toByte; pos += 1
-          case 'b' => out += 0x08.toByte; pos += 1
-          case 'f' => out += 0x0c.toByte; pos += 1
-          case '(' => out += '('.toByte; pos += 1
-          case ')' => out += ')'.toByte; pos += 1
-          case '\\' => out += '\\'.toByte; pos += 1
+          case 'n' => out.write('\n'); pos += 1
+          case 'r' => out.write('\r'); pos += 1
+          case 't' => out.write('\t'); pos += 1
+          case 'b' => out.write(0x08); pos += 1
+          case 'f' => out.write(0x0c); pos += 1
+          case '(' => out.write('('); pos += 1
+          case ')' => out.write(')'); pos += 1
+          case '\\' => out.write('\\'); pos += 1
           case 0x0d => pos += 1; if (cur == 0x0a) pos += 1 // line continuation
           case 0x0a => pos += 1
           case d if d >= '0' && d <= '7' =>
             var v = 0; var n = 0
             while (n < 3 && cur >= '0' && cur <= '7') { v = v * 8 + (cur - '0'); pos += 1; n += 1 }
-            out += (v & 0xff).toByte
-          case _ => out += e.toByte; pos += 1 // unknown escape: keep char (spec)
+            out.write(v & 0xff)
+          case _ => out.write(e); pos += 1 // unknown escape: keep char (spec)
         }
-      } else if (c == '(') { depth += 1; out += '('.toByte; pos += 1 }
+      } else if (c == '(') { depth += 1; out.write('('); pos += 1 }
       else if (c == ')') {
         depth -= 1
-        if (depth > 0) out += ')'.toByte
+        if (depth > 0) out.write(')')
         pos += 1
-      } else { out += c.toByte; pos += 1 }
+      } else { out.write(c); pos += 1 }
     }
-    PStr(out.toArray)
+    PStr(out.toByteArray)
   }
 
   private def parseHexString(): PStr = {
     pos += 1 // '<'
-    val out = new ArrayBuffer[Byte]()
+    val out = new java.io.ByteArrayOutputStream(32)
     var hi = -1
     while (cur != '>') {
       if (atEnd) throw new PdfParseException("unterminated hex string")
       val v = hexVal(cur)
       if (v >= 0) {
         if (hi < 0) hi = v
-        else { out += ((hi << 4) | v).toByte; hi = -1 }
+        else { out.write((hi << 4) | v); hi = -1 }
       }
       pos += 1
     }
-    if (hi >= 0) out += (hi << 4).toByte // odd count: pad 0 (§7.3.4.3)
+    if (hi >= 0) out.write(hi << 4) // odd count: pad 0 (§7.3.4.3)
     pos += 1 // '>'
-    PStr(out.toArray)
+    PStr(out.toByteArray)
   }
 
   private def parseDict(): PdfObj = {
     pos += 2 // '<<'
-    var m = Map.empty[String, PdfObj]
+    val m = Map.newBuilder[String, PdfObj] // builder, not += churn
     skipWs()
     while (!(cur == '>' && peek(1) == '>')) {
       if (atEnd) throw new PdfParseException("unterminated dict")
@@ -154,7 +195,7 @@ final class Lexer(val buf: Array[Byte], var pos: Int = 0) {
       skipWs()
     }
     pos += 2
-    PDict(m)
+    PDict(m.result())
   }
 
   private def parseArray(): PArr = {
@@ -233,6 +274,7 @@ final class Lexer(val buf: Array[Byte], var pos: Int = 0) {
               case "true"  => out += PBool(true)
               case "false" => out += PBool(false)
               case "null"  => out += PNull
+              case op if Lexer.internedOps.containsKey(op) => out += Lexer.internedOps.get(op)
               case "BI" =>
                 // skip inline image up to EI at a token boundary
                 var done = false
@@ -252,5 +294,37 @@ final class Lexer(val buf: Array[Byte], var pos: Int = 0) {
       }
     }
     out.result()
+  }
+}
+
+object Lexer {
+  /** Shared PName instances for the names that appear in essentially
+    * every document — avoids a PName + String per dict key/value on
+    * the million-object scan path. */
+  val internedNames: java.util.HashMap[String, PName] = {
+    val m = new java.util.HashMap[String, PName]()
+    Seq(
+      "Type", "Page", "Pages", "Kids", "Contents", "Resources", "Font",
+      "Length", "Filter", "FlateDecode", "DCTDecode", "Root", "Size", "Prev",
+      "Info", "N", "First", "XRef", "ObjStm", "Index", "W", "Subtype",
+      "Image", "XObject", "MediaBox", "CropBox", "Rotate", "Parent", "Count",
+      "Encoding", "BaseEncoding", "Differences", "ToUnicode", "WinAnsiEncoding",
+      "StandardEncoding", "MacRomanEncoding", "Catalog", "DecodeParms", "DP",
+      "Predictor", "Columns", "Colors", "BitsPerComponent", "Width", "Height",
+      "ColorSpace", "DeviceRGB", "DeviceGray", "Name", "BaseFont", "F1", "F2",
+      "F3", "Im0", "Im1", "Im2").foreach(n => m.put(n, PName(n)))
+    m
+  }
+
+  /** Shared POp instances for the frequent content-stream operators. */
+  val internedOps: java.util.HashMap[String, POp] = {
+    val m = new java.util.HashMap[String, POp]()
+    Seq(
+      "BT", "ET", "Tj", "TJ", "Td", "TD", "Tf", "Tm", "TL", "T*", "Tc", "Tw",
+      "Tz", "Ts", "Tr", "'", "\"", "q", "Q", "cm", "re", "f", "W", "n", "S",
+      "s", "g", "G", "rg", "RG", "k", "K", "gs", "Do", "m", "l", "c", "h",
+      "w", "J", "j", "M", "d", "ri", "i", "BDC", "EMC", "BMC", "MP", "DP",
+      "cs", "CS", "sc", "SC", "scn", "SCN").foreach(o => m.put(o, POp(o)))
+    m
   }
 }

@@ -232,18 +232,14 @@ object PdfDocument {
       val entries = mutable.HashMap.empty[Int, XrefEntry]
       lx.skipWs()
       while (!lx.peekKeyword("trailer")) {
-        val start = lx.parseObject().asInt
-          .getOrElse(throw new PdfParseException("bad xref subsection start")).toInt
-        val count = lx.parseObject().asInt
-          .getOrElse(throw new PdfParseException("bad xref subsection count")).toInt
+        val start = lx.parsePrimInt().toInt
+        val count = lx.parsePrimInt().toInt
         var i = 0
         while (i < count) {
-          lx.skipWs()
-          val o = lx.parseObject().asInt.getOrElse(0L).toInt
-          lx.parseObject() // gen
-          lx.skipWs()
-          val kind = lx.readKeyword()
-          if (kind == "n") entries(start + i) = Direct(o)
+          val o = lx.parsePrimInt().toInt
+          lx.parsePrimInt() // gen
+          val kind = lx.readKeywordChar()
+          if (kind == 'n') entries(start + i) = Direct(o)
           i += 1
         }
         lx.skipWs()

@@ -19,7 +19,10 @@ object ExtractCli {
 
   def genCorpus(spark: SparkSession, dir: String, n: Long): Unit = {
     import spark.implicits._
-    val docs = spark.range(0, n, 1, math.max(spark.sparkContext.defaultParallelism, 8))
+    // enough output files that the scan side can parallelize: parquet
+    // files are one row-group here, hence unsplittable below file level
+    val docs = spark.range(0, n, 1,
+      math.max(spark.sparkContext.defaultParallelism * 4, math.min(n / 500, 512)).toInt)
       .mapPartitions(_.map(i => InterleavedGen.docWithGolden(i)))
     docs.persist()
     docs.map(_._1).write.mode("overwrite").parquet(s"$dir/interleaved_docs.parquet")
@@ -40,10 +43,11 @@ object ExtractCli {
         val spark = Sessions.local(cpus, "graft-extract")
         val chunk = rest.headOption.map(_.toInt).getOrElse(0)
         val buckets = rest.drop(1).headOption.map(_.toInt).getOrElse(64)
+        val mode = rest.drop(2).headOption.getOrElse("scan")
         val input = spark.read.parquet(s"$corpus/interleaved_docs.parquet")
         val t0 = System.nanoTime()
         val stats = ExtractJob.run(spark, input, table,
-          ExtractJob.Config(numBuckets = buckets, chunkBuckets = chunk))
+          ExtractJob.Config(numBuckets = buckets, chunkBuckets = chunk, mode = mode))
         val sec = (System.nanoTime() - t0) / 1e9
         println(s"""{"docs":${stats.docs},"spans":${stats.spans},"failed":${stats.failedDocs},""" +
           s""""buckets_done":${stats.bucketsProcessed},"already_committed":${stats.committedBucketsBefore},""" +
