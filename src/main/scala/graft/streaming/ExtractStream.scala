@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+import graft.core.model._
+import graft.engine.Extractor
+
+/** Structured-Streaming face of the engine.
+  *
+  * The reference's RabbitMQ queue (durable, at-least-once, ack-after-
+  * dispatch — /root/reference/extractor/src/controllers/queue_handler.rs:31-54)
+  * maps to a file-stream source over the input table: new parquet files
+  * = new queue messages (SURVEY.md §2 S1). The parquet file sink's own
+  * commit log upgrades the reference's at-least-once to exactly-once
+  * per file, and `checkpointLocation` replaces the Redis pending-state:
+  * a killed stream restarted with the same checkpoint resumes without
+  * re-extracting committed batches — the streaming twin of
+  * [[graft.job.ExtractJob]]'s lineage protocol.
+  */
+object ExtractStream {
+
+  val inputSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("spans", ArrayType(StructType(Seq(
+      StructField("kind", StringType),
+      StructField("text", StringType),
+      StructField("media_ref", StringType),
+      StructField("offset", IntegerType)))))))
+
+  /** The extraction transform, shared by batch and streaming plans —
+    * one typed map-only stage (no shuffle in the streaming plan). */
+  def extract(spark: SparkSession, input: DataFrame,
+      opts: ExtractOptions = ExtractOptions()): Dataset[ExtractedDoc] = {
+    import spark.implicits._
+    input.as[InterleavedDoc].mapPartitions { it =>
+      it.flatMap(d => Extractor.extractDoc(d, opts).doc)
+    }
+  }
+
+  /** Start the streaming extraction: corpusDir (parquet files arriving
+    * over time) → outDir (exactly-once parquet sink). `availableNow`
+    * processes the current backlog then stops — the batch-equivalent
+    * trigger used by tests and catch-up runs. */
+  def run(spark: SparkSession, corpusDir: String, outDir: String,
+      checkpointDir: String, opts: ExtractOptions = ExtractOptions(),
+      maxFilesPerTrigger: Int = 64): StreamingQuery = {
+    val src = spark.readStream
+      .schema(inputSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger) // admission control ≡ Semaphore(5), data-sized
+      .parquet(corpusDir)
+    extract(spark, src, opts).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Running per-bucket progress (docs, spans seen so far) kept in
+    * typed state — the streaming re-expression of the reference's
+    * Redis progress counters (redis.rs:169-178), via
+    * mapGroupsWithState instead of an external KV store. */
+  final case class BucketProgress(bucket: Int, docs: Long, spans: Long)
+
+  def progressStream(spark: SparkSession, extracted: Dataset[ExtractedDoc],
+      numBuckets: Int = 64): Dataset[BucketProgress] = {
+    import spark.implicits._
+    extracted
+      .map(d => (math.floorMod(d.doc_id.hashCode, numBuckets), 1L, d.spans.size.toLong))
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[(Int, Long, Long)], state: GroupState[BucketProgress]) =>
+          val (dAdd, sAdd) = rows.foldLeft((0L, 0L)) { case ((a, b), r) => (a + r._2, b + r._3) }
+          val cur = state.getOption.getOrElse(BucketProgress(bucket, 0L, 0L))
+          val next = BucketProgress(bucket, cur.docs + dAdd, cur.spans + sAdd)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Event-time windowed aggregation with a watermark over the events
+    * stream table — the engine's late-data-tolerant streaming agg
+    * (absent from the reference, which has no time semantics:
+    * SURVEY.md §2.7). */
+  def eventsHourly(spark: SparkSession, eventsDir: String): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(eventsDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+  }
+}

@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+
+class OperatorsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  // ---- text functions -------------------------------------------------
+
+  test("tokenCount / distinct / stopword permille are integer-exact") {
+    val df = docs((1L, "the cat sat on the mat"))
+      .select(
+        TF.tokenCount($"text").as("n"),
+        TF.distinctTokenCount($"text").as("d"),
+        TF.stopRatioPermille($"text").as("s"))
+    val r = df.head()
+    assert(r.getInt(0) == 6)
+    assert(r.getInt(1) == 5) // 'the' twice
+    assert(r.getLong(2) == 333L) // floor(2*1000/6)
+  }
+
+  test("fingerprint is order- and duplication-invariant") {
+    val df = docs((1L, "b a b c"), (2L, "c b a"), (3L, "a b d"))
+      .select($"doc_id", TF.fingerprint($"text").as("fp")).collect()
+    val fp = df.map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+  }
+
+  test("shingles: n-grams with md5, empty below n tokens") {
+    val r = docs((1L, "a b c d"), (2L, "a b"))
+      .select($"doc_id", size(TF.shingles($"text", 3)).as("n")).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r(1L) == 2) // "a b c", "b c d"
+    assert(r(2L) == 0)
+  }
+
+  test("simhash16: deterministic, in range, near for near-duplicate docs") {
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    val near = base.split(" ").drop(1).mkString(" ")
+    val far = "completely different words about spark shuffles and catalyst plans"
+    val r = docs((1L, base), (2L, near), (3L, far), (4L, base))
+      .select($"doc_id", TF.simhash16($"text").as("sh")).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    r.values.foreach(v => assert(v >= 0 && v <= 0xffffL))
+    assert(r(1L) == r(4L)) // deterministic
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(r(1L), r(2L)) < ham(r(1L), r(3L)),
+      s"near doc should be closer: ${ham(r(1L), r(2L))} vs ${ham(r(1L), r(3L))}")
+  }
+
+  test("langId picks the language with most marker hits") {
+    val r = docs(
+      (1L, "the cat is of the house"),
+      (2L, "el gato es de la casa"),
+      (3L, "der hund und die katze"),
+      (4L, "xyz qqq www"))
+      .select($"doc_id", TF.langIdHeuristic($"text").as("l")).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "unknown"))
+  }
+
+  // ---- vector functions ----------------------------------------------
+
+  test("quantized dot / norm / cosine threshold are exact") {
+    val df = Seq((1L, Seq(1.0f, 0.0f, 0.5f)), (2L, Seq(0.5f, 0.5f, 0.25f)))
+      .toDF("vec_id", "embedding")
+    val q = df.select($"vec_id", VF.quantize($"embedding").as("qv"))
+    val a = q.where($"vec_id" === 1).select($"qv").as[Seq[Long]].head()
+    assert(a == Seq(1000L, 0L, 500L))
+    val pair = q.as("l").crossJoin(q.as("r"))
+      .where($"l.vec_id" === 1 && $"r.vec_id" === 2)
+      .select(VF.dotQ($"l.qv", $"r.qv").as("dot"),
+        VF.normSqQ($"l.qv").as("na"), VF.normSqQ($"r.qv").as("nb"))
+      .head()
+    assert(pair.getLong(0) == 1000L * 500 + 500L * 250) // 625000
+    assert(pair.getLong(1) == 1250000L)
+  }
+
+  test("sign-LSH bucket = sign bits of leading dims") {
+    val df = Seq((1L, Seq(1.0f, -1.0f, 1.0f, -1.0f)), (2L, Seq(-0.1f, 0.1f, 0.1f, 0.1f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", VF.signBucket($"embedding", 4).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(df(1L) == (1 + 4)) // dims 1,3 non-negative
+    assert(df(2L) == (2 + 4 + 8))
+  }
+
+  // ---- dedup operators ------------------------------------------------
+
+  test("exactGroups groups identical token-sets and keeps min doc_id") {
+    val d = docs((5L, "x y z"), (9L, "z y x"), (7L, "totally other text"))
+    val g = Dedup.exactGroups(d).where($"dup_count" >= 2).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("keep_id") == 5L)
+    assert(g(0).getAs[Long]("dup_count") == 2L)
+  }
+
+  test("minhashLshPairs finds near-duplicates, not unrelated docs") {
+    val base = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 30).filter(_ != 7).map(i => s"tok$i").mkString(" ")
+    val far = (100 to 130).map(i => s"w$i").mkString(" ")
+    val pairs = Dedup.minhashLshPairs(docs((1L, base), (2L, near), (3L, far)))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngramJaccardPairs computes exact permille jaccard") {
+    // A: shingles of "a b c d e" = {abc, bcd, cde}; B: "a b c d" = {abc, bcd}
+    // J = 2/3 -> 666 permille
+    val pairs = Dedup.ngramJaccardPairs(
+      docs((1L, "a b c d e"), (2L, "a b c d")), shingleN = 3, minPermille = 100)
+      .collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getAs[Long]("jaccard_pm") == 666L)
+  }
+
+  test("simhashPairs finds hamming<=3 pairs via block index") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 40).filter(_ != 3).map(i => s"tok$i").mkString(" ")
+    val pairs = Dedup.simhashPairs(docs((1L, base), (2L, near)), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("embeddingNearDupPairs: identical vectors pair, orthogonal do not") {
+    val e = Seq(
+      (1L, Seq(0.6f, 0.8f, 0.0f, 0.1f)),
+      (2L, Seq(0.6f, 0.8f, 0.0f, 0.1f)),   // same bucket, cos=1
+      (3L, Seq(0.8f, -0.6f, 0.0f, 0.1f))) // different sign pattern
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupPairs(e, tPct = 95, lshBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  // ---- similarity -----------------------------------------------------
+
+  test("bruteForceTopK ranks by integer dot, ties by item id, excludes self") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.5f, 0.5f)), (3L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(e.where($"vec_id" === 0), e, k = 2)
+      .orderBy("rnk").collect()
+    assert(top.map(_.getAs[Long]("item_id")).toSeq == Seq(1L, 2L))
+    assert(top.map(_.getAs[Int]("rnk")).toSeq == Seq(1, 2))
+  }
+
+  test("lshTopK only scores same-bucket items (scale path semantics)") {
+    val e = Seq(
+      (0L, Seq(1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Seq(0.9f, 0.9f, 0.9f, 0.9f)),   // same bucket
+      (2L, Seq(-1.0f, 1.0f, 1.0f, 1.0f)))  // different bucket: excluded
+      .toDF("vec_id", "embedding")
+    val got = Similarity.lshTopK(e.where($"vec_id" === 0), e, k = 5, lshBits = 4)
+      .select("item_id").as[Long].collect().toSet
+    assert(got == Set(1L))
+  }
+
+  // ---- multimodal plumbing -------------------------------------------
+
+  test("multimodal stub features are deterministic and schema-typed") {
+    val media = Multimodal.syntheticMedia(spark, nDocs = 5, perDoc = 2)
+    val f1 = Multimodal.extractFeatures(spark, media).collect()
+      .map(f => (f.doc_id, f.media_ref) -> f).toMap
+    val f2 = Multimodal.extractFeatures(spark, media).collect()
+    assert(f1.size == 10)
+    f2.foreach { f =>
+      val g = f1((f.doc_id, f.media_ref))
+      assert(g == f, "decode must be a pure function of payload")
+      assert(f.width % 16 == 0 && f.height % 16 == 0 && f.phash.length == 16)
+    }
+  }
+}
