@@ -23,13 +23,20 @@ object VectorFunctions {
   def quantize(vec: Column): Column =
     transform(vec, x => round(x.cast("double") * 1000).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
-  def dotQ(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+  /** Exact integer dot product of two quantized vectors — a native
+    * codegen'd [[VectorDotQ]] expression (the zip_with+aggregate
+    * formulation runs on the interpreted HOF path; this is the
+    * candidate-pair inner loop, so it must stay in codegen). */
+  def dotQ(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(VectorDotQ(toExpression(a), toExpression(b)))
+  }
 
   /** Exact integer squared L2 norm of a quantized vector. */
-  def normSqQ(a: Column): Column =
-    aggregate(a, lit(0L), (acc, v) => acc + v * v)
+  def normSqQ(a: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(VectorDotQ(toExpression(a), toExpression(a)))
+  }
 
   /** cos(a,b) ≥ tPct/100, exact. `dot`, `na`, `nb` are the quantized
     * dot and squared norms. */

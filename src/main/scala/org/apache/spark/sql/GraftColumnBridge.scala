@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Column ⇄ catalyst Expression bridge for graft's native expressions.
+  *
+  * Spark 4 moved `Column` to a ColumnNode representation and made the
+  * conversion helpers (`classic.ExpressionUtils`) `private[sql]`; a
+  * library adding custom codegen expressions needs this one-file shim
+  * in the `org.apache.spark.sql` package (the conversion itself is the
+  * supported `classic` path — same thing `functions` does internally).
+  */
+object GraftColumnBridge {
+  def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+  def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+}

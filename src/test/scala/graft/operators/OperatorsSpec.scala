@@ -97,6 +97,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(df(2L) == (2 + 4 + 8))
   }
 
+  test("VectorDotQ native expression: codegen and interpreted paths agree") {
+    import graft.functions.VectorDotQ
+    import org.apache.spark.sql.GraftColumnBridge._
+    val df = Seq((Seq(3L, -2L, 7L), Seq(10L, 4L, 2L))).toDF("a", "b")
+    val expected = 3L * 10 - 2L * 4 + 7L * 2 // 36
+    // codegen path (whole-stage)
+    val viaPlan = df.select(toColumn(VectorDotQ(toExpression($"a"), toExpression($"b"))))
+      .head().getLong(0)
+    assert(viaPlan == expected)
+    // interpreted path (eval)
+    val expr = VectorDotQ(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(3L, -2L, 7L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(Seq(10L, 4L, 2L),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType)))
+    assert(expr.eval(null) == expected)
+    // null propagation
+    val nulled = df.select(toColumn(VectorDotQ(
+      toExpression(lit(null).cast("array<bigint>")), toExpression($"b"))))
+    assert(nulled.head().isNullAt(0))
+  }
+
   // ---- dedup operators ------------------------------------------------
 
   test("exactGroups groups identical token-sets and keeps min doc_id") {

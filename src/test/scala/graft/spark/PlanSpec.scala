@@ -1,0 +1,92 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.model._
+import graft.job.ExtractJob
+
+/** Physical-plan pins — the "would this survive 100×?" properties,
+  * asserted so a regression shows up as a test failure, not a slow
+  * cluster bill:
+  *
+  *  - the scan-mode extraction plan is map-only (no Exchange);
+  *  - dimension joins broadcast (no shuffled fact side);
+  *  - filters and projections reach the parquet scan (PushedFilters /
+  *    pruned ReadSchema);
+  *  - the resume anti-join broadcasts the committed (metadata) side.
+  */
+class PlanSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Sessions.local(4, "graft-plan-spec")
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physical(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan-mode extraction plan has NO shuffle (map-only at any scale)") {
+    import spark.implicits._
+    val input = InterleavedTable.generate(spark, 50).toDF()
+    val withKeys = input
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(64)).cast("int"))
+      .withColumn("salt", pmod(xxhash64(col("doc_id"), lit(7)), lit(8)).cast("int"))
+      .as[ExtractJob.InRow]
+    val extracted = withKeys.mapPartitions(it =>
+      it.flatMap(r => graft.engine.Extractor
+        .extractDoc(InterleavedDoc(r.doc_id, r.spans), ExtractOptions()).doc))
+    val plan = physical(extracted.toDF())
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in map-only plan:\n$plan")
+  }
+
+  test("q3: filtered customer dim is broadcast, fact side not shuffled for the dim join") {
+    val plan = physical(Queries.q3TopOrders(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
+  test("q5: all dimension joins are broadcast") {
+    val plan = physical(Queries.q5RegionRevenue(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 3, s"expected >=3 broadcast dim joins, got $broadcasts:\n$plan")
+  }
+
+  test("resume anti-join broadcasts the committed side") {
+    import spark.implicits._
+    val input = InterleavedTable.generate(spark, 50).toDF()
+      .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(64)).cast("int"))
+    val committed = broadcast((0 to 5).toDF("bucket"))
+    val pending = input.join(committed, Seq("bucket"), "left_anti")
+    val plan = physical(pending)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast left-anti:\n$plan")
+  }
+
+  test("filter + projection are pushed into the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_orderkey") === 42L)
+      .select("l_orderkey", "l_quantity")
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,42)]"),
+      s"filter not pushed:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"columns not pruned:\n$scan")
+  }
+
+  test("point lookup plan prunes to the two needed columns of the corpus") {
+    val df = Queries.pdfzPointLookup(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,doc00000123)]"),
+      s"doc_id filter not pushed:\n$plan")
+  }
+
+  test("whole-stage codegen covers the scalar aggregation pipeline (q1)") {
+    // note: array higher-order functions (textStats) are CodegenFallback
+    // by design in Spark — the codegen pin targets the scalar path
+    val df = Queries.q1Pricing(spark, sf)
+    df.collect() // run THIS plan so AQE finalizes it (count() would plan separately)
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in the final-plan rendering
+    assert(plan.contains("WholeStageCodegen") || plan.contains("*("),
+      s"no codegen span:\n$plan")
+    assert(plan.contains("partial_sum"), s"no map-side partial aggregation:\n$plan")
+  }
+}
