@@ -93,17 +93,20 @@ object TextFunctions {
         i => md5(array_join(slice(toks, i + 1, lit(n)), " "))))
   }
 
-  /** 16-bit SimHash from per-token md5 nibbles. For each token the
-    * first 4 hex chars of md5(token) supply 16 bits; each bit votes
+  /** 32-bit SimHash from per-token md5 prefixes. For each token the
+    * first 8 hex chars of md5(token) supply 32 bits; each bit votes
     * +1/-1; the sketch bit is 1 iff the vote sum is positive. Integer
-    * arithmetic end-to-end → exact DuckDB twin. Returns BIGINT 0..65535. */
-  def simhash16(text: Column): Column = {
-    // per-token 16-bit value = first 4 md5 nibbles (hex→dec via conv;
-    // the DuckDB twin spells it as 4 strpos-nibble terms)
+    * arithmetic end-to-end → exact DuckDB twin. Returns BIGINT in
+    * [0, 2^32). 32 bits (vs 16) makes random same-vocabulary docs
+    * land ≥ 8 bits apart, so a hamming≤3 near-dup test is
+    * discriminative, not noise. */
+  def simhash32(text: Column): Column = {
+    // per-token 32-bit value = first 8 md5 nibbles (hex→dec via conv;
+    // the DuckDB twin spells it as 8 strpos-nibble terms)
     val tokVals = transform(tokens(text),
-      t => conv(substring(md5(t), 1, 4), 16, 10).cast("long"))
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
     // bit b of the sketch: sum over tokens of (2*bit(v,b)-1) > 0
-    (0 until 16).map { b =>
+    (0 until 32).map { b =>
       val votes = aggregate(tokVals, lit(0L),
         (acc, v) => acc + (shiftright(v, b) % 2L) * 2L - 1L)
       when(votes > 0, lit(1L << b)).otherwise(0L)

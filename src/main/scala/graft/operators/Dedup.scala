@@ -81,17 +81,18 @@ object Dedup {
       .select("a_id", "b_id", "jaccard_pm")
   }
 
-  /** Per-doc 16-bit SimHash sketch plus near-dup pairs at Hamming
-    * distance ≤ maxHamming, paired within 4-bit LSH blocks (any pair
+  /** Per-doc 32-bit SimHash sketch plus near-dup pairs at Hamming
+    * distance ≤ maxHamming, paired within 8-bit LSH blocks (any pair
     * with ≤ maxHamming differing bits agrees exactly on at least one
     * of the 4 blocks when maxHamming < 4 — the classic simhash
-    * block-permutation index, no all-pairs join). */
+    * block-permutation index, no all-pairs join; 8-bit keys keep the
+    * candidate count ~n²/256 per block instead of n²/16). */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-block index covers hamming < 4")
-    val sketch = docs.select(col("doc_id"), TF.simhash16(col("text")).as("sh"))
+    val sketch = docs.select(col("doc_id"), TF.simhash32(col("text")).as("sh"))
     val blocks = (0 until 4).map { b =>
       sketch.select(col("doc_id"), col("sh"), lit(b).as("block"),
-        shiftright(col("sh"), b * 4).bitwiseAND(lit(15L)).as("key"))
+        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("key"))
     }.reduce(_ unionAll _)
     blocks.as("l")
       .join(blocks.as("r"),

@@ -39,19 +39,21 @@ object Oracles {
       |   i -> md5(array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS sh
       | FROM docs_plus)""".stripMargin
 
-  /** 16-bit simhash per doc of table `src` (twin of simhash16). */
-  private def simhashCte(src: String) =
+  /** 32-bit simhash per doc of table `src` (twin of simhash32). */
+  private def simhashCte(src: String) = {
+    val nibbles = (0 until 8).map { i =>
+      val shift = math.pow(16, 7 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5(t),${i + 1},1))-1)*${shift}::BIGINT"
+    }.mkString("\n  + ")
     s"""tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM $src),
        |tv AS (SELECT doc_id,
-       |  (strpos('0123456789abcdef', substr(md5(t),1,1))-1)*4096
-       | +(strpos('0123456789abcdef', substr(md5(t),2,1))-1)*256
-       | +(strpos('0123456789abcdef', substr(md5(t),3,1))-1)*16
-       | +(strpos('0123456789abcdef', substr(md5(t),4,1))-1) AS v FROM tok),
+       |  $nibbles AS v FROM tok),
        |bits AS (SELECT doc_id, b, sum(((v >> b) % 2)*2 - 1) AS votes
-       |  FROM tv, range(16) r(b) GROUP BY 1, 2),
+       |  FROM tv, range(32) r(b) GROUP BY 1, 2),
        |shx AS (SELECT doc_id,
        |  CAST(sum(CASE WHEN votes > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sh
        |  FROM bits GROUP BY 1)""".stripMargin
+  }
 
   /** Milliunit-quantized embeddings with sign-LSH bucket (twin of
     * VectorFunctions.quantize/signBucket). */
@@ -219,7 +221,7 @@ object Oracles {
     "dedup_simhash" ->
       s"""WITH $docsPlus, ${simhashCte("docs_plus")},
          |blocks AS (
-         | SELECT doc_id, sh, b AS block, (sh >> (b*4)) & 15 AS key
+         | SELECT doc_id, sh, b AS block, (sh >> (b*8)) & 255 AS key
          | FROM shx, range(4) r(b)),
          |pairs AS (
          | SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,

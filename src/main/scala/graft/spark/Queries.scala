@@ -302,7 +302,7 @@ object Queries {
     rd(s, dir, "documents").select(col("doc_id"),
         TF.langIdHeuristic(col("text")).as("lang_pred"),
         TF.fingerprint(col("text")).as("fp"),
-        TF.simhash16(col("text")).as("simhash"))
+        TF.simhash32(col("text")).as("simhash"))
       .orderBy("doc_id")
 
   // ===================================================================

@@ -46,14 +46,14 @@ class OperatorsSpec extends AnyFunSuite {
     assert(r(2L) == 0)
   }
 
-  test("simhash16: deterministic, in range, near for near-duplicate docs") {
+  test("simhash32: deterministic, in range, near for near-duplicate docs") {
     val base = "the quick brown fox jumps over the lazy dog again and again today"
     val near = base.split(" ").drop(1).mkString(" ")
     val far = "completely different words about spark shuffles and catalyst plans"
     val r = docs((1L, base), (2L, near), (3L, far), (4L, base))
-      .select($"doc_id", TF.simhash16($"text").as("sh")).collect()
+      .select($"doc_id", TF.simhash32($"text").as("sh")).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
-    r.values.foreach(v => assert(v >= 0 && v <= 0xffffL))
+    r.values.foreach(v => assert(v >= 0 && v <= 0xffffffffL))
     assert(r(1L) == r(4L)) // deterministic
     def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
     assert(ham(r(1L), r(2L)) < ham(r(1L), r(3L)),
