@@ -115,4 +115,23 @@ object TextFunctions {
 
   /** Hamming distance between two simhash sketches. */
   def hammingDist(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** BPE-ish token count approximation: alphabetic runs are chunked at
+    * ≤4 chars (subword pieces), digits and punctuation count one each —
+    * the classic cheap stand-in for a real tokenizer's token count.
+    * Regex kept to char classes + bounded quantifiers so the Java and
+    * RE2 (DuckDB) engines agree exactly. */
+  val BpeishPattern = "[A-Za-z]{1,4}|[0-9]|[^A-Za-z0-9 ]"
+  def bpeTokenCountApprox(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
+
+  /** Order-sensitive rolling-hash fingerprint: left fold of
+    * h → (h*31 + charCode) mod (2^31−1) over the characters. Detects
+    * exact duplicates cheaply and, unlike [[fingerprint]], changes when
+    * token ORDER changes. Step-wise modular integer arithmetic →
+    * bit-identical in the DuckDB twin (list_reduce). */
+  def rollingFingerprint(text: Column): Column = {
+    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
+    aggregate(codes, lit(0L), (h, c) => pmod(h * 31L + c, lit(2147483647L)))
+  }
 }

@@ -14,6 +14,11 @@ package graft.spark
   */
 object Oracles {
 
+  /** Regex literals shared verbatim with the Spark side. */
+  private object TextPatterns {
+    val Bpeish: String = graft.functions.TextFunctions.BpeishPattern
+  }
+
   private val IV =
     s"read_parquet('${InterleavedTable.VerifyPath}/*.parquet')"
 
@@ -284,6 +289,16 @@ object Oracles {
         |    + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END)
         |   AS INTEGER) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_tokens_fp" ->
+      s"""SELECT doc_id,
+         | CAST(len(regexp_extract_all(text, '${TextPatterns.Bpeish}')) AS BIGINT) AS bpe_tokens,
+         | md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp_set,
+         | CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |   list_transform(range(length(text)),
+         |     i -> CAST(ascii(substr(text, CAST(i+1 AS INTEGER), 1)) AS BIGINT))),
+         |   (a, b) -> (a*31+b) % 2147483647) AS BIGINT) AS fp_rolling
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> {
       s"""WITH ${simhashCte("documents")},

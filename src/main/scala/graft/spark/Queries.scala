@@ -297,6 +297,15 @@ object Queries {
         TF.qualityBucket(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** BPE-ish token counting + both fingerprint families: set-based md5
+    * (order-invariant) and rolling hash (order-sensitive). */
+  def textTokensFp(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").select(col("doc_id"),
+        TF.bpeTokenCountApprox(col("text")).as("bpe_tokens"),
+        TF.fingerprint(col("text")).as("fp_set"),
+        TF.rollingFingerprint(col("text")).as("fp_rolling"))
+      .orderBy("doc_id")
+
   /** Language-ID heuristic + content fingerprint + simhash sketch. */
   def textLangId(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "documents").select(col("doc_id"),
@@ -377,6 +386,7 @@ object Queries {
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "text_stats" -> (textStats _),
+    "text_tokens_fp" -> (textTokensFp _),
     "text_langid" -> (textLangId _),
     "extract_spans" -> (extractSpans _),
     "extract_parity" -> (extractParity _),

@@ -43,6 +43,17 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bucketed mode ≡ scan mode output; bucketed lays out bucket=N dirs") {
+    val scanT = tmpDir("graft-scan"); val buckT = tmpDir("graft-buck")
+    val in = corpusDf(40)
+    ExtractJob.run(spark, in, scanT, ExtractJob.Config(numBuckets = 8, mode = "scan"))
+    ExtractJob.run(spark, in, buckT, ExtractJob.Config(numBuckets = 8, mode = "bucketed"))
+    assert(readSpans(scanT) == readSpans(buckT))
+    val bucketDirs = new java.io.File(TableIO.dataDir(buckT))
+      .listFiles().count(f => f.isDirectory && f.getName.startsWith("bucket="))
+    assert(bucketDirs == 8, s"expected 8 bucket dirs, got $bucketDirs")
+  }
+
   test("kill after k chunks + resume ≡ single run (resume invariance)") {
     val input = corpusDf(60)
     val cfgBase = ExtractJob.Config(jobId = "resume-test", numBuckets = 16,
