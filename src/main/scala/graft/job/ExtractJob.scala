@@ -58,6 +58,22 @@ object ExtractJob {
         * salt-spread skew. Use when the output table's layout matters
         * more than extraction throughput. */
       mode: String = "scan",
+      /** Giant-document page-chunk fan-out (SURVEY.md §4.3): salting
+        * spreads BUCKETS over tasks, but one 10k-page PDF is a single
+        * row — AQE cannot split a row. When > 0, single-span pdf_bytes
+        * docs of at least this many payload bytes are probed for page
+        * count (xref walk only — content streams stay undecoded),
+        * exploded into `giantChunkPages`-page chunk rows, extracted as
+        * independent page ranges in parallel, and reassembled with one
+        * shuffle of the EXTRACTED text (never the raw bytes twice).
+        * Off (0) by default: it duplicates the payload across chunk
+        * tasks, which only pays off for multi-thousand-page tails —
+        * at production scale the chunk would carry the object-store
+        * media_ref instead of inline bytes. Only applies when opts are
+        * the defaults (page-range semantics of a partial doc compose
+        * only with start=1, count=all). */
+      giantBytesThreshold: Long = 0L,
+      giantChunkPages: Int = 64,
       opts: ExtractOptions = ExtractOptions())
 
   final case class JobStats(
@@ -84,6 +100,10 @@ object ExtractJob {
   /** Extracted row carrying its bucket for partitioned append. */
   final case class OutRow(doc_id: String, spans: Seq[Span], bucket: Int)
   final case class InRow(doc_id: String, spans: Seq[RawSpan], bucket: Int, salt: Int)
+  /** One page-range chunk of a giant document (startPage < 0 marks an
+    * unparseable doc recorded fail-soft). */
+  final case class ChunkRow(doc_id: String, b64: String, startPage: Int,
+      pageLen: Int, bucket: Int)
 
   /** Input must have columns (doc_id string, spans array<struct<kind,
     * text, media_ref, offset>>). Returns run statistics. */
@@ -119,7 +139,18 @@ object ExtractJob {
       val acc = new BucketStatsAcc
       spark.sparkContext.register(acc, s"${cfg.jobId}-stats-$chunkIdx")
 
-      val sub = pending.filter($"bucket".isin(chunk.map(Integer.valueOf): _*))
+      val subAll = pending.filter($"bucket".isin(chunk.map(Integer.valueOf): _*))
+
+      // giant-doc fan-out eligibility (default options only — a page
+      // range of a partial doc composes only with start=1, count=all)
+      val fanOut = cfg.giantBytesThreshold > 0 && cfg.opts == ExtractOptions()
+      val isGiant =
+        aggregate($"spans", lit(0L),
+          (a, s) => a + length(s.getField("text")) + length(s.getField("media_ref"))) >=
+          cfg.giantBytesThreshold &&
+          size($"spans") === 1 && element_at($"spans", 1).getField("kind") === "pdf_bytes"
+      val sub = if (fanOut) subAll.filter(!isGiant) else subAll
+
       // "bucketed": spread (bucket × salt) combos over tasks (AQE may
       // coalesce); "scan": stay in scan partitions — map-only plan
       val repartitioned = (if (cfg.mode == "bucketed") {
@@ -128,7 +159,7 @@ object ExtractJob {
         sub.repartition(parallelism, $"bucket", $"salt")
       } else sub).as[InRow]
 
-      val extracted: Dataset[OutRow] = repartitioned.mapPartitions { it =>
+      val normalOut: Dataset[OutRow] = repartitioned.mapPartitions { it =>
         val opts = bOpts.value
         it.flatMap { row =>
           val res = Extractor.extractDoc(InterleavedDoc(row.doc_id, row.spans), opts)
@@ -139,6 +170,54 @@ object ExtractJob {
             failedDocs = if (res.doc.isEmpty) 1 else 0))
           res.doc.map(d => OutRow(d.doc_id, d.spans, row.bucket))
         }
+      }
+
+      val extracted: Dataset[OutRow] = if (!fanOut) normalOut else {
+        val chunkPages = cfg.giantChunkPages
+        // probe: xref/page-tree walk only (content streams undecoded)
+        val giantChunks = subAll.filter(isGiant).as[InRow].flatMap { row =>
+          val raw = row.spans.head
+          try {
+            val bytes = java.util.Base64.getDecoder.decode(raw.text)
+            val total = graft.pdf.PdfDocument.load(bytes).pageCount
+            (1 to total by chunkPages).map(s =>
+              ChunkRow(row.doc_id, raw.text, s, math.min(chunkPages, total - s + 1), row.bucket))
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              Seq(ChunkRow(row.doc_id, raw.text, -1, 0, row.bucket))
+          }
+        }
+        // spread chunk rows over tasks (this duplicates the payload —
+        // the price of splitting one row's work; see Config scaladoc)
+        val giantSpans = giantChunks
+          .repartition(spark.sparkContext.defaultParallelism)
+          .mapPartitions { it =>
+            it.flatMap { c =>
+              val first = c.startPage <= 1
+              if (c.startPage < 0) {
+                acc.add(c.bucket -> BucketStats(1, 0, c.b64.length.toLong, 1))
+                Iterator.empty
+              } else {
+                val res = Extractor.extractDoc(
+                  InterleavedDoc(c.doc_id, Seq(RawSpan("pdf_bytes", c.b64, "", 0))),
+                  ExtractOptions(startPage = c.startPage, pageCount = c.pageLen,
+                    parityStartOffByOne = false))
+                acc.add(c.bucket -> BucketStats(
+                  docCount = if (first) 1 else 0,
+                  spanCount = res.spanCount,
+                  bytesIn = if (first) c.b64.length.toLong else 0L,
+                  failedDocs = if (first && res.doc.isEmpty) 1 else 0))
+                res.doc.iterator.flatMap(d => d.spans.map(sp =>
+                  (c.doc_id, sp.copy(order = sp.order + c.startPage - 1), c.bucket)))
+              }
+            }
+          }
+        // reassemble: ONE shuffle of the extracted text, grouped per doc
+        val giantOut = giantSpans
+          .groupByKey(t => (t._1, t._3))
+          .mapGroups((key: (String, Int), it: Iterator[(String, Span, Int)]) =>
+            OutRow(key._1, it.map(_._2).toVector.sortBy(_.order), key._2))
+        normalOut.unionAll(giantOut)
       }
 
       // ONE action: the write. Metrics ride the accumulator.

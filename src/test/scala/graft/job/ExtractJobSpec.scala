@@ -54,6 +54,32 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bucketDirs == 8, s"expected 8 bucket dirs, got $bucketDirs")
   }
 
+  test("giant-doc page-chunk fan-out ≡ direct extraction (skew path, SURVEY §4.3)") {
+    import spark.implicits._
+    // 500-page huge PDF + normal docs + a corrupt giant
+    val hugeTexts = (1 to 500).map(p => s"huge page $p")
+    val huge = InterleavedDoc("doc_huge",
+      Seq(RawSpan("pdf_bytes",
+        InterleavedGen.b64(graft.pdf.PdfBuilder.simple(
+          hugeTexts.map(t => graft.pdf.PdfBuilder.tjLine(t)), flate = true)), "", 0)))
+    val corruptGiant = InterleavedDoc("doc_bad",
+      Seq(RawSpan("pdf_bytes", InterleavedGen.b64(
+        Array.fill[Byte](5000)('x'.toByte)), "", 0)))
+    val normals = (0L until 20L).map(i => InterleavedGen.docWithGolden(i)._1)
+    val input = spark.createDataset(normals :+ huge :+ corruptGiant).toDF()
+
+    val direct = tmpDir("graft-direct"); val fanned = tmpDir("graft-fanout")
+    val s1 = ExtractJob.run(spark, input, direct, ExtractJob.Config(numBuckets = 8))
+    val s2 = ExtractJob.run(spark, input, fanned, ExtractJob.Config(numBuckets = 8,
+      giantBytesThreshold = 2000, giantChunkPages = 32))
+    assert(readSpans(direct) == readSpans(fanned))
+    assert(s1.docs == s2.docs && s1.spans == s2.spans)
+    assert(s2.failedDocs == 1) // the corrupt giant, fail-soft
+    val hugeSpans = readSpans(fanned)("doc_huge")
+    assert(hugeSpans.map(_.text) == hugeTexts)
+    assert(hugeSpans.map(_.order) == (0 until 500))
+  }
+
   test("kill after k chunks + resume ≡ single run (resume invariance)") {
     val input = corpusDf(60)
     val cfgBase = ExtractJob.Config(jobId = "resume-test", numBuckets = 16,
