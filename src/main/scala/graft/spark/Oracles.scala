@@ -188,6 +188,35 @@ object Oracles {
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS sessions, count(*) AS events
         |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | count(*) AS n,
+        | CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_setops" ->
+      """SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
+        |EXCEPT
+        |SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        |ORDER BY o_custkey""".stripMargin,
+
+    "q_above_group_avg" ->
+      """WITH w AS (SELECT o_orderkey, o_orderpriority,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents,
+        |  CAST(SUM(CAST(round(o_totalprice*100) AS BIGINT))
+        |    OVER (PARTITION BY o_orderpriority) AS BIGINT) AS grp_total,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS grp_n
+        | FROM orders)
+        |SELECT o_orderkey, o_orderpriority, price_cents FROM w
+        |WHERE price_cents * grp_n > grp_total ORDER BY o_orderkey""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // ---- dedup / similarity / text analysis
     "dedup_exact" ->
       s"""WITH $docsPlus

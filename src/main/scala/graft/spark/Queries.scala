@@ -218,6 +218,50 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Hierarchical totals via ROLLUP (absent from the reference —
+    * SURVEY.md §2.7 — present here for analytic completeness). */
+  def qRollup(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Set operation: customers active before 1996 EXCEPT those still
+    * active after 2000 (churned-customer detection shape). */
+  def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val ord = rd(s, dir, "orders")
+    val early = ord.where(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    val late = ord.where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+    early.except(late).orderBy("o_custkey")
+  }
+
+  /** Orders priced above their priority group's average — the
+    * correlated-scalar-subquery shape, decorrelated as a window
+    * (integer-exact: price·n > group total avoids float averages). */
+  def qAboveGroupAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+    rd(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"), cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("grp_total", sum(col("price_cents")).over(w))
+      .withColumn("grp_n", count(lit(1)).over(w))
+      .where(col("price_cents") * col("grp_n") > col("grp_total"))
+      .select("o_orderkey", "o_orderpriority", "price_cents")
+      .orderBy("o_orderkey")
+  }
+
+  /** Semi-structured extraction: JSON props column → typed field,
+    * aggregated per event type. */
+  def qEventsJson(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "events")
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
   // ===================================================================
   // Training-data pipeline: dedup / similarity / text analysis
   // ===================================================================
@@ -378,6 +422,10 @@ object Queries {
     "q_window_topn" -> (qWindowTopN _),
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sessions" -> (qEventsSessions _),
+    "q_rollup" -> (qRollup _),
+    "q_setops" -> (qSetOps _),
+    "q_above_group_avg" -> (qAboveGroupAvg _),
+    "q_events_json" -> (qEventsJson _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_jaccard" -> (dedupJaccard _),
