@@ -44,8 +44,8 @@ final class PdfDocument private (
   private def trimToLength(s: PStream): Array[Byte] = {
     val len = resolve(s.dict.get("Length").getOrElse(PNull)).asInt.map(_.toInt)
     len match {
-      case Some(l) if l >= 0 && l <= s.raw.length => s.raw.take(l)
-      case _ => s.raw
+      case Some(l) if l >= 0 && l < s.raw.length => s.raw.take(l)
+      case _ => s.raw // exact length (the common case): no copy
     }
   }
 
