@@ -119,6 +119,12 @@ class OperatorsSpec extends AnyFunSuite {
     assert(nulled.head().isNullAt(0))
   }
 
+  test("dot_q is registered for SQL use") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Seq(2L, 3L), Seq(4L, 5L))).toDF("a", "b").createOrReplaceTempView("vecs")
+    assert(spark.sql("SELECT dot_q(a, b) FROM vecs").head().getLong(0) == 23L)
+  }
+
   // ---- dedup operators ------------------------------------------------
 
   test("exactGroups groups identical token-sets and keeps min doc_id") {
