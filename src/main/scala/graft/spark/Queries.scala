@@ -399,6 +399,28 @@ object Queries {
       .agg(count(lit(1)).as("docs"), sum(col("ok")).as("matched"))
   }
 
+  /** Streaming face, driven to completion as a batch check: the corpus
+    * is staged as a file stream, extracted by the Structured Streaming
+    * pipeline (exactly-once parquet sink + checkpoint), and the sink is
+    * compared against the by-construction goldens. One summary row;
+    * docs == matched ⟺ streaming output is span-sequence-equal. */
+  def streamExtractParity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 200
+    val base = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
+    InterleavedTable.generate(s, n).repartition(4)
+      .write.mode("overwrite").parquet(s"$base/corpus")
+    graft.streaming.ExtractStream
+      .run(s, s"$base/corpus", s"$base/out", s"$base/ck")
+      .awaitTermination()
+    val got = s.read.parquet(s"$base/out").as[ExtractedDoc]
+    val exp = InterleavedTable.goldens(s, n)
+    got.toDF("doc_id", "spans").as("g")
+      .join(exp.toDF("doc_id", "spans").as("e"), Seq("doc_id"), "full_outer")
+      .select((col("g.spans") === col("e.spans")).cast("int").as("ok"))
+      .agg(count(lit(1)).as("docs"), sum(col("ok")).as("matched"))
+  }
+
   /** Multimodal plumbing: deterministic stub feature extraction over a
     * synthetic binary media table (see operators.Multimodal). */
   def mmMediaFeatures(s: SparkSession, dir: String): DataFrame =
@@ -438,5 +460,6 @@ object Queries {
     "text_langid" -> (textLangId _),
     "extract_spans" -> (extractSpans _),
     "extract_parity" -> (extractParity _),
+    "stream_extract_parity" -> (streamExtractParity _),
     "mm_media_features" -> (mmMediaFeatures _))
 }
