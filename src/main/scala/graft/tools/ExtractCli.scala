@@ -68,7 +68,10 @@ object ExtractCli {
       case "verify" :: corpus :: table :: Nil =>
         val spark = Sessions.local(cpus, "graft-verify")
         import spark.implicits._
-        val got = spark.read.parquet(graft.io.TableIO.dataDir(table)).as[ExtractJob.OutRow]
+        // batch writer adds a bucket column; the streaming sink doesn't —
+        // compare on the common (doc_id, spans) contract
+        val got = spark.read.parquet(graft.io.TableIO.dataDir(table))
+          .select("doc_id", "spans").as[ExtractedDoc]
           .map(r => (r.doc_id, r.spans.map(s => (s.kind, s.text, s.media_ref, s.order)).sortBy(_._4)))
         val exp = spark.read.parquet(s"$corpus/expected_docs.parquet").as[ExtractedDoc]
           .map(d => (d.doc_id, d.spans.map(s => (s.kind, s.text, s.media_ref, s.order)).sortBy(_._4)))
@@ -84,6 +87,18 @@ object ExtractCli {
         spark.stop()
         if (bad > 0) sys.exit(1)
 
+      case "stream" :: corpus :: table :: rest =>
+        val spark = Sessions.local(cpus, "graft-stream")
+        val ck = rest.headOption.getOrElse(s"$table/_checkpoint")
+        val t0 = System.nanoTime()
+        graft.streaming.ExtractStream
+          .run(spark, s"$corpus/interleaved_docs.parquet", s"$table/data", ck)
+          .awaitTermination()
+        val docs = spark.read.parquet(s"$table/data").count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"""{"docs":$docs,"sec":$sec%.2f,"checkpoint":"$ck"}""")
+        spark.stop()
+
       case "progress" :: table :: rest =>
         val spark = Sessions.local(cpus, "graft-progress")
         val jobId = rest.headOption.getOrElse("extract")
@@ -92,7 +107,8 @@ object ExtractCli {
         spark.stop()
 
       case _ =>
-        System.err.println("usage: ExtractCli gen <dir> <n> | run <corpus> <table> [chunk] [buckets] | " +
+        System.err.println("usage: ExtractCli gen <dir> <n> | run <corpus> <table> [chunk] [buckets] [scan|bucketed] | " +
+          "stream <corpus> <table> [checkpointDir] | " +
           "show <table> <doc_id> | verify <corpus> <table> | progress <table> [jobId] [buckets]")
         sys.exit(2)
     }
