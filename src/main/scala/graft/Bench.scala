@@ -50,6 +50,17 @@ object Bench {
     (1 to reps).map(i => once(s"timed-$p-$i")).maxBy(_._1)
   }
 
+  /** (total jiffies, steal jiffies) from /proc/stat — the bench runs on
+    * a shared host; reporting steal% makes a contaminated round visible
+    * instead of silently mis-grading throughput. */
+  private def cpuStat(): (Long, Long) = {
+    try {
+      val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = l.trim.split("\\s+").drop(1).map(_.toLong)
+      (f.sum, if (f.length > 7) f(7) else 0L)
+    } catch { case _: Throwable => (0L, 0L) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -70,6 +81,8 @@ object Bench {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
     }
 
+    val stat0 = cpuStat()
+
     // --- extraction throughput at three parallelism levels: the
     // N→4N pairs (2→8, 8→32) bracket the single-box bandwidth ceiling
     val levels = Seq(2, 8, 32)
@@ -83,6 +96,9 @@ object Bench {
     val d2 = rateByLevel(2); val d8 = rateByLevel(8); val d32 = rateByLevel(32)
     val eff28 = (d8 / d2) / 4.0
     val eff = (d32 / d8) / 4.0
+    val stat1 = cpuStat()
+    val stealPct =
+      if (stat1._1 > stat0._1) 100.0 * (stat1._2 - stat0._2) / (stat1._1 - stat0._1) else 0.0
 
     // --- headline analytic queries (timed at full parallelism)
     val spark = Sessions.local(cpus, "graft-bench-queries")
@@ -106,6 +122,7 @@ object Bench {
         f""""queries":$qs,"sf":"$sfDir","extract":{"docs":$nDocs,""" +
         f""""docs_per_sec_2":$d2%.1f,"docs_per_sec_8":$d8%.1f,"docs_per_sec_32":$d32%.1f,""" +
         f""""scaling_efficiency_2_8":$eff28%.3f,"scaling_efficiency_8_32":$eff%.3f,""" +
+        f""""host_steal_pct":$stealPct%.2f,""" +
         f""""protocol":"N vs 4N as local[2] vs local[8] and local[8] vs local[32]; best of warmed runs (tmpfs sink), identical input"}}""")
   }
 }
