@@ -38,24 +38,48 @@ object Dedup {
     * a_id < b_id, distinct. */
   def minhashLshPairs(docs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val rowsPerBand = numHashes / bands
-    val sh = docs
-      .select(col("doc_id"), explode(TF.shingles(col("text"), shingleN)).as("sh"))
-    // minhash k = min md5("k:" ++ shingle); string min is portable
-    val aggs = (0 until numHashes).map(k =>
-      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
-    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    // band signature = md5 of its concatenated rows
-    val banded = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("sig"))
-    }.reduce(_ unionAll _)
+    val banded = bandedSignatures(docs, shingleN, numHashes, bands)
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
         col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** (doc_id, band, sig) rows shared by the LSH variants: `numHashes`
+    * minhash values (hash k = min over shingles of md5(k:shingle) —
+    * md5-string min is engine-portable) in `bands` bands. */
+  private def bandedSignatures(docs: DataFrame, shingleN: Int,
+      numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sh = docs
+      .select(col("doc_id"), explode(TF.shingles(col("text"), shingleN)).as("sh"))
+    val aggs = (0 until numHashes).map(k =>
+      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
+    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    // band signature = md5 of its concatenated rows
+    (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k"))
+      sigs.select(col("doc_id"), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("sig"))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Linear-output variant of [[minhashLshPairs]]: each doc pairs with
+    * its bucket's CANONICAL (minimum) doc_id instead of every other
+    * member. All-pairs output is quadratic in duplicate-cluster size —
+    * a 10k-member cluster emits 5·10^7 pairs per band — while the star
+    * form stays linear and still connects every cluster for the
+    * downstream union-find/keep-min pass. This is the 10^12-doc path;
+    * [[minhashLshPairs]] remains for pairwise-similarity consumers. */
+  def minhashLshStarPairs(docs: DataFrame, shingleN: Int = 3,
+      numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    val banded = bandedSignatures(docs, shingleN, numHashes, bands)
+    val canon = banded.groupBy("band", "sig").agg(min("doc_id").as("canon"))
+    banded.join(canon, Seq("band", "sig"))
+      .where(col("doc_id") =!= col("canon"))
+      .select(col("canon").as("a_id"), col("doc_id").as("b_id"))
       .distinct()
   }
 

@@ -238,6 +238,21 @@ object Oracles {
          |ORDER BY a_id, b_id""".stripMargin
     },
 
+    "dedup_minhash_star" -> {
+      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sigs")
+        .mkString("\n UNION ALL ")
+      s"""WITH $docsPlus, $sh3,
+         |sigs AS (SELECT doc_id, $mins FROM sh3 GROUP BY doc_id),
+         |banded AS ($bands),
+         |canon AS (SELECT band, sig, min(doc_id) AS canon FROM banded GROUP BY 1, 2)
+         |SELECT DISTINCT c.canon AS a_id, b.doc_id AS b_id
+         |FROM banded b JOIN canon c USING (band, sig)
+         |WHERE b.doc_id <> c.canon
+         |ORDER BY a_id, b_id""".stripMargin
+    },
+
     "dedup_jaccard" ->
       s"""WITH $docsPlus, $sh3,
          |shd AS (SELECT DISTINCT doc_id, sh FROM sh3),

@@ -286,6 +286,12 @@ object Queries {
     Dedup.minhashLshPairs(docsPlus(s, dir), shingleN = 3, numHashes = 8, bands = 4)
       .orderBy("a_id", "b_id")
 
+  /** Linear star-pairs LSH variant (the 10^12-doc path — all-pairs
+    * output is quadratic in duplicate-cluster size). */
+  def dedupMinhashStar(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshStarPairs(docsPlus(s, dir), shingleN = 3, numHashes = 8, bands = 4)
+      .orderBy("a_id", "b_id")
+
   /** Exact 3-gram Jaccard pairs ≥ 0.5 (permille-integer). */
   def dedupJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccardPairs(docsPlus(s, dir), shingleN = 3, minPermille = 500)
@@ -450,6 +456,7 @@ object Queries {
     "q_events_json" -> (qEventsJson _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_minhash_star" -> (dedupMinhashStar _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
