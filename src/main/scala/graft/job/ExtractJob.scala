@@ -39,6 +39,11 @@ object ExtractJob {
 
   final case class Config(
       jobId: String = "extract",
+      /** Commit/resume granularity: a killed job re-extracts at most
+        * the uncommitted buckets of the running chunk. 64 suits tests;
+        * at 10^12 docs size this O(10^4-10^5) so one bucket is minutes
+        * of work, not days (buckets are hash-assigned, so raising it
+        * only changes manifest row counts — still metadata-scale). */
       numBuckets: Int = 64,
       saltsPerBucket: Int = 8,
       chunkBuckets: Int = 0, // 0 = all pending buckets in one action

@@ -9,6 +9,12 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   * deterministic output (stable ordering keys, integer/string-exact
   * values) so the driver's DuckDB oracle can hash-compare it.
   *
+  * Algorithms are the published standards, re-expressed relationally:
+  * MinHash resemblance sketches (Broder, SEQUENCES 1997) with LSH
+  * banding (Leskovec/Rajaraman/Ullman, MMDS ch.3), SimHash with the
+  * block-permutation index (Charikar, STOC 2002; Manku et al., WWW
+  * 2007), sign-random-projection LSH for cosine (Charikar 2002).
+  *
   * Scale notes (the 100 TB plan, not just the sf0.01 test):
   *  - exact dedup is one hash-aggregate — a single shuffle on the
   *    fingerprint, map-side partial aggregation applies;
@@ -110,7 +116,10 @@ object Dedup {
     * with ≤ maxHamming differing bits agrees exactly on at least one
     * of the 4 blocks when maxHamming < 4 — the classic simhash
     * block-permutation index, no all-pairs join; 8-bit keys keep the
-    * candidate count ~n²/256 per block instead of n²/16). */
+    * candidate count ~n²/256 per block instead of n²/16). For corpora
+    * with giant duplicate clusters, apply the star-pairs pattern of
+    * [[minhashLshStarPairs]] here too (pair members with the block
+    * bucket's canonical doc) to keep output linear. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-block index covers hamming < 4")
     val sketch = docs.select(col("doc_id"), TF.simhash32(col("text")).as("sh"))
