@@ -252,6 +252,37 @@ object ExtractJob {
   def readDoc(spark: SparkSession, tableDir: String, docId: String): DataFrame =
     spark.read.parquet(TableIO.dataDir(tableDir)).where(col("doc_id") === lit(docId))
 
+  /** The reference's exact result-JSON shape for one document —
+    * `serde_json::to_string_pretty(Vec<PageExtractInfo>)` as written by
+    * save_processed_json (/root/reference/extractor/src/helper/
+    * file_helper.rs:55-77): 2-space indent, `"key": value`, one text
+    * span per page in ascending order, field order (page_num, text).
+    * This is the compat view of `GET /content/:id`. page_num is the
+    * 1-based rank (≡ the PDF page number under the default full-doc
+    * options this pipeline runs with; a range-extracted doc in the
+    * reference would carry original page numbers, which the span model
+    * intentionally normalizes away — SURVEY.md §2.6.8). */
+  def readDocJson(spark: SparkSession, tableDir: String, docId: String): Option[String] = {
+    import spark.implicits._
+    val rows = readDoc(spark, tableDir, docId)
+      .select("doc_id", "spans").as[ExtractedDoc].collect()
+    rows.headOption.map { d =>
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"; case '\r' => "\\r"; case '\t' => "\\t"
+        case '\b' => "\\b"; case '\f' => "\\f"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val pages = d.spans.filter(_.kind == "text").sortBy(_.order)
+      if (pages.isEmpty) "[]"
+      else pages.zipWithIndex.map { case (sp, i) =>
+        s"""  {\n    "page_num": ${i + 1},\n    "text": "${esc(sp.text)}"\n  }"""
+      }.mkString("[\n", ",\n", "\n]")
+    }
+  }
+
   /** Progress view ≡ `GET /progress/:id` (server.ts:157-180): derived
     * from the lineage table, a metadata-scale aggregation. */
   def progress(spark: SparkSession, tableDir: String, jobId: String, totalBuckets: Int): DataFrame = {

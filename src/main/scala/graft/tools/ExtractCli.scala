@@ -87,6 +87,13 @@ object ExtractCli {
         spark.stop()
         if (bad > 0) sys.exit(1)
 
+      case "json" :: table :: docId :: Nil =>
+        val spark = Sessions.local(cpus, "graft-json")
+        ExtractJob.readDocJson(spark, table, docId) match {
+          case Some(j) => println(j); spark.stop()
+          case None => System.err.println(s"doc '$docId' not found"); spark.stop(); sys.exit(1)
+        }
+
       case "stream" :: corpus :: table :: rest =>
         val spark = Sessions.local(cpus, "graft-stream")
         val ck = rest.headOption.getOrElse(s"$table/_checkpoint")

@@ -128,6 +128,21 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(0) == 50)
   }
 
+  test("readDocJson emits the reference's serde_json pretty format (file_helper.rs:55-77)") {
+    val table = tmpDir("graft-json")
+    import spark.implicits._
+    val in = spark.createDataset(Seq(InterleavedDoc("d1", Seq(
+      RawSpan("text", "Hello \"pdfz\"\nworld", "", 0),
+      RawSpan("media", "", "m.png", 1),
+      RawSpan("text", "page two", "", 2))))).toDF()
+    ExtractJob.run(spark, in, table, ExtractJob.Config(numBuckets = 2))
+    val expected =
+      "[\n  {\n    \"page_num\": 1,\n    \"text\": \"Hello \\\"pdfz\\\"\\nworld\"\n  },\n" +
+        "  {\n    \"page_num\": 2,\n    \"text\": \"page two\"\n  }\n]"
+    assert(ExtractJob.readDocJson(spark, table, "d1").contains(expected))
+    assert(ExtractJob.readDocJson(spark, table, "nope").isEmpty)
+  }
+
   test("point read returns one doc, partition-pruned") {
     val table = tmpDir("graft-point")
     ExtractJob.run(spark, corpusDf(20), table, ExtractJob.Config(numBuckets = 8))
