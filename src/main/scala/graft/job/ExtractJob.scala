@@ -1,6 +1,6 @@
 package graft.job
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.AccumulatorV2
 import graft.core.model._
@@ -104,7 +104,14 @@ object ExtractJob {
 
   /** Extracted row carrying its bucket for partitioned append. */
   final case class OutRow(doc_id: String, spans: Seq[Span], bucket: Int)
-  final case class InRow(doc_id: String, spans: Seq[RawSpan], bucket: Int, salt: Int)
+  final case class InRow(doc_id: String, spans: Seq[RawSpan], bucket: Int, salt: Int,
+      start_page: Int, page_count: Int, engine: String, model: Option[String])
+
+  /** Per-document option columns (the reference's NewFileProcessQueue
+    * carries options PER FILE, worker.rs:4-11). If the input table has
+    * any of these columns they override the job-level defaults row by
+    * row; missing columns fall back to cfg.opts. */
+  val OptionColumns: Seq[String] = Seq("start_page", "page_count", "engine", "model")
   /** One page-range chunk of a giant document (startPage < 0 marks an
     * unparseable doc recorded fail-soft). */
   final case class ChunkRow(doc_id: String, b64: String, startPage: Int,
@@ -120,10 +127,20 @@ object ExtractJob {
     if (pendingBuckets.isEmpty)
       return JobStats(committed.size, 0, 0, 0, 0, 0)
 
+    // per-doc option columns (if present) override job defaults row-wise
+    val hasPerDocOpts = input.columns.exists(OptionColumns.contains)
+    def optCol(name: String, default: Column): Column =
+      if (input.columns.contains(name)) coalesce(col(name), default) else default
+
     // deterministic bucket/salt assignment (SURVEY.md §7.4.3: derived
     // purely from doc_id, never from partition index)
     val withKeys = input
-      .select($"doc_id", $"spans")
+      .select(col("doc_id"), col("spans"),
+        optCol("start_page", lit(cfg.opts.startPage)).cast("int").as("start_page"),
+        optCol("page_count", lit(cfg.opts.pageCount)).cast("int").as("page_count"),
+        optCol("engine", lit(cfg.opts.engine)).cast("string").as("engine"),
+        (if (input.columns.contains("model")) col("model").cast("string")
+         else lit(cfg.opts.ocrModel.orNull).cast("string")).as("model"))
       .withColumn("bucket", pmod(xxhash64($"doc_id"), lit(cfg.numBuckets)).cast("int"))
       .withColumn("salt", pmod(xxhash64($"doc_id", lit(7)), lit(cfg.saltsPerBucket)).cast("int"))
 
@@ -148,7 +165,7 @@ object ExtractJob {
 
       // giant-doc fan-out eligibility (default options only — a page
       // range of a partial doc composes only with start=1, count=all)
-      val fanOut = cfg.giantBytesThreshold > 0 && cfg.opts == ExtractOptions()
+      val fanOut = cfg.giantBytesThreshold > 0 && cfg.opts == ExtractOptions() && !hasPerDocOpts
       val isGiant =
         aggregate($"spans", lit(0L),
           (a, s) => a + length(s.getField("text")) + length(s.getField("media_ref"))) >=
@@ -165,8 +182,10 @@ object ExtractJob {
       } else sub).as[InRow]
 
       val normalOut: Dataset[OutRow] = repartitioned.mapPartitions { it =>
-        val opts = bOpts.value
+        val base = bOpts.value
         it.flatMap { row =>
+          val opts = ExtractOptions(row.start_page, row.page_count, row.engine,
+            row.model.filter(_.nonEmpty), base.parityStartOffByOne)
           val res = Extractor.extractDoc(InterleavedDoc(row.doc_id, row.spans), opts)
           acc.add(row.bucket -> BucketStats(
             docCount = 1,

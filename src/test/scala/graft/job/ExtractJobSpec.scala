@@ -128,6 +128,27 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(0) == 50)
   }
 
+  test("per-doc option columns override job defaults row-wise (NewFileProcessQueue fidelity)") {
+    import spark.implicits._
+    def pdfDoc(id: String, pages: Int) = {
+      val pdf = graft.pdf.PdfBuilder.simple(
+        (1 to pages).map(p => graft.pdf.PdfBuilder.tjLine(s"$id page $p")))
+      (id, Seq(RawSpan("pdf_bytes", InterleavedGen.b64(pdf), "", 0)))
+    }
+    val rows = Seq(
+      pdfDoc("ranged", 10) match { case (id, sp) => (id, sp, Some(3), Some(2), None: Option[String]) },
+      pdfDoc("full", 4) match { case (id, sp) => (id, sp, None, None, None) },
+      pdfDoc("badengine", 2) match { case (id, sp) => (id, sp, None, None, Some("nope")) })
+    val input = rows.toDF("doc_id", "spans", "start_page", "page_count", "engine")
+    val table = tmpDir("graft-perdoc")
+    val stats = ExtractJob.run(spark, input, table, ExtractJob.Config(numBuckets = 4))
+    val got = readSpans(table)
+    // start_page=3 with the reference's off-by-one → pages 2..3
+    assert(got("ranged").map(_.text) == Seq("ranged page 2", "ranged page 3"))
+    assert(got("full").map(_.text) == (1 to 4).map(p => s"full page $p"))
+    assert(!got.contains("badengine") && stats.failedDocs == 1)
+  }
+
   test("readDocJson emits the reference's serde_json pretty format (file_helper.rs:55-77)") {
     val table = tmpDir("graft-json")
     import spark.implicits._

@@ -30,6 +30,9 @@ class PlanSpec extends AnyFunSuite {
     val withKeys = input
       .withColumn("bucket", pmod(xxhash64(col("doc_id")), lit(64)).cast("int"))
       .withColumn("salt", pmod(xxhash64(col("doc_id"), lit(7)), lit(8)).cast("int"))
+      .withColumn("start_page", lit(1)).withColumn("page_count", lit(0))
+      .withColumn("engine", lit("tesseract"))
+      .withColumn("model", lit(null).cast("string"))
       .as[ExtractJob.InRow]
     val extracted = withKeys.mapPartitions(it =>
       it.flatMap(r => graft.engine.Extractor
