@@ -40,7 +40,12 @@ object InterleavedTable {
       generate(spark, VerifyDocs)
         .coalesce(1)
         .sortWithinPartitions("doc_id")
-        .write.mode("overwrite").parquet(VerifyPath)
+        .write.mode("overwrite")
+        // DuckDB (the driver's oracle) cannot read Spark's
+        // Hadoop-framed LZ4 parquet — pin a codec both engines read,
+        // regardless of the session's performance codec
+        .option("compression", "snappy")
+        .parquet(VerifyPath)
       written = true
     }
     VerifyPath
