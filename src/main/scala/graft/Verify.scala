@@ -16,7 +16,10 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
+      // snappy pinned: the driver's DuckDB compare cannot read Spark's
+      // Hadoop-framed LZ4 (the engine's performance codec elsewhere)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .option("compression", "snappy")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
