@@ -41,12 +41,18 @@ object Extractor {
         try {
           var order = 0
           var ocrChars = 0L
+          // unknown-kind abort: flag + loop-exit instead of a non-local
+          // `return` from a closure (exception-driven control flow in
+          // the hottest loop, fragile under future catch edits)
+          var failure: Option[String] = None
           val out = Vector.newBuilder[Span]
           def emit(kind: String, text: String, mediaRef: String): Unit = {
             out += Span(kind, text, mediaRef, order)
             order += 1
           }
-          in.spans.sortBy(_.offset).foreach { raw =>
+          val sorted = in.spans.sortBy(_.offset).iterator
+          while (failure.isEmpty && sorted.hasNext) {
+            val raw = sorted.next()
             raw.kind match {
               case "text" =>
                 emit("text", raw.text, "")
@@ -94,12 +100,16 @@ object Extractor {
                   pageNum += 1
                 }
               case other =>
-                return DocResult(None, Some(s"unsupported span kind '$other'"),
-                  0, bytesOf(in), ocrChars)
+                failure = Some(s"unsupported span kind '$other'")
             }
           }
-          val spans = out.result()
-          DocResult(Some(ExtractedDoc(in.doc_id, spans)), None, spans.length, bytesOf(in), ocrChars)
+          failure match {
+            case Some(err) => DocResult(None, Some(err), 0, bytesOf(in), ocrChars)
+            case None =>
+              val spans = out.result()
+              DocResult(Some(ExtractedDoc(in.doc_id, spans)), None, spans.length,
+                bytesOf(in), ocrChars)
+          }
         } catch {
           case e: PdfParseException =>
             DocResult(None, Some(s"pdf: ${e.getMessage}"), 0, bytesOf(in), 0)

@@ -13,9 +13,12 @@ import org.apache.spark.sql.functions._
   * dot = 64 long multiply-adds inside one codegen'd `aggregate`).
   *
   * Cosine thresholding never divides: cos(a,b) ≥ t (t = tPct/100) is
-  * evaluated as `dot ≥ 0 AND 10000·dot² ≥ tPct²·|a|²·|b|²` — exact in
-  * BIGINT for 64-dim milliunit vectors (dot ≤ 6.4e7 ⇒ dot² ≤ 4.1e15,
-  * well inside 2^63).
+  * evaluated as `dot > 0 AND 10000·dot² ≥ tPct²·|a|²·|b|²`. Both sides
+  * can exceed int64 inside the documented domain (64-dim |x| ≤ 1.0
+  * milliunit vectors: dot ≤ 6.4e7 ⇒ 10^4·dot² ≤ 4.1e19 > 2^63), so the
+  * comparison runs in 128-bit-capable exact integer types: Spark
+  * DECIMAL(38,0), DuckDB HUGEINT — still exact, no wraparound. Safe up
+  * to ~4096-dim unit-norm milliunit vectors (10^4·dot² ≤ 1.7e23 ≪ 10^38).
   */
 object VectorFunctions {
 
@@ -39,9 +42,14 @@ object VectorFunctions {
   }
 
   /** cos(a,b) ≥ tPct/100, exact. `dot`, `na`, `nb` are the quantized
-    * dot and squared norms. */
-  def cosineGePct(dot: Column, na: Column, nb: Column, tPct: Int): Column =
-    dot > 0 && dot * dot * 10000L >= na * nb * (tPct.toLong * tPct)
+    * dot and squared norms. Widened to DECIMAL(38,0) before the
+    * multiplies: 10^4·dot² wraps int64 for large/unnormalized inputs
+    * (see class doc); the DuckDB twin widens to HUGEINT the same way. */
+  def cosineGePct(dot: Column, na: Column, nb: Column, tPct: Int): Column = {
+    val wide = org.apache.spark.sql.types.DecimalType(38, 0)
+    dot > 0 &&
+      dot.cast(wide) * dot * lit(10000L) >= na.cast(wide) * nb * lit(tPct.toLong * tPct)
+  }
 
   /** Sign-LSH bucket: one bit per leading dimension (axis-aligned
     * random-hyperplane LSH). `bits` ≤ 16. Vectors whose first `bits`

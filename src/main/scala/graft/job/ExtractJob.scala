@@ -113,9 +113,14 @@ object ExtractJob {
     * row; missing columns fall back to cfg.opts. */
   val OptionColumns: Seq[String] = Seq("start_page", "page_count", "engine", "model")
   /** One page-range chunk of a giant document (startPage < 0 marks an
-    * unparseable doc recorded fail-soft). */
+    * unparseable/empty doc recorded fail-soft). */
   final case class ChunkRow(doc_id: String, b64: String, startPage: Int,
       pageLen: Int, bucket: Int)
+
+  /** Extraction result of one giant-doc chunk: `ok=false` on ANY chunk
+    * fails the whole doc at reassembly (fail-soft contract — a doc is
+    * never silently emitted with missing page ranges). */
+  final case class ChunkOut(doc_id: String, bucket: Int, ok: Boolean, spans: Seq[Span])
 
   /** Input must have columns (doc_id string, spans array<struct<kind,
     * text, media_ref, offset>>). Returns run statistics. */
@@ -204,7 +209,8 @@ object ExtractJob {
           try {
             val bytes = java.util.Base64.getDecoder.decode(raw.text)
             val total = graft.pdf.PdfDocument.load(bytes).pageCount
-            (1 to total by chunkPages).map(s =>
+            if (total <= 0) Seq(ChunkRow(row.doc_id, raw.text, -1, 0, row.bucket))
+            else (1 to total by chunkPages).map(s =>
               ChunkRow(row.doc_id, raw.text, s, math.min(chunkPages, total - s + 1), row.bucket))
           } catch {
             case scala.util.control.NonFatal(_) =>
@@ -212,35 +218,46 @@ object ExtractJob {
           }
         }
         // spread chunk rows over tasks (this duplicates the payload —
-        // the price of splitting one row's work; see Config scaladoc)
-        val giantSpans = giantChunks
+        // the price of splitting one row's work; see Config scaladoc).
+        // docCount/bytesIn are counted once per doc on the first chunk;
+        // spanCount/failedDocs are settled at reassembly, where doc-level
+        // success (ALL chunks ok) is known.
+        val giantChunkOut = giantChunks
           .repartition(spark.sparkContext.defaultParallelism)
           .mapPartitions { it =>
-            it.flatMap { c =>
-              val first = c.startPage <= 1
-              if (c.startPage < 0) {
-                acc.add(c.bucket -> BucketStats(1, 0, c.b64.length.toLong, 1))
-                Iterator.empty
-              } else {
+            it.map { c =>
+              val first = c.startPage <= 1 // probe-failure marker (-1) included
+              acc.add(c.bucket -> BucketStats(
+                docCount = if (first) 1 else 0,
+                bytesIn = if (first) c.b64.length.toLong else 0L))
+              if (c.startPage < 0) ChunkOut(c.doc_id, c.bucket, ok = false, Nil)
+              else {
                 val res = Extractor.extractDoc(
                   InterleavedDoc(c.doc_id, Seq(RawSpan("pdf_bytes", c.b64, "", 0))),
                   ExtractOptions(startPage = c.startPage, pageCount = c.pageLen,
                     parityStartOffByOne = false))
-                acc.add(c.bucket -> BucketStats(
-                  docCount = if (first) 1 else 0,
-                  spanCount = res.spanCount,
-                  bytesIn = if (first) c.b64.length.toLong else 0L,
-                  failedDocs = if (first && res.doc.isEmpty) 1 else 0))
-                res.doc.iterator.flatMap(d => d.spans.map(sp =>
-                  (c.doc_id, sp.copy(order = sp.order + c.startPage - 1), c.bucket)))
+                ChunkOut(c.doc_id, c.bucket, ok = res.doc.isDefined,
+                  res.doc.map(_.spans.map(sp => sp.copy(order = sp.order + c.startPage - 1)))
+                    .getOrElse(Nil))
               }
             }
           }
-        // reassemble: ONE shuffle of the extracted text, grouped per doc
-        val giantOut = giantSpans
-          .groupByKey(t => (t._1, t._3))
-          .mapGroups((key: (String, Int), it: Iterator[(String, Span, Int)]) =>
-            OutRow(key._1, it.map(_._2).toVector.sortBy(_.order), key._2))
+        // reassemble: ONE shuffle of the extracted text, grouped per doc.
+        // A failed chunk ANYWHERE fails the doc (fail-soft: counted, no
+        // partial output) — a doc is never emitted with missing pages.
+        val giantOut = giantChunkOut
+          .groupByKey(c => (c.doc_id, c.bucket))
+          .flatMapGroups { (key: (String, Int), it: Iterator[ChunkOut]) =>
+            val chunks = it.toVector
+            if (chunks.exists(!_.ok)) {
+              acc.add(key._2 -> BucketStats(failedDocs = 1))
+              Iterator.empty
+            } else {
+              val spans = chunks.flatMap(_.spans).sortBy(_.order)
+              acc.add(key._2 -> BucketStats(spanCount = spans.length.toLong))
+              Iterator.single(OutRow(key._1, spans, key._2))
+            }
+          }
         normalOut.unionAll(giantOut)
       }
 

@@ -54,7 +54,14 @@ object Dedup {
 
   /** (doc_id, band, sig) rows shared by the LSH variants: `numHashes`
     * minhash values (hash k = min over shingles of md5(k:shingle) —
-    * md5-string min is engine-portable) in `bands` bands. */
+    * md5-string min is engine-portable) in `bands` bands.
+    *
+    * ONE pass over the expensive signature aggregation: the band
+    * signatures are projected into a single array and `posexplode`d.
+    * (The previous union-of-per-band-selects form made Spark re-execute
+    * the shingle explode + minhash agg — the dominant stage — once PER
+    * BAND; a projection over one aggregate cannot be duplicated that
+    * way.) */
   private def bandedSignatures(docs: DataFrame, shingleN: Int,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
@@ -65,11 +72,11 @@ object Dedup {
       min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
     val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     // band signature = md5 of its concatenated rows
-    (0 until bands).map { b =>
+    val bandSig = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k"))
-      sigs.select(col("doc_id"), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("sig"))
-    }.reduce(_ unionAll _)
+      md5(concat_ws("|", cols: _*))
+    }
+    sigs.select(col("doc_id"), posexplode(array(bandSig: _*)).as(Seq("band", "sig")))
   }
 
   /** Linear-output variant of [[minhashLshPairs]]: each doc pairs with
@@ -91,15 +98,32 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for every doc pair sharing at
     * least one shingle, in permille: floor(1000·|A∩B|/|A∪B|). Pairs
-    * below `minPermille` are dropped. Integer-exact. */
+    * below `minPermille` are dropped. Integer-exact.
+    *
+    * When `maxDf` is finite this is the DF-CAPPED variant — the
+    * standard hot-shingle defense: shingles whose document frequency
+    * exceeds `maxDf` are dropped from the computation entirely (both
+    * intersection AND set sizes, so the Jaccard is exact over the
+    * surviving shingle sets). Without a cap, one shingle shared by d
+    * docs emits d²/2 join rows — a single common 3-gram in 10^6 docs
+    * is 10^12 rows, the all-pairs scale-killer; capped, the per-shingle
+    * fan-out is bounded by maxDf²/2. Additionally (both variants,
+    * results unchanged) df=1 shingles are pruned from the self-join —
+    * a lone shingle can produce no pair. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
-      minPermille: Int = 200): DataFrame = {
+      minPermille: Int = 200, maxDf: Int = Int.MaxValue): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val sh = docs
       .select(col("doc_id"),
         explode(array_distinct(TF.shingles(col("text"), shingleN))).as("sh"))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.as("l")
-      .join(sh.as("r"), col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
+    // document frequency per shingle: one shuffle+sort on sh, which the
+    // downstream self-join on sh then reuses (no re-exchange, no re-sort)
+    val withDf = sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
+    val kept = if (maxDf == Int.MaxValue) withDf else withDf.where(col("df") <= maxDf)
+    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val joinable = kept.where(col("df") >= 2).select("doc_id", "sh")
+    val inter = joinable.as("l")
+      .join(joinable.as("r"), col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
       .groupBy(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
@@ -123,10 +147,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-block index covers hamming < 4")
     val sketch = docs.select(col("doc_id"), TF.simhash32(col("text")).as("sh"))
-    val blocks = (0 until 4).map { b =>
-      sketch.select(col("doc_id"), col("sh"), lit(b).as("block"),
-        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L)).as("key"))
-    }.reduce(_ unionAll _)
+    // ONE evaluation of the 32-term sketch expression per doc: the 4
+    // block keys ride a posexplode'd array (the union-of-selects form
+    // recomputed the sketch once per block; CollapseProject does not
+    // inline `sh` into the array because it is referenced 5×)
+    val blocks = sketch.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("block", "key")))
     blocks.as("l")
       .join(blocks.as("r"),
         col("l.block") === col("r.block") && col("l.key") === col("r.key") &&

@@ -267,6 +267,22 @@ object Oracles {
          |WHERE floor(i * 1000 / (sa.n + sb.n - i)) >= 500
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "dedup_jaccard_capped" ->
+      s"""WITH $docsPlus, $sh3,
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh3),
+         |capped AS (SELECT doc_id, sh, count(*) OVER (PARTITION BY sh) AS df FROM shd
+         | QUALIFY df <= 10),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS i
+         | FROM capped l JOIN capped r ON l.sh = r.sh AND l.doc_id < r.doc_id GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         | CAST(floor(i * 1000 / (sa.n + sb.n - i)) AS BIGINT) AS jaccard_pm
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE floor(i * 1000 / (sa.n + sb.n - i)) >= 500
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH $docsPlus, ${simhashCte("docs_plus")},
          |blocks AS (
@@ -292,7 +308,8 @@ object Oracles {
          |  ${dot("l.qv", "r.qv")} AS dot, l.nsq AS nl, r.nsq AS nr
          | FROM allv l JOIN allv r ON l.bucket = r.bucket AND l.vec_id < r.vec_id)
          |SELECT a_id, b_id, dot FROM pairs
-         |WHERE dot > 0 AND dot*dot*10000 >= nl*nr*6400
+         |WHERE dot > 0
+         | AND CAST(dot AS HUGEINT)*dot*10000 >= CAST(nl AS HUGEINT)*nr*6400
          |ORDER BY a_id, b_id""".stripMargin,
 
     "sim_topk_brute" ->

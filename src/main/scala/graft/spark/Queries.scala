@@ -297,7 +297,16 @@ object Queries {
     Dedup.ngramJaccardPairs(docsPlus(s, dir), shingleN = 3, minPermille = 500)
       .orderBy("a_id", "b_id")
 
-  /** SimHash near-dup pairs (16-bit sketch, hamming ≤ 3, 4-bit block
+  /** DF-capped 3-gram Jaccard (the 10^12-doc path): shingles with
+    * document frequency > 10 are dropped before the self-join, bounding
+    * per-shingle join fan-out at df² ≤ 100 rows — the hot-shingle
+    * defense the uncapped variant lacks. Jaccard is exact over the
+    * surviving shingle sets. */
+  def dedupJaccardCapped(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsPlus(s, dir), shingleN = 3, minPermille = 500, maxDf = 10)
+      .orderBy("a_id", "b_id")
+
+  /** SimHash near-dup pairs (32-bit sketch, hamming ≤ 3, 8-bit block
     * index — no all-pairs join). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(docsPlus(s, dir), maxHamming = 3)
@@ -458,6 +467,7 @@ object Queries {
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_star" -> (dedupMinhashStar _),
     "dedup_jaccard" -> (dedupJaccard _),
+    "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_brute" -> (simTopkBrute _),

@@ -7,8 +7,21 @@ import org.apache.spark.sql.SparkSession
   * to cores (not the 200 default), UTC for oracle parity.
   */
 object Sessions {
-  def local(cores: Int, appName: String = "graft"): SparkSession = {
-    val spark = SparkSession.builder()
+  def local(cores: Int, appName: String = "graft"): SparkSession =
+    build(cores, appName, fastCommitter = false)
+
+  /** Bench-only session: adds the v2 file-output committer (skips the
+    * job-commit double-rename). v2 makes task output visible in the
+    * data dir BEFORE the job commits, which would break the extraction
+    * job's resume exactly-once contract (a kill mid-chunk would leave
+    * committed-looking task files that readDoc/resume then double
+    * count) — so it is never set on the shared session, only here,
+    * where every run writes to a throwaway sink. */
+  def bench(cores: Int, appName: String = "graft-bench"): SparkSession =
+    build(cores, appName, fastCommitter = true)
+
+  private def build(cores: Int, appName: String, fastCommitter: Boolean): SparkSession = {
+    val builder = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cores.toString)
@@ -25,14 +38,15 @@ object Sessions {
       // uses the columnar nested reader, not parquet-mr row assembly
       .config("spark.sql.parquet.enableNestedColumnVectorizedReader", "true")
       // cheaper write path for the CPU-bound extraction sink: LZ4
-      // compresses ~3× faster than the snappy default at similar ratio,
-      // and the v2 committer skips the double-rename on job commit
+      // compresses ~3× faster than the snappy default at similar ratio
+      // (writes the DuckDB oracle reads pin snappy per-write)
       .config("spark.sql.parquet.compression.codec", "lz4")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
-      .getOrCreate()
+    val spark = (if (fastCommitter)
+      builder.config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    else builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

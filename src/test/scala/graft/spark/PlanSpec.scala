@@ -81,6 +81,41 @@ class PlanSpec extends AnyFunSuite {
       s"doc_id filter not pushed:\n$plan")
   }
 
+  test("minhash LSH: the shingle signature agg runs ONCE per join side (no per-band recompute)") {
+    val plan = physical(Queries.dedupMinhashLsh(spark, sf))
+    // the expensive stage is groupBy(doc_id).agg(min(md5(k:sh))...) over
+    // exploded shingles; with band sigs posexploded from ONE projection
+    // there are exactly 2 shingle explodes (self-join l/r) — the old
+    // union-of-selects form had one per band per side (8)
+    val explodes = "Generate explode".r.findAllIn(plan).size
+    assert(explodes <= 2, s"shingle agg recomputed per band ($explodes explodes):\n${plan.take(4000)}")
+    val posexplodes = "Generate posexplode".r.findAllIn(plan).size
+    assert(posexplodes >= 1 && posexplodes <= 2,
+      s"expected banded sigs via posexplode:\n${plan.take(4000)}")
+  }
+
+  test("simhash: the 32-term sketch is evaluated once per side (posexplode, not per-block union)") {
+    val plan = physical(Queries.dedupSimhash(spark, sf))
+    // each side computes the sketch in ONE Project and posexplodes the 4
+    // block keys; the union form had 4 sketch evaluations per side
+    val posexplodes = "Generate posexplode".r.findAllIn(plan).size
+    assert(posexplodes >= 1 && posexplodes <= 2,
+      s"expected block keys via posexplode:\n${plan.take(4000)}")
+    // the sketch projection appears once per (docsPlus union branch ×
+    // join side) = 4 — each evaluates over DIFFERENT rows (projection
+    // pushed through the union), so no row's sketch is computed twice.
+    // The per-block union form had 4× that (one per block per side).
+    val sketches = "AS sh#\\d+".r.findAllIn(plan).size
+    assert(sketches <= 4, s"sketch recomputed per block ($sketches):\n${plan.take(4000)}")
+  }
+
+  test("jaccard: df computation reuses the shingle partitioning for the self-join") {
+    val plan = physical(Queries.dedupJaccardCapped(spark, sf))
+    // window df shuffles on sh once per side; the self-join on sh must
+    // not add further exchanges on top of those
+    assert(plan.contains("Window"), s"expected window-df plan:\n${plan.take(4000)}")
+  }
+
   test("whole-stage codegen covers the scalar aggregation pipeline (q1)") {
     // note: array higher-order functions (textStats) are CodegenFallback
     // by design in Spark — the codegen pin targets the scalar path
