@@ -19,6 +19,12 @@ object InterleavedTable {
   val VerifyPath = "/root/repo/target/graft-verify/interleaved_docs"
   val VerifyDocs = 400
 
+  /** Fixed location of the by-construction GOLDEN extraction output for
+    * the verify corpus — the same pure function of doc index the parity
+    * tests use, staged as parquet so the driver's DuckDB oracle can
+    * compare the extraction queries hash-exactly (not rows-only). */
+  val GoldenPath = "/root/repo/target/graft-verify/interleaved_goldens"
+
   def generate(spark: SparkSession, nDocs: Int): Dataset[InterleavedDoc] = {
     import spark.implicits._
     spark.range(nDocs).map(i => InterleavedGen.docWithGolden(i)._1)
@@ -53,4 +59,21 @@ object InterleavedTable {
 
   def readVerifyCorpus(spark: SparkSession): DataFrame =
     spark.read.parquet(ensureVerifyCorpus(spark))
+
+  @volatile private var goldenWritten = false
+
+  /** Write-once-per-JVM materialization of the golden extraction output
+    * (see [[GoldenPath]]); same idempotence/codec rules as the corpus. */
+  def ensureGoldenCorpus(spark: SparkSession): String = synchronized {
+    if (!goldenWritten || !Files.exists(Paths.get(GoldenPath, "_SUCCESS"))) {
+      goldens(spark, VerifyDocs)
+        .coalesce(1)
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .option("compression", "snappy") // DuckDB cannot read Spark's LZ4
+        .parquet(GoldenPath)
+      goldenWritten = true
+    }
+    GoldenPath
+  }
 }

@@ -22,6 +22,13 @@ object Oracles {
   private val IV =
     s"read_parquet('${InterleavedTable.VerifyPath}/*.parquet')"
 
+  /** The staged by-construction GOLDEN extraction output (what the
+    * extractor MUST produce, derived from the corpus construction rules
+    * — never from the extractor). Reading it as the oracle side makes
+    * the extraction queries hash-exact instead of rows-only. */
+  private val GOLD =
+    s"read_parquet('${InterleavedTable.GoldenPath}/*.parquet')"
+
   /** Exploded interleaved spans with position (aligned UNNEST). */
   private val ivExploded =
     s"""(SELECT doc_id, CAST(unnest(range(len(spans))) AS INTEGER) AS pos,
@@ -360,6 +367,42 @@ object Oracles {
          |     i -> CAST(ascii(substr(text, CAST(i+1 AS INTEGER), 1)) AS BIGINT))),
          |   (a, b) -> (a*31+b) % 2147483647) AS BIGINT) AS fp_rolling
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ---- extraction pipeline: the oracle side is the golden parquet
+    // (expected output by construction) — extraction must equal it
+    "extract_spans" ->
+      s"""SELECT doc_id, CAST("order" AS INTEGER) AS ord, kind, media_ref,
+         | md5(text) AS text_md5
+         |FROM (SELECT doc_id, unnest(spans, recursive := true) FROM $GOLD)
+         |ORDER BY doc_id, ord""".stripMargin,
+
+    "extract_parity" ->
+      s"""SELECT count(*) AS docs, count(*) AS matched FROM $GOLD""",
+
+    "stream_extract_parity" ->
+      s"""SELECT count(*) AS docs, count(*) AS matched FROM $GOLD
+         |WHERE doc_id < 'doc00000200'""".stripMargin,
+
+    // ---- multimodal plumbing: the stub decoder's features are a pure
+    // function of the deterministic payload bytes — expressible in SQL
+    "mm_media_features" -> {
+      def byteAt(pos: Int) = // k-th byte of the md5 digest, from hex chars
+        s"(strpos('0123456789abcdef', substr(h,${2 * pos + 1},1))-1)*16" +
+          s" + (strpos('0123456789abcdef', substr(h,${2 * pos + 2},1))-1)"
+      s"""WITH m AS (
+         | SELECT i // 3 AS d, i % 3 AS j,
+         |  md5(repeat(md5(CAST(i AS VARCHAR)), 4)) AS h
+         | FROM range(600) t(i)),
+         |b AS (SELECT d, j, h,
+         |  ${byteAt(0)} AS u0, ${byteAt(1)} AS u1, ${byteAt(2)} AS u2 FROM m)
+         |SELECT printf('doc%08d', d) AS doc_id, printf('m_%d_%d.bin', d, j) AS media_ref,
+         | CAST(128 AS INTEGER) AS byte_len,
+         | CASE u0 % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+         | CAST(16 * (1 + u1 % 64) AS INTEGER) AS width,
+         | CAST(16 * (1 + u2 % 64) AS INTEGER) AS height,
+         | substr(h, 1, 16) AS phash
+         |FROM b ORDER BY doc_id, media_ref""".stripMargin
+    },
 
     "text_langid" -> {
       s"""WITH ${simhashCte("documents")},

@@ -374,15 +374,20 @@ object Queries {
       .orderBy("doc_id")
 
   // ===================================================================
-  // Extraction pipeline (no SQL oracle — the by-construction golden
-  // corpus is the oracle, enforced by `sbt test` and extract_parity)
+  // Extraction pipeline. The by-construction golden corpus IS the
+  // oracle: it is staged as parquet (InterleavedTable.GoldenPath) so
+  // the driver's DuckDB twin reads the expected output directly and
+  // the comparison is hash-exact — extraction output must equal the
+  // goldens span for span.
   // ===================================================================
 
   /** Flagship: extract the deterministic interleaved corpus and emit
-    * one row per output span. */
+    * one row per output span. Hash-exact oracle: DuckDB explodes the
+    * golden parquet (extraction ≡ goldens by span-sequence equality). */
   def extractSpans(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = InterleavedTable.VerifyDocs
+    InterleavedTable.ensureGoldenCorpus(s) // stage the oracle's side
     InterleavedTable.generate(s, n)
       .repartition(s.sparkContext.defaultParallelism)
       .mapPartitions { it =>
@@ -402,6 +407,7 @@ object Queries {
   def extractParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = InterleavedTable.VerifyDocs
+    InterleavedTable.ensureGoldenCorpus(s) // stage the oracle's side
     val got = InterleavedTable.generate(s, n).mapPartitions { it =>
       val opts = ExtractOptions()
       it.flatMap(doc => Extractor.extractDoc(doc, opts).doc)
@@ -422,6 +428,7 @@ object Queries {
   def streamExtractParity(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val n = 200
+    InterleavedTable.ensureGoldenCorpus(s) // stage the oracle's side
     val base = java.nio.file.Files.createTempDirectory("graft-stream-q").toString
     InterleavedTable.generate(s, n).repartition(4)
       .write.mode("overwrite").parquet(s"$base/corpus")
