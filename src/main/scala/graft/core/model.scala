@@ -31,8 +31,17 @@ object model {
     * computed-then-dropped like the reference
     * (/root/reference/extractor/src/engine/mod.rs:132-135).
     * `order` is the 0-based rank of the span within the doc.
+    *
+    * `page` is the ORIGINAL 1-based source page number for PDF-derived
+    * text spans (0 for non-PDF spans) — the reference emits the real
+    * page number in its output (`PageExtractInfo.page_num`,
+    * /root/reference/extractor/src/engine/mod.rs:90), which differs
+    * from the span rank whenever `start_page > 1`; carrying it keeps
+    * [[graft.job.ExtractJob.readDocJson]] byte-equal to the reference
+    * under non-default options (SURVEY.md §2.6.2 + §2.6.3 composed).
     */
-  final case class Span(kind: String, text: String, media_ref: String, order: Int)
+  final case class Span(kind: String, text: String, media_ref: String, order: Int,
+      page: Int = 0)
 
   final case class ExtractedDoc(doc_id: String, spans: Seq[Span])
 

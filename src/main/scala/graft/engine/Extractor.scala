@@ -46,8 +46,8 @@ object Extractor {
           // the hottest loop, fragile under future catch edits)
           var failure: Option[String] = None
           val out = Vector.newBuilder[Span]
-          def emit(kind: String, text: String, mediaRef: String): Unit = {
-            out += Span(kind, text, mediaRef, order)
+          def emit(kind: String, text: String, mediaRef: String, page: Int = 0): Unit = {
+            out += Span(kind, text, mediaRef, order, page)
             order += 1
           }
           val sorted = in.spans.sortBy(_.offset).iterator
@@ -94,7 +94,9 @@ object Extractor {
                         case Left(_)  =>
                       }
                     }
-                    emit("text", text, "")
+                    // original source page number rides the span — the
+                    // reference's output carries page_num (mod.rs:90)
+                    emit("text", text, "", page = pageNum)
                     kept += 1
                   }
                   pageNum += 1

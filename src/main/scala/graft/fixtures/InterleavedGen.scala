@@ -83,7 +83,8 @@ object InterleavedGen {
         val texts = (1 to n).map(p => s"heavy $i page $p ${sent(i, p)}")
         val pdf = PdfBuilder.simple(texts.map(t => PdfBuilder.tjLine(t)), flate = true)
         val in = InterleavedDoc(id, Seq(RawSpan("pdf_bytes", b64(pdf), "", 0)))
-        val exp = ExtractedDoc(id, texts.zipWithIndex.map { case (t, k) => Span("text", t, "", k) })
+        val exp = ExtractedDoc(id,
+          texts.zipWithIndex.map { case (t, k) => Span("text", t, "", k, page = k + 1) })
         (in, exp)
       case _ =>
         val pages = 1 + (i % 4).toInt
@@ -95,7 +96,8 @@ object InterleavedGen {
           else if (style == 2) PdfBuilder.simple(texts.map(PdfBuilder.tjLine(_)))
           else PdfBuilder.simple(texts.map(PdfBuilder.tjLine(_)), flate = true)
         val in = InterleavedDoc(id, Seq(RawSpan("pdf_bytes", b64(pdf), "", 0)))
-        val exp = ExtractedDoc(id, texts.zipWithIndex.map { case (t, k) => Span("text", t, "", k) })
+        val exp = ExtractedDoc(id,
+          texts.zipWithIndex.map { case (t, k) => Span("text", t, "", k, page = k + 1) })
         (in, exp)
     }
   }

@@ -294,10 +294,12 @@ object ExtractJob {
     * file_helper.rs:55-77): 2-space indent, `"key": value`, one text
     * span per page in ascending order, field order (page_num, text).
     * This is the compat view of `GET /content/:id`. page_num is the
-    * 1-based rank (≡ the PDF page number under the default full-doc
-    * options this pipeline runs with; a range-extracted doc in the
-    * reference would carry original page numbers, which the span model
-    * intentionally normalizes away — SURVEY.md §2.6.8). */
+    * span's ORIGINAL source page number when known (Span.page > 0 —
+    * PDF-derived spans), so a `start_page=3` job's view matches the
+    * reference's `PageExtractInfo.page_num` exactly (engine/mod.rs:90:
+    * pages 2,3,… under the §2.6.2 off-by-one, not 1,2,…); non-PDF
+    * spans (no source page in the reference's model) fall back to the
+    * 1-based rank. */
   def readDocJson(spark: SparkSession, tableDir: String, docId: String): Option[String] = {
     import spark.implicits._
     val rows = readDoc(spark, tableDir, docId)
@@ -314,7 +316,8 @@ object ExtractJob {
       val pages = d.spans.filter(_.kind == "text").sortBy(_.order)
       if (pages.isEmpty) "[]"
       else pages.zipWithIndex.map { case (sp, i) =>
-        s"""  {\n    "page_num": ${i + 1},\n    "text": "${esc(sp.text)}"\n  }"""
+        val pageNum = if (sp.page > 0) sp.page else i + 1
+        s"""  {\n    "page_num": $pageNum,\n    "text": "${esc(sp.text)}"\n  }"""
       }.mkString("[\n", ",\n", "\n]")
     }
   }

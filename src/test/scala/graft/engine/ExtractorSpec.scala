@@ -18,9 +18,10 @@ class ExtractorSpec extends AnyFunSuite {
   test("pin 2.6.2: start_page off-by-one — startPage=3 begins at page 2") {
     val doc = pdfDoc("d1", (1 to 10).map(p => s"page $p"))
     val res = Extractor.extractDoc(doc, ExtractOptions(startPage = 3, pageCount = 4))
+    // spans carry the ORIGINAL source page numbers (2..5), not ranks
     assert(res.doc.get.spans == Seq(
-      Span("text", "page 2", "", 0), Span("text", "page 3", "", 1),
-      Span("text", "page 4", "", 2), Span("text", "page 5", "", 3)))
+      Span("text", "page 2", "", 0, page = 2), Span("text", "page 3", "", 1, page = 3),
+      Span("text", "page 4", "", 2, page = 4), Span("text", "page 5", "", 3, page = 5)))
   }
 
   test("pin 2.6.2 disabled: parityStartOffByOne=false starts at the requested page") {
@@ -50,7 +51,7 @@ class ExtractorSpec extends AnyFunSuite {
     val b = PdfBuilder.withImages("visible text")
     val doc = InterleavedDoc("d4", Seq(RawSpan("pdf_bytes", InterleavedGen.b64(b), "", 0)))
     val res = Extractor.extractDoc(doc, ExtractOptions(engine = "stub"))
-    assert(res.doc.get.spans == Seq(Span("text", "visible text", "", 0)))
+    assert(res.doc.get.spans == Seq(Span("text", "visible text", "", 0, page = 1)))
     assert(res.ocrChars > 0) // 3 images OCR'd by the stub, then dropped
   }
 

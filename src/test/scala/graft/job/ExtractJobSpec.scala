@@ -164,6 +164,26 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ExtractJob.readDocJson(spark, table, "nope").isEmpty)
   }
 
+  test("readDocJson under start_page=3 + page_count carries ORIGINAL page numbers (§2.6.2+§2.6.3)") {
+    // the reference emits the PDF's real page_num (engine/mod.rs:90):
+    // start_page=3 with the off-by-one begins at page 2, so the JSON
+    // must read page_num 2,3 — NOT the 1,2 rank a normalized span
+    // model would produce
+    val table = tmpDir("graft-json-range")
+    import spark.implicits._
+    val pdf = graft.pdf.PdfBuilder.simple(
+      (1 to 10).map(p => graft.pdf.PdfBuilder.tjLine(s"pg $p")))
+    val in = spark.createDataset(Seq(
+      InterleavedDoc("dr", Seq(RawSpan("pdf_bytes", InterleavedGen.b64(pdf), "", 0)))
+    )).toDF()
+    ExtractJob.run(spark, in, table, ExtractJob.Config(numBuckets = 2,
+      opts = ExtractOptions(startPage = 3, pageCount = 2)))
+    val expected =
+      "[\n  {\n    \"page_num\": 2,\n    \"text\": \"pg 2\"\n  },\n" +
+        "  {\n    \"page_num\": 3,\n    \"text\": \"pg 3\"\n  }\n]"
+    assert(ExtractJob.readDocJson(spark, table, "dr").contains(expected))
+  }
+
   test("point read returns one doc, partition-pruned") {
     val table = tmpDir("graft-point")
     ExtractJob.run(spark, corpusDf(20), table, ExtractJob.Config(numBuckets = 8))
