@@ -51,12 +51,26 @@ object VectorFunctions {
       dot.cast(wide) * dot * lit(10000L) >= na.cast(wide) * nb * lit(tPct.toLong * tPct)
   }
 
-  /** Sign-LSH bucket: one bit per leading dimension (axis-aligned
-    * random-hyperplane LSH). `bits` ≤ 16. Vectors whose first `bits`
-    * coordinates share signs land in the same bucket; at cluster scale
-    * this turns an O(n²) all-pairs search into per-bucket searches. */
-  def signBucket(vec: Column, bits: Int): Column =
+  /** Sign-LSH bucket: one bit per dimension starting at `offset`
+    * (axis-aligned random-hyperplane LSH). `bits` ≤ 16. Vectors whose
+    * chosen coordinates share signs land in the same bucket; at
+    * cluster scale this turns an O(n²) all-pairs search into
+    * per-bucket searches. Distinct `offset`s give INDEPENDENT bucket
+    * tables — the multi-table trick that recovers recall lost to
+    * pairs straddling one table's hyperplanes (see
+    * [[graft.operators.Similarity.lshTopKMulti]]). */
+  def signBucket(vec: Column, bits: Int, offset: Int = 0): Column =
     (0 until bits).map { i =>
-      when(element_at(vec, i + 1) >= 0f, lit(1L << i)).otherwise(0L)
+      when(element_at(vec, offset + i + 1) >= 0f, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
+
+  /** Bucket-bit count sized to the corpus: 2^bits ≈ n/targetBucketSize,
+    * clamped to [1, maxBits]. A FIXED bit count makes per-bucket
+    * all-pairs work O(n²/2^bits) — quadratic again at 10^12 rows; bits
+    * must grow with n so the expected bucket stays ~targetBucketSize
+    * and per-bucket work stays ~n·targetBucketSize (linear in n). */
+  def lshBitsFor(n: Long, targetBucketSize: Long = 4096L, maxBits: Int = 16): Int = {
+    val buckets = math.max(1.0, n.toDouble / math.max(1L, targetBucketSize))
+    math.min(maxBits, math.max(1, math.ceil(math.log(buckets) / math.log(2)).toInt))
+  }
 }

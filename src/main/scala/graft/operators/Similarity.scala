@@ -42,7 +42,11 @@ object Similarity {
   }
 
   /** LSH-bucketed top-k: queries only score items in their sign-LSH
-    * bucket. Approximate (bucket-local recall); the 10^12-scale path. */
+    * bucket. Approximate (bucket-local recall); the 10^12-scale path.
+    * Size `lshBits` with [[VF.lshBitsFor]] so buckets stay ~constant as
+    * the corpus grows; use [[lshTopKMulti]] when single-table recall is
+    * not enough (a neighbor differing in sign on ONE bucketed dim is
+    * invisible to a single table). */
   def lshTopK(queries: DataFrame, items: DataFrame, k: Int, lshBits: Int = 4): DataFrame = {
     val q = queries.select(col("vec_id").as("query_id"),
       VF.signBucket(col("embedding"), lshBits).as("bucket"),
@@ -53,6 +57,38 @@ object Similarity {
     val scored = broadcast(q).join(it, Seq("bucket"))
       .where(col("query_id") =!= col("item_id"))
       .withColumn("dot", VF.dotQ(col("q_qv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("item_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "item_id", "dot", "rnk")
+  }
+
+  /** Multi-table LSH top-k: `tables` independent sign-LSH bucket
+    * tables (table t hashes dims [t·lshBits, (t+1)·lshBits)); a
+    * candidate is any item sharing a bucket with the query in ANY
+    * table, scored once. Recall recovery: a true neighbor straddling a
+    * hyperplane of one table (one sign flipped among its dims) still
+    * collides in the other tables — single-table LSH misses it
+    * deterministically. Cost: ~tables× the candidate volume of one
+    * table — still per-bucket, never all-pairs. */
+  def lshTopKMulti(queries: DataFrame, items: DataFrame, k: Int,
+      lshBits: Int = 4, tables: Int = 2): DataFrame = {
+    def withBuckets(df: DataFrame, idName: String) =
+      df.select(col("vec_id").as(idName),
+        VF.quantize(col("embedding")).as(s"${idName}_qv"),
+        posexplode(array((0 until tables).map(t =>
+          VF.signBucket(col("embedding"), lshBits, offset = t * lshBits)): _*))
+          .as(Seq("tbl", "bucket")))
+    val q = withBuckets(queries, "query_id")
+    val it = withBuckets(items, "item_id")
+    // a pair colliding in several tables must score once: dedup on ids
+    // (dup rows are identical, so the kept row is deterministic)
+    val cands = broadcast(q).join(it, Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("item_id"))
+      .select(col("query_id"), col("item_id"),
+        col("query_id_qv").as("q_qv"), col("item_id_qv").as("qv"))
+      .dropDuplicates("query_id", "item_id")
+    val scored = cands.withColumn("dot", VF.dotQ(col("q_qv"), col("qv")))
     val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("item_id"))
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)

@@ -341,6 +341,27 @@ object Oracles {
          |        ORDER BY dot DESC, item_id) AS rnk FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    "sim_topk_lsh_multi" -> {
+      def bucket(t: Int) = (0 until 4).map(i =>
+        s"CASE WHEN embedding[${t * 4 + i + 1}] >= 0 THEN ${1 << i} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH base AS (SELECT vec_id,
+         |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS qv,
+         |  [${bucket(0)}, ${bucket(1)}] AS bks
+         | FROM embeddings),
+         |e AS (SELECT vec_id, t AS tbl, bks[t+1] AS bucket FROM base, range(2) r(t)),
+         |cand AS (SELECT DISTINCT q.vec_id AS query_id, i.vec_id AS item_id
+         | FROM e q JOIN e i ON q.tbl = i.tbl AND q.bucket = i.bucket
+         | WHERE q.vec_id < 8 AND q.vec_id <> i.vec_id),
+         |scored AS (SELECT query_id, item_id, ${dot("bq.qv", "bi.qv")} AS dot
+         | FROM cand JOIN base bq ON bq.vec_id = query_id
+         |           JOIN base bi ON bi.vec_id = item_id)
+         |SELECT query_id, item_id, dot, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dot DESC, item_id) AS rnk FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
+
     "text_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id,

@@ -345,6 +345,16 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Multi-table LSH top-5: two independent bucket tables (dims 1-4 and
+    * 5-8) — recall recovery for pairs straddling one table's
+    * hyperplanes, still never all-pairs. */
+  def simTopkLshMulti(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    Similarity.lshTopKMulti(emb.where(col("vec_id") < 8), emb, k = 5,
+        lshBits = 4, tables = 2)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-document text statistics: token counts, stopword/length
     * ratios (permille/centichar integers), quality bucket. */
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -479,6 +489,7 @@ object Queries {
     "dedup_embedding" -> (dedupEmbedding _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
+    "sim_topk_lsh_multi" -> (simTopkLshMulti _),
     "text_stats" -> (textStats _),
     "text_tokens_fp" -> (textTokensFp _),
     "text_langid" -> (textLangId _),

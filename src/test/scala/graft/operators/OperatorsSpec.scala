@@ -198,6 +198,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Set(1L))
   }
 
+  test("lshTopKMulti recovers a straddling pair single-table LSH provably misses") {
+    // vec 1 is vec 0's true nearest neighbor but differs in the SIGN of
+    // dim 1 — invisible to the single table over dims 1-4; table 2
+    // (dims 5-8, all positive for both) catches it. vec 2 is a worse
+    // same-bucket-everywhere neighbor; vec 3 is near-orthogonal.
+    val e = Seq(
+      (0L, Seq(0.01f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Seq(-0.01f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (2L, Seq(0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f, 0.5f)),
+      (3L, Seq(0.9f, -0.9f, -0.9f, 0.9f, -0.9f, 0.9f, -0.9f, -0.9f)))
+      .toDF("vec_id", "embedding")
+    val q = e.where($"vec_id" === 0)
+    val single = Similarity.lshTopK(q, e, k = 2, lshBits = 4)
+      .select("item_id").as[Long].collect().toSet
+    assert(!single.contains(1L), "fixture must make single-table LSH miss vec 1")
+    val multi = Similarity.lshTopKMulti(q, e, k = 2, lshBits = 4, tables = 2)
+      .orderBy("rnk").collect()
+    val brute = Similarity.bruteForceTopK(q, e, k = 2).orderBy("rnk").collect()
+    // multi-table recall on this fixture equals brute force (k=2): the
+    // straddling pair is recovered AND ranks identically
+    assert(multi.map(r => (r.getAs[Long]("item_id"), r.getAs[Int]("rnk"))).toSeq ==
+      brute.map(r => (r.getAs[Long]("item_id"), r.getAs[Int]("rnk"))).toSeq)
+    assert(multi.head.getAs[Long]("item_id") == 1L)
+  }
+
+  test("lshBitsFor grows with corpus size and is clamped") {
+    assert(VF.lshBitsFor(1000L, targetBucketSize = 4096L) == 1)
+    assert(VF.lshBitsFor(4096L * 16, targetBucketSize = 4096L) == 4)
+    assert(VF.lshBitsFor(1000000000000L) == 16) // 10^12 clamps at maxBits
+    assert(VF.lshBitsFor(4096L * 16, targetBucketSize = 4096L, maxBits = 3) == 3)
+  }
+
   // ---- multimodal plumbing -------------------------------------------
 
   test("multimodal stub features are deterministic and schema-typed") {
