@@ -1,5 +1,7 @@
 package graft.engine
 
+import java.nio.file.{Files, Paths}
+
 /** OCR engine abstraction ≡ the reference's `EngineHandler` trait
   * (/root/reference/extractor/src/types/engine_handler.rs:52-57).
   *
@@ -24,28 +26,78 @@ final class StubEngine extends OcrEngine {
     Right(s"[ocr:${Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(mediaRef))}]")
 }
 
-/** Tesseract shell, mirroring the reference engine's contract
-  * (/root/reference/extractor/src/engine/tesseract.rs:15-37). The
-  * sandbox has no tesseract binary/JNI — the call path is STUBBED
-  * (`???`-equivalent): it returns Left so failures route through the
-  * same skip-and-log branch the reference uses
-  * (/root/reference/extractor/src/engine/mod.rs:118-127). A real
-  * deployment would exec `tesseract` here. */
+/** Tesseract engine, mirroring the reference's contract
+  * (/root/reference/extractor/src/engine/tesseract.rs:15-37: open image
+  * → grayscale → `rusty_tesseract::image_to_string` with default Args).
+  * Re-expressed as a process exec — rusty_tesseract itself shells out to
+  * the `tesseract` CLI; default Args ≡ `tesseract <image> stdout` (the
+  * grayscale step is left to tesseract's own Leptonica preprocessing:
+  * no image codec exists in this sandbox). Fail-soft contract: any
+  * miss (no binary on PATH, unreadable image, nonzero exit) returns
+  * Left, routing through the same skip-and-log branch the reference
+  * uses (engine/mod.rs:118-127). */
 final class TesseractEngine extends OcrEngine {
   def name = "tesseract"
+
   def extractTextFromImage(mediaRef: String): Either[String, String] =
-    Left("tesseract binary not available in this environment") // STUB: real impl shells out to tesseract
+    TesseractEngine.binary match {
+      case None => Left("tesseract binary not available on PATH")
+      case Some(bin) =>
+        if (!Files.isReadable(Paths.get(mediaRef)))
+          Left(s"image not readable: $mediaRef")
+        else TesseractEngine.exec(TesseractEngine.args(bin, mediaRef))
+    }
 }
 
-/** Ollama vision-LLM shell, mirroring
-  * /root/reference/extractor/src/engine/ollama.rs:10,24-50. PROMPT is
-  * preserved verbatim for behavioral fidelity. The HTTP call is
-  * STUBBED (zero-egress sandbox); a real deployment posts
-  * base64(image)+PROMPT to the Ollama generate endpoint. */
+object TesseractEngine {
+  /** Arg vector ≡ rusty_tesseract's default Args invocation:
+    * `tesseract <image> stdout` (output to stdout, default language/
+    * psm/oem — tesseract.rs:31 `Args::default()`). */
+  def args(binary: String, imagePath: String): Seq[String] =
+    Seq(binary, imagePath, "stdout")
+
+  /** PATH probe, cached per JVM (executor-side static). */
+  lazy val binary: Option[String] =
+    sys.env.getOrElse("PATH", "").split(java.io.File.pathSeparator)
+      .map(d => Paths.get(d, "tesseract"))
+      .find(p => Files.isRegularFile(p) && Files.isExecutable(p))
+      .map(_.toString)
+
+  private[engine] def exec(cmd: Seq[String]): Either[String, String] =
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(false)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val code = proc.waitFor()
+      if (code == 0) Right(out) else Left(s"tesseract exited $code")
+    } catch { case scala.util.control.NonFatal(e) => Left(s"tesseract exec: ${e.getMessage}") }
+}
+
+/** Ollama vision-LLM engine, mirroring
+  * /root/reference/extractor/src/engine/ollama.rs:24-50: read image
+  * bytes → base64 → POST a GenerationRequest(model, PROMPT, [image])
+  * to the Ollama `/api/generate` endpoint at OLLAMA_BASE_HOST:
+  * OLLAMA_BASE_PORT (the reference's env contract, ollama.rs:38-42 —
+  * a missing env var is an error result, not a crash). PROMPT is
+  * preserved verbatim. Fail-soft: unreachable host / non-200 / bad
+  * body → Left. */
 final class OllamaEngine(val model: String) extends OcrEngine {
   def name = "ollama"
+
   def extractTextFromImage(mediaRef: String): Either[String, String] =
-    Left(s"ollama host not available in this environment (model=$model)") // STUB: real impl calls /api/generate
+    (sys.env.get("OLLAMA_BASE_HOST"), sys.env.get("OLLAMA_BASE_PORT")) match {
+      case (Some(host), Some(port)) =>
+        if (!Files.isReadable(Paths.get(mediaRef))) Left(s"image not readable: $mediaRef")
+        else {
+          val b64 = java.util.Base64.getEncoder.encodeToString(
+            Files.readAllBytes(Paths.get(mediaRef)))
+          OllamaEngine.post(s"http://$host:$port/api/generate",
+            OllamaEngine.requestBody(model, b64))
+        }
+      case _ =>
+        Left(s"ollama host not configured (OLLAMA_BASE_HOST/OLLAMA_BASE_PORT unset; model=$model)")
+    }
 }
 
 object OllamaEngine {
@@ -54,6 +106,60 @@ object OllamaEngine {
     "Please perform OCR on the supplied image and output the extracted text exactly as it appears. " +
     "If the image contains multiple columns or sections, preserve the structural layout as much as possible. " +
     "Do not include any explanations, commentary, or formatting modifications."
+
+  private def jsonEsc(s: String): String = s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case '\r' => "\\r"; case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  }
+
+  /** The Ollama generate request body (public API shape; ollama-rs
+    * GenerationRequest(model, PROMPT).add_image(b64) serializes to
+    * exactly these fields). `stream:false` ≡ ollama-rs's non-streaming
+    * `generate`. Pure function — unit-testable offline. */
+  def requestBody(model: String, imageB64: String): String =
+    s"""{"model":"${jsonEsc(model)}","prompt":"${jsonEsc(Prompt)}",""" +
+      s""""images":["$imageB64"],"stream":false}"""
+
+  /** Minimal extraction of the `response` string field from the Ollama
+    * reply (the only field the reference reads — ollama.rs:49). */
+  private[engine] def parseResponse(body: String): Either[String, String] = {
+    val key = "\"response\":\""
+    val start = body.indexOf(key)
+    if (start < 0) return Left("ollama reply has no response field")
+    val sb = new StringBuilder
+    var i = start + key.length
+    var done = false
+    while (!done && i < body.length) {
+      body.charAt(i) match {
+        case '"' => done = true
+        case '\\' if i + 1 < body.length =>
+          body.charAt(i + 1) match {
+            case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+            case 'u' if i + 5 < body.length =>
+              sb += Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar
+              i += 4
+            case c => sb += c
+          }
+          i += 1
+        case c => sb += c
+      }
+      i += 1
+    }
+    if (done) Right(sb.toString) else Left("ollama reply truncated")
+  }
+
+  private[engine] def post(url: String, body: String): Either[String, String] =
+    try {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+        .header("Content-Type", "application/json")
+        .POST(java.net.http.HttpRequest.BodyPublishers.ofString(body))
+        .build()
+      val res = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (res.statusCode() == 200) parseResponse(res.body())
+      else Left(s"ollama http ${res.statusCode()}")
+    } catch { case scala.util.control.NonFatal(e) => Left(s"ollama http: ${e.getMessage}") }
 }
 
 object OcrEngine {
