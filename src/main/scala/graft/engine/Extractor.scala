@@ -33,10 +33,32 @@ object Extractor {
       bytesIn: Long,
       ocrChars: Long) // chars OCR'd then dropped (parity metric)
 
-  def extractDoc(in: InterleavedDoc, opts: ExtractOptions): DocResult = {
+  /** One input span for the extraction core. For kind="pdf_bytes" the
+    * payload arrives base64-DECODED in `pdfBytes` (and `text` is null):
+    * the InternalRow fast path in [[graft.job.ExtractJob]] decodes
+    * straight from the scan's UTF8 bytes, skipping two String copies of
+    * the (dominant) payload; the typed path decodes from the String.
+    * Either way the decode runs lazily inside [[extractCore]]'s
+    * try/catch, so a bad payload stays a fail-soft "base64:" record. */
+  final case class SpanIn(kind: String, text: String, pdfBytes: Array[Byte],
+      media_ref: String)
+
+  def extractDoc(in: InterleavedDoc, opts: ExtractOptions): DocResult =
+    extractCore(in.doc_id,
+      in.spans.sortBy(_.offset).iterator.map { r =>
+        if (r.kind == "pdf_bytes")
+          SpanIn(r.kind, null, Base64.getDecoder.decode(r.text), r.media_ref)
+        else SpanIn(r.kind, r.text, null, r.media_ref)
+      },
+      bytesOf(in), opts)
+
+  /** The extraction core over pre-shaped spans (see [[SpanIn]]);
+    * `bytesIn` is the caller-computed input-size metric. */
+  def extractCore(docId: String, spansIn: Iterator[SpanIn], bytesIn: Long,
+      opts: ExtractOptions): DocResult = {
     val engineOrErr = OcrEngine.forName(opts.engine, opts.ocrModel)
     engineOrErr match {
-      case Left(err) => DocResult(None, Some(err), 0, bytesOf(in), 0)
+      case Left(err) => DocResult(None, Some(err), 0, bytesIn, 0)
       case Right(engine) =>
         try {
           var order = 0
@@ -50,9 +72,8 @@ object Extractor {
             out += Span(kind, text, mediaRef, order, page)
             order += 1
           }
-          val sorted = in.spans.sortBy(_.offset).iterator
-          while (failure.isEmpty && sorted.hasNext) {
-            val raw = sorted.next()
+          while (failure.isEmpty && spansIn.hasNext) {
+            val raw = spansIn.next()
             raw.kind match {
               case "text" =>
                 emit("text", raw.text, "")
@@ -70,8 +91,7 @@ object Extractor {
                   case Boilerplate.MediaPiece(s) => emit("media", "", s)
                 }
               case "pdf_bytes" =>
-                val bytes = Base64.getDecoder.decode(raw.text)
-                val doc = PdfDocument.load(bytes)
+                val doc = PdfDocument.load(raw.pdfBytes)
                 val total = doc.pageCount
                 // parity pin 3: clamp limit to total
                 val pageLimit =
@@ -88,7 +108,7 @@ object Extractor {
                     // image enumeration + OCR, text dropped (parity pin 1);
                     // media name formula mirrors engine/mod.rs:108
                     ContentText.pageImageNames(doc, page).zipWithIndex.foreach { case (_, i) =>
-                      val ref = s"${in.doc_id}_${pageNum}_$i.png"
+                      val ref = s"${docId}_${pageNum}_$i.png"
                       engine.extractTextFromImage(ref) match {
                         case Right(t) => ocrChars += t.length
                         case Left(_)  =>
@@ -106,17 +126,17 @@ object Extractor {
             }
           }
           failure match {
-            case Some(err) => DocResult(None, Some(err), 0, bytesOf(in), ocrChars)
+            case Some(err) => DocResult(None, Some(err), 0, bytesIn, ocrChars)
             case None =>
               val spans = out.result()
-              DocResult(Some(ExtractedDoc(in.doc_id, spans)), None, spans.length,
-                bytesOf(in), ocrChars)
+              DocResult(Some(ExtractedDoc(docId, spans)), None, spans.length,
+                bytesIn, ocrChars)
           }
         } catch {
           case e: PdfParseException =>
-            DocResult(None, Some(s"pdf: ${e.getMessage}"), 0, bytesOf(in), 0)
+            DocResult(None, Some(s"pdf: ${e.getMessage}"), 0, bytesIn, 0)
           case e: IllegalArgumentException =>
-            DocResult(None, Some(s"base64: ${e.getMessage}"), 0, bytesOf(in), 0)
+            DocResult(None, Some(s"base64: ${e.getMessage}"), 0, bytesIn, 0)
         }
     }
   }

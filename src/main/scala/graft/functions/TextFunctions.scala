@@ -105,12 +105,27 @@ object TextFunctions {
     // the DuckDB twin spells it as 8 strpos-nibble terms)
     val tokVals = transform(tokens(text),
       t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    // bit b of the sketch: sum over tokens of (2*bit(v,b)-1) > 0
-    (0 until 32).map { b =>
-      val votes = aggregate(tokVals, lit(0L),
-        (acc, v) => acc + (shiftright(v, b) % 2L) * 2L - 1L)
-      when(votes > 0, lit(1L << b)).otherwise(0L)
-    }.reduce(_ + _)
+    // ONE fold over the tokens into a 32-long vote vector, sketch
+    // assembled in the finish lambda. Higher-order functions are
+    // CodegenFallback (no codegen, hence NO common-subexpression
+    // elimination), so the obvious 32-separate-folds formulation
+    // re-evaluates the md5-per-token array once PER BIT — 32× the
+    // hash work; this shape hashes each token exactly once.
+    // Bit b of v via exact double math ((v / 2^b) is exact in binary
+    // FP for v < 2^53; shiftright needs a literal shift, but b is the
+    // zip_with lambda variable here).
+    val bitOf = (v: Column, b: Column) =>
+      pmod((v.cast("double") / pow(lit(2.0), b.cast("double"))).cast("long"), lit(2L))
+    aggregate(
+      tokVals,
+      array_repeat(lit(0L), 32),
+      (acc, v) => zip_with(acc, sequence(lit(0L), lit(31L)),
+        (a, b) => a + bitOf(v, b) * 2L - 1L),
+      votes => aggregate(
+        zip_with(votes, sequence(lit(0L), lit(31L)),
+          (vote, b) => when(vote > 0, pow(lit(2.0), b.cast("double")).cast("long"))
+            .otherwise(0L)),
+        lit(0L), (s, x) => s + x))
   }
 
   /** Hamming distance between two simhash sketches. */

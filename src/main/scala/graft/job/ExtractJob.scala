@@ -180,28 +180,89 @@ object ExtractJob {
 
       // "bucketed": spread (bucket × salt) combos over tasks (AQE may
       // coalesce); "scan": stay in scan partitions — map-only plan
-      val repartitioned = (if (cfg.mode == "bucketed") {
+      val repartitioned = if (cfg.mode == "bucketed") {
         val parallelism = math.max(spark.sparkContext.defaultParallelism,
           math.min(chunk.size * cfg.saltsPerBucket, 4 * spark.sparkContext.defaultParallelism))
         sub.repartition(parallelism, $"bucket", $"salt")
-      } else sub).as[InRow]
+      } else sub
 
-      val normalOut: Dataset[OutRow] = repartitioned.mapPartitions { it =>
+      // InternalRow fast path: read the scan's catalyst rows directly
+      // and emit catalyst rows directly. The typed-encoder path copied
+      // every span String twice per direction; the dominant payload
+      // (base64 PDF bytes) is now base64-decoded STRAIGHT from the
+      // scan's UTF8 bytes and never materialized as a java.lang.String.
+      // Column positions are pinned by the select below.
+      val arranged = repartitioned
+        .select("doc_id", "spans", "start_page", "page_count", "engine", "model", "bucket")
+      val outSchema = org.apache.spark.sql.Encoders.product[OutRow].schema
+      val rddOut = arranged.queryExecution.toRdd.mapPartitions { it =>
+        import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+        import org.apache.spark.sql.catalyst.util.GenericArrayData
+        import org.apache.spark.unsafe.types.UTF8String
         val base = bOpts.value
+        val b64 = java.util.Base64.getDecoder
         it.flatMap { row =>
-          val opts = ExtractOptions(row.start_page, row.page_count, row.engine,
-            row.model.filter(_.nonEmpty), base.parityStartOffByOne)
-          val res = Extractor.extractDoc(InterleavedDoc(row.doc_id, row.spans), opts)
-          acc.add(row.bucket -> BucketStats(
+          val docId = row.getUTF8String(0).toString
+          val spansArr = row.getArray(1)
+          val n = spansArr.numElements()
+          // materialize the span views (offset, kind, text, media_ref)
+          // and sort by offset; views into the scan buffer are only
+          // valid until the next input row, and this row is fully
+          // consumed before the iterator advances
+          val offs = new Array[Int](n)
+          val kinds = new Array[UTF8String](n)
+          val texts = new Array[UTF8String](n)
+          val mrefs = new Array[UTF8String](n)
+          var bytesIn = 0L
+          var i = 0
+          while (i < n) {
+            val st = spansArr.getStruct(i, 4)
+            offs(i) = st.getInt(3)
+            kinds(i) = st.getUTF8String(0)
+            texts(i) = st.getUTF8String(1)
+            mrefs(i) = st.getUTF8String(2)
+            bytesIn += (if (texts(i) == null) 0 else texts(i).numBytes.toLong) +
+              (if (mrefs(i) == null) 0 else mrefs(i).numBytes.toLong)
+            i += 1
+          }
+          val order = Array.range(0, n).sortBy(offs)
+          val spanIns = order.iterator.map { j =>
+            val kind = kinds(j).toString
+            if (kind == "pdf_bytes")
+              Extractor.SpanIn(kind, null, b64.decode(texts(j).getBytes), mrefs(j).toString)
+            else
+              Extractor.SpanIn(kind, texts(j).toString, null, mrefs(j).toString)
+          }
+          val opts = ExtractOptions(
+            row.getInt(2), row.getInt(3), row.getUTF8String(4).toString,
+            (if (row.isNullAt(5)) None else Some(row.getUTF8String(5).toString))
+              .filter(_.nonEmpty),
+            base.parityStartOffByOne)
+          val bucket = row.getInt(6)
+          val res = Extractor.extractCore(docId, spanIns, bytesIn, opts)
+          acc.add(bucket -> BucketStats(
             docCount = 1,
             spanCount = res.spanCount,
             bytesIn = res.bytesIn,
             failedDocs = if (res.doc.isEmpty) 1 else 0))
-          res.doc.map(d => OutRow(d.doc_id, d.spans, row.bucket))
+          res.doc.map[org.apache.spark.sql.catalyst.InternalRow] { d =>
+            val spanRows = new Array[Any](d.spans.length)
+            var k = 0
+            d.spans.foreach { sp =>
+              spanRows(k) = new GenericInternalRow(Array[Any](
+                UTF8String.fromString(sp.kind), UTF8String.fromString(sp.text),
+                UTF8String.fromString(sp.media_ref), sp.order, sp.page))
+              k += 1
+            }
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString(d.doc_id), new GenericArrayData(spanRows), bucket))
+          }
         }
       }
+      val normalOut: DataFrame =
+        org.apache.spark.sql.GraftColumnBridge.internalRowsToDf(spark, rddOut, outSchema)
 
-      val extracted: Dataset[OutRow] = if (!fanOut) normalOut else {
+      val extracted: DataFrame = if (!fanOut) normalOut else {
         val chunkPages = cfg.giantChunkPages
         // probe: xref/page-tree walk only (content streams undecoded)
         val giantChunks = subAll.filter(isGiant).as[InRow].flatMap { row =>
@@ -258,7 +319,7 @@ object ExtractJob {
               Iterator.single(OutRow(key._1, spans, key._2))
             }
           }
-        normalOut.unionAll(giantOut)
+        normalOut.unionAll(giantOut.toDF())
       }
 
       // ONE action: the write. Metrics ride the accumulator.

@@ -88,9 +88,17 @@ object Dedup {
     * [[minhashLshPairs]] remains for pairwise-similarity consumers. */
   def minhashLshStarPairs(docs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val banded = bandedSignatures(docs, shingleN, numHashes, bands)
-    val canon = banded.groupBy("band", "sig").agg(min("doc_id").as("canon"))
-    banded.join(canon, Seq("band", "sig"))
+    // bucket canonical member via a window over (band, sig): ONE
+    // evaluation of the expensive banded-signature subtree and one
+    // shuffle — the groupBy+self-join form computed the shingle agg
+    // twice (once per join side). A pathological mega-bucket serializes
+    // its window partition into one task; at that point prefer the
+    // agg+join form per bucket — for real dup-cluster sizes the window
+    // wins outright.
+    val w = Window.partitionBy("band", "sig")
+    banded.withColumn("canon", min("doc_id").over(w))
       .where(col("doc_id") =!= col("canon"))
       .select(col("canon").as("a_id"), col("doc_id").as("b_id"))
       .distinct()

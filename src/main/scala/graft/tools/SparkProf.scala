@@ -35,11 +35,25 @@ object SparkProf {
         Iterator(it.map(d => Extractor.extractDoc(d, opts).spanCount).sum)
       }.reduce(_ + _)
     }
-    timed("extract+write") {
-      spark.read.parquet(path).as[InterleavedDoc].mapPartitions { it =>
-        val opts = ExtractOptions()
-        it.flatMap(d => Extractor.extractDoc(d, opts).doc)
-      }.write.mode("overwrite").parquet("/tmp/sparkprof-out")
+    val shm = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      "/dev/shm" else "/tmp"
+    (1 to 2).foreach { i =>
+      timed(s"extract+write typed #$i") {
+        spark.read.parquet(path).as[InterleavedDoc].mapPartitions { it =>
+          val opts = ExtractOptions()
+          it.flatMap(d => Extractor.extractDoc(d, opts).doc)
+        }.write.mode("overwrite").parquet(s"$shm/sparkprof-out")
+      }
+      graft.io.TableIO.deleteRecursively(s"$shm/sparkprof-out")
+    }
+    (1 to 2).foreach { i =>
+      timed(s"job run (InternalRow) #$i") {
+        graft.io.TableIO.deleteRecursively(s"$shm/sparkprof-job")
+        graft.job.ExtractJob.run(spark, spark.read.parquet(path),
+          s"$shm/sparkprof-job",
+          graft.job.ExtractJob.Config(jobId = s"prof-$i")).docs
+      }
+      graft.io.TableIO.deleteRecursively(s"$shm/sparkprof-job")
     }
     spark.stop()
   }

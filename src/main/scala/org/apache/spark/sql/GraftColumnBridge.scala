@@ -13,4 +13,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** RDD[InternalRow] → DataFrame without a round-trip through an
+    * encoder (`internalCreateDataFrame` is `private[sql]`) — used by
+    * the extraction job's InternalRow fast path, which produces
+    * catalyst rows directly instead of paying the typed-encoder
+    * serialization of every span String. */
+  def internalRowsToDf(
+      spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
 }
