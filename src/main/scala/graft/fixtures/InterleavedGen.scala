@@ -87,12 +87,16 @@ object InterleavedGen {
           texts.zipWithIndex.map { case (t, k) => Span("text", t, "", k, page = k + 1) })
         (in, exp)
       case _ =>
-        val pages = 1 + (i % 4).toInt
-        val texts = (1 to pages).map(p => s"doc $i page $p ${sent(i, p)}")
         val style = i % 4
+        // style 0: single-page object-stream PDF; style 1: single-page
+        // with embedded image XObjects (DCT + Flate + raw — exercises
+        // the reference's image sink path, SURVEY §2 S6/T4-T6);
+        // styles 2/3: multi-page plain/flate
+        val pages = if (style <= 1) 1 else 1 + (i % 4).toInt
+        val texts = (1 to pages).map(p => s"doc $i page $p ${sent(i, p)}")
         val pdf =
-          if (style == 0 && pages == 1) PdfBuilder.objStm(PdfBuilder.tjLine(texts.head))
-          else if (style == 1 && pages == 1) PdfBuilder.withImages(texts.head)
+          if (style == 0) PdfBuilder.objStm(PdfBuilder.tjLine(texts.head))
+          else if (style == 1) PdfBuilder.withImages(texts.head)
           else if (style == 2) PdfBuilder.simple(texts.map(PdfBuilder.tjLine(_)))
           else PdfBuilder.simple(texts.map(PdfBuilder.tjLine(_)), flate = true)
         val in = InterleavedDoc(id, Seq(RawSpan("pdf_bytes", b64(pdf), "", 0)))

@@ -50,6 +50,22 @@ object Multimodal {
     }
   }
 
+  /** REAL metadata decoder for PNG payloads: parses IHDR (width,
+    * height) codec-free — used for the actual PNGs materialized from
+    * PDF image XObjects ([[graft.pdf.PdfImages]]). Non-PNG payloads
+    * degrade to format="unknown" with zero dims (fail-soft). */
+  final class PngMetaDecoder(docId: String) extends MediaDecoder {
+    private val md = MessageDigest.getInstance("MD5")
+    def decode(ref: String, bytes: Array[Byte]): MediaFeatures = {
+      md.reset()
+      val phash = md.digest(bytes).take(8).map(b => f"${b & 0xff}%02x").mkString
+      graft.pdf.PdfImages.pngMeta(bytes) match {
+        case Some((w, h, _)) => MediaFeatures(docId, ref, bytes.length, "png", w, h, phash)
+        case None => MediaFeatures(docId, ref, bytes.length, "unknown", 0, 0, phash)
+      }
+    }
+  }
+
   /** Input: (doc_id string, media_ref string, payload binary).
     * Output: Dataset[MediaFeatures]. Decoder constructed once per
     * partition — the batching that makes real codecs affordable. */

@@ -315,13 +315,20 @@ object ContentText {
     * (/root/reference/extractor/src/engine/mod.rs:105-108); per parity
     * pin SURVEY.md §2.6.1 these never reach the span output — used for
     * metrics and non-parity media accounting only. */
-  def pageImageNames(doc: PdfDocument, page: PDict): Vector[String] = {
+  def pageImageNames(doc: PdfDocument, page: PDict): Vector[String] =
+    pageImageObjects(doc, page).map(_._1)
+
+  /** Image XObjects of a page, (resource name, stream), in stable
+    * name order — the enumeration `get_page_images` exposes to the
+    * reference's image loop (engine/mod.rs:105-107). */
+  def pageImageObjects(doc: PdfDocument, page: PDict): Vector[(String, PStream)] = {
     doc.dictGet(page, "Resources") match {
       case r: PDict => doc.dictGet(r, "XObject") match {
         case x: PDict =>
           x.m.toVector.sortBy(_._1).flatMap { case (name, ref) =>
             doc.resolve(ref) match {
-              case s: PStream if doc.dictGet(s.dict, "Subtype") == PName("Image") => Some(name)
+              case s: PStream if doc.dictGet(s.dict, "Subtype") == PName("Image") =>
+                Some(name -> s)
               case _ => None
             }
           }

@@ -1,0 +1,175 @@
+package graft.pdf
+
+import java.util.zip.{CRC32, Deflater}
+
+/** Embedded-image extraction + PNG materialization — the reference's
+  * `save_pdf_image` (/root/reference/extractor/src/engine/mod.rs:138-211)
+  * re-expressed, including its quirks:
+  *
+  *  - DCTDecode → the reference JPEG-decodes (image crate) and saves
+  *    PNG. No JPEG codec exists in this sandbox, so that branch is a
+  *    clearly-marked PASS-THROUGH: the opaque JPEG bytes are emitted
+  *    with format "jpeg" (real deployment: transcode to PNG here);
+  *  - FlateDecode → inflate, then **rotate90 clockwise** — the
+  *    reference rotates ONLY this branch (mod.rs:161) — then save PNG.
+  *    The reference expects the inflated bytes to be a guessable image
+  *    container; raw-pixel payloads (the common case in real PDFs) make
+  *    it error out and skip. We EXTEND deliberately: raw pixels are
+  *    interpreted via /ColorSpace (+ the rotate90 quirk preserved);
+  *  - no filter → raw pixels by /ColorSpace, built as RGBA with alpha
+  *    255 exactly like the reference's `RgbaImage` (mod.rs:169-204),
+  *    no rotation, saved as PNG.
+  *
+  * The PNG encoder is from the spec (ISO 15948: zlib IDAT, CRC32
+  * chunks, filter 0 rows, 8-bit RGBA) — deterministic, codec-free.
+  */
+object PdfImages {
+
+  /** One extracted page image. `format` ∈ png | jpeg (DCT pass-through). */
+  final case class ImageOut(name: String, width: Int, height: Int,
+      format: String, bytes: Array[Byte])
+
+  /** Decode one image XObject stream → ImageOut, or Left to skip
+    * (fail-soft, like the reference's `.is_ok()` guard, mod.rs:112). */
+  def decode(doc: PdfDocument, s: PStream): Either[String, (Int, Int, String, Array[Byte])] = {
+    val w = doc.dictGet(s.dict, "Width") match { case PInt(v) => v.toInt; case _ => return Left("no Width") }
+    val h = doc.dictGet(s.dict, "Height") match { case PInt(v) => v.toInt; case _ => return Left("no Height") }
+    val cs = doc.dictGet(s.dict, "ColorSpace") match { case PName(n) => n; case _ => "" }
+    val filter = doc.dictGet(s.dict, "Filter") match {
+      case PName(n) => n
+      case PArr(items) if items.nonEmpty =>
+        items.head match { case PName(n) => n; case _ => "" }
+      case _ => ""
+    }
+    filter match {
+      case "DCTDecode" =>
+        // STUB of the JPEG→PNG transcode (no JPEG codec in-sandbox):
+        // opaque pass-through, dimensions from the PDF dict
+        Right((w, h, "jpeg", s.raw))
+      case "FlateDecode" =>
+        val data = Filters.inflate(s.raw)
+        rgbaFromRaw(data, w, h, cs).map { rgba =>
+          val rot = rotate90(rgba, w, h) // the reference's Flate-only quirk
+          (h, w, "png", encodePng(h, w, rot))
+        }
+      case "" =>
+        rgbaFromRaw(s.raw, w, h, cs).map(rgba => (w, h, "png", encodePng(w, h, rgba)))
+      case other => Left(s"unsupported filter $other") // mod.rs:165
+    }
+  }
+
+  /** Raw pixels → RGBA (alpha 255), mirroring the reference's
+    * RgbaImage construction incl. its strict length checks. */
+  private def rgbaFromRaw(data: Array[Byte], w: Int, h: Int,
+      colorSpace: String): Either[String, Array[Byte]] = colorSpace match {
+    case "DeviceRGB" =>
+      if (data.length != w * h * 3) Left("Content length does not match expected size for RGB")
+      else {
+        val out = new Array[Byte](w * h * 4)
+        var i = 0
+        while (i < w * h) {
+          out(i * 4) = data(i * 3); out(i * 4 + 1) = data(i * 3 + 1)
+          out(i * 4 + 2) = data(i * 3 + 2); out(i * 4 + 3) = -1
+          i += 1
+        }
+        Right(out)
+      }
+    case "DeviceGray" =>
+      if (data.length != w * h) Left("Content length does not match expected size for Gray")
+      else {
+        val out = new Array[Byte](w * h * 4)
+        var i = 0
+        while (i < w * h) {
+          val g = data(i)
+          out(i * 4) = g; out(i * 4 + 1) = g; out(i * 4 + 2) = g; out(i * 4 + 3) = -1
+          i += 1
+        }
+        Right(out)
+      }
+    case other => Left(s"Unsupported color space or image type: $other")
+  }
+
+  /** 90° clockwise rotation of an RGBA buffer (image crate rotate90):
+    * dst dims (h, w); dst(x, y) = src(y, h-1-x). */
+  def rotate90(rgba: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](rgba.length)
+    var y = 0
+    while (y < w) { // dst rows: dst height = w
+      var x = 0
+      while (x < h) { // dst cols: dst width = h
+        val si = ((h - 1 - x) * w + y) * 4
+        val di = (y * h + x) * 4
+        out(di) = rgba(si); out(di + 1) = rgba(si + 1)
+        out(di + 2) = rgba(si + 2); out(di + 3) = rgba(si + 3)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Minimal deterministic PNG encoder: 8-bit RGBA (color type 6),
+    * filter 0 on every scanline, one zlib IDAT. */
+  def encodePng(w: Int, h: Int, rgba: Array[Byte]): Array[Byte] = {
+    require(rgba.length == w * h * 4, "rgba buffer size")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def be(v: Int): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Unit = {
+      out.write(be(data.length))
+      val tb = tag.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new CRC32
+      crc.update(tb); crc.update(data)
+      out.write(be(crc.getValue.toInt))
+    }
+    chunk("IHDR", be(w) ++ be(h) ++ Array[Byte](8, 6, 0, 0, 0))
+    // scanlines: filter byte 0 + row
+    val scan = new Array[Byte](h * (1 + w * 4))
+    var y = 0
+    while (y < h) {
+      System.arraycopy(rgba, y * w * 4, scan, y * (1 + w * 4) + 1, w * 4)
+      y += 1
+    }
+    val d = new Deflater()
+    d.setInput(scan); d.finish()
+    val zout = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) zout.write(buf, 0, d.deflate(buf))
+    d.end()
+    chunk("IDAT", zout.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse width/height/color type from a PNG's IHDR (codec-free
+    * metadata decode for the multimodal feature stage). */
+  def pngMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (bytes.length < 33 || !bytes.take(8).sameElements(sig)) return None
+    def be(o: Int) = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+      ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+    if (new String(bytes.slice(12, 16), "US-ASCII") != "IHDR") None
+    else Some((be(16), be(20), bytes(25) & 0xff))
+  }
+
+  /** All page images of one PDF document, in the reference's
+    * enumeration order, named with its formula `{id}_{page}_{i}.png`
+    * (mod.rs:108). Undecodable images are skipped fail-soft, exactly
+    * like the reference's `.is_ok()` guard. */
+  def documentImages(docId: String, pdfBytes: Array[Byte]): Vector[ImageOut] = {
+    val doc = PdfDocument.load(pdfBytes)
+    (1 to doc.pageCount).flatMap { pageNum =>
+      val page = doc.pages(pageNum - 1)
+      ContentText.pageImageObjects(doc, page).zipWithIndex.flatMap { case ((_, s), i) =>
+        decode(doc, s) match {
+          case Right((w, h, fmt, bytes)) =>
+            Some(ImageOut(s"${docId}_${pageNum}_$i.png", w, h, fmt, bytes))
+          case Left(_) => None
+        }
+      }
+    }.toVector
+  }
+}

@@ -132,6 +132,19 @@ object Oracles {
         | CASE WHEN contains(source, ':') THEN source ELSE source || ':latest' END AS model_tag
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // image-doc membership and dimensions are BY CONSTRUCTION (fixture
+    // style 1 embeds 8x8 DCT + 4x4 Flate-gray + 2x2 raw-gray on page 1;
+    // the 4x4 stays 4x4 through the reference's Flate rotate90 quirk)
+    "pdfz_images" ->
+      """SELECT printf('doc%08d', i) AS doc_id,
+        | printf('doc%08d_1_%d.png', i, j) AS media_ref,
+        | CASE j WHEN 0 THEN 'jpeg' ELSE 'png' END AS format,
+        | CAST(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 2 END AS INTEGER) AS width,
+        | CAST(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 2 END AS INTEGER) AS height
+        |FROM range(400) t(i), range(3) u(j)
+        |WHERE i % 10 BETWEEN 4 AND 8 AND i % 4 = 1
+        |ORDER BY doc_id, media_ref""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

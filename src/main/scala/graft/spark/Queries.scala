@@ -119,6 +119,30 @@ object Queries {
           .otherwise(concat(col("source"), lit(":latest"))).as("model_tag"))
       .orderBy("doc_id")
 
+  /** S6/T4-T6 analog: materialize embedded PDF images — decoded to
+    * real PNG bytes for Flate/raw XObjects (rotate90 quirk preserved
+    * on the Flate path), opaque pass-through for DCT (no JPEG codec
+    * in-sandbox) — with the reference's `{id}_{page}_{i}.png` name
+    * formula. Output restricted to the oracle-expressible columns;
+    * payload bytes are pinned by unit tests (PdfImagesSpec). */
+  def pdfzImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = InterleavedTable.readVerifyCorpus(s)
+    docs.select(col("doc_id"), col("spans")).as[InterleavedDoc]
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          d.spans.iterator.filter(_.kind == "pdf_bytes").flatMap { sp =>
+            try graft.pdf.PdfImages
+              .documentImages(d.doc_id, java.util.Base64.getDecoder.decode(sp.text))
+              .map(im => (d.doc_id, im.name, im.format, im.width, im.height))
+            catch { case scala.util.control.NonFatal(_) => Vector.empty }
+          }
+        }
+      }
+      .toDF("doc_id", "media_ref", "format", "width", "height")
+      .orderBy("doc_id", "media_ref")
+  }
+
   /** S8 analog: point lookup of one document's content (`GET
     * /content/:id`) — partition-prunable scan, no shuffle. */
   def pdfzPointLookup(s: SparkSession, dir: String): DataFrame = {
@@ -470,6 +494,7 @@ object Queries {
     "pdfz_progress" -> (pdfzProgress _),
     "pdfz_dispatch" -> (pdfzDispatch _),
     "pdfz_point_lookup" -> (pdfzPointLookup _),
+    "pdfz_images" -> (pdfzImages _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenue _),

@@ -1,0 +1,88 @@
+package graft.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.fixtures.InterleavedGen
+
+/** Embedded-image extraction + PNG materialization (reference
+  * save_pdf_image, engine/mod.rs:138-211): decode classes, the
+  * Flate-only rotate90 quirk, the name formula, and the codec-free
+  * PNG encoder (verified by parsing our own output's IHDR and by
+  * construction of the zlib scanlines).
+  */
+class PdfImagesSpec extends AnyFunSuite {
+
+  private def images(text: String = "img doc") =
+    PdfImages.documentImages("docX", PdfBuilder.withImages(text))
+
+  test("withImages doc: 3 images, reference name formula, stable order") {
+    val ims = images()
+    assert(ims.map(_.name) == Vector("docX_1_0.png", "docX_1_1.png", "docX_1_2.png"))
+  }
+
+  test("DCTDecode: opaque pass-through (STUB of the JPEG->PNG transcode), dims from dict") {
+    val im = images()(0)
+    assert(im.format == "jpeg" && im.width == 8 && im.height == 8)
+    // the exact deterministic pseudo-JPEG payload the builder embeds
+    assert(im.bytes.toSeq == Array.tabulate[Byte](64)(i => ((i * 37 + 11) & 0xff).toByte).toSeq)
+  }
+
+  test("FlateDecode: inflated gray pixels -> rotate90 -> real PNG (the reference's quirk)") {
+    val im = images()(1)
+    assert(im.format == "png" && im.width == 4 && im.height == 4)
+    val Some((w, h, colorType)) = PdfImages.pngMeta(im.bytes)
+    assert((w, h, colorType) == (4, 4, 6)) // 8-bit RGBA like the reference's RgbaImage
+  }
+
+  test("raw DeviceGray: ColorSpace-interpreted RGBA PNG, no rotation") {
+    val im = images()(2)
+    assert(im.format == "png" && im.width == 2 && im.height == 2)
+    assert(PdfImages.pngMeta(im.bytes).contains((2, 2, 6)))
+  }
+
+  test("rotate90 is clockwise with swapped dims (asymmetric fixture)") {
+    // 2x1 row [A, B] -> 1x2 column [A; B] (left edge rotates to top)
+    val a = Array[Byte](1, 2, 3, -1); val b = Array[Byte](4, 5, 6, -1)
+    val rot = PdfImages.rotate90(a ++ b, 2, 1)
+    assert(rot.toSeq == (a ++ b).toSeq) // dst(0,0)=A, dst(0,1)=B
+    // 1x2 column [A; B] -> 2x1 row [B, A]
+    val rot2 = PdfImages.rotate90(a ++ b, 1, 2)
+    assert(rot2.toSeq == (b ++ a).toSeq)
+  }
+
+  test("PNG encoder round-trips through its own IHDR parser and zlib") {
+    val rgba = Array.tabulate[Byte](3 * 2 * 4)(i => i.toByte)
+    val png = PdfImages.encodePng(3, 2, rgba)
+    assert(PdfImages.pngMeta(png).contains((3, 2, 6)))
+    // IDAT inflates back to filter-0 scanlines carrying the pixels
+    val idatOff = png.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    val len = ((png(idatOff - 4) & 0xff) << 24) | ((png(idatOff - 3) & 0xff) << 16) |
+      ((png(idatOff - 2) & 0xff) << 8) | (png(idatOff - 1) & 0xff)
+    val scan = Filters.inflate(png.slice(idatOff + 4, idatOff + 4 + len))
+    assert(scan.length == 2 * (1 + 3 * 4))
+    assert(scan(0) == 0 && scan(1 + 3 * 4) == 0) // filter byte 0 per row
+    assert(scan.slice(1, 1 + 12).toSeq == rgba.slice(0, 12).toSeq)
+  }
+
+  test("determinism: same doc -> byte-identical images (retry idempotence)") {
+    val a = images(); val b = images()
+    assert(a.map(_.bytes.toSeq) == b.map(_.bytes.toSeq))
+  }
+
+  test("fixture style 1 docs in the corpus carry images; others none") {
+    // i=5: i%10=5 in 4..8, i%4=1 -> withImages
+    val (in5, _) = InterleavedGen.docWithGolden(5)
+    val pdf5 = java.util.Base64.getDecoder.decode(in5.spans.head.text)
+    assert(PdfImages.documentImages(in5.doc_id, pdf5).size == 3)
+    // i=6: style 2, plain multi-page, no images
+    val (in6, _) = InterleavedGen.docWithGolden(6)
+    val pdf6 = java.util.Base64.getDecoder.decode(in6.spans.head.text)
+    assert(PdfImages.documentImages(in6.doc_id, pdf6).isEmpty)
+  }
+
+  test("PngMetaDecoder extracts real dims from materialized PNGs") {
+    val im = images()(1)
+    val dec = new graft.operators.Multimodal.PngMetaDecoder("docX")
+    val f = dec.decode(im.name, im.bytes)
+    assert(f.format == "png" && f.width == 4 && f.height == 4 && f.phash.length == 16)
+  }
+}
