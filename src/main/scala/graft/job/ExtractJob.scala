@@ -383,6 +383,24 @@ object ExtractJob {
     }
   }
 
+  /** Status-string view ≡ the API's derived status vocabulary. The
+    * reference's `GET /progress/:id` computes
+    * `isFileInProcessing ? 'processing' : 'completed'`
+    * (/root/reference/api/src/server.ts:166) — a LOSSY read of the
+    * 4-value `Status` type (queue.ts:20): a FAILED or TTL-expired
+    * Redis status also reads **'completed'**; 'queued' is only ever
+    * returned by the submit response (server.ts:145). Analog over the
+    * lineage table, quirk preserved deliberately:
+    * no commits yet → 'queued' (submit-time view), partially
+    * committed → 'processing', all buckets committed → 'completed'
+    * even when failed_docs > 0. */
+  def statusString(tableDir: String, jobId: String, totalBuckets: Int): String = {
+    val committed = TableIO.committedBuckets(tableDir, jobId).size
+    if (committed == 0) "queued"
+    else if (committed < totalBuckets) "processing"
+    else "completed" // failed docs still read 'completed' — the quirk
+  }
+
   /** Progress view ≡ `GET /progress/:id` (server.ts:157-180): derived
     * from the lineage table, a metadata-scale aggregation. */
   def progress(spark: SparkSession, tableDir: String, jobId: String, totalBuckets: Int): DataFrame = {

@@ -128,6 +128,22 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(row.getInt(0) == 50)
   }
 
+  test("status vocabulary: queued -> processing -> completed; failed docs STILL read completed (server.ts:166 quirk)") {
+    import spark.implicits._
+    val table = tmpDir("graft-status")
+    val cfg = ExtractJob.Config(jobId = "st", numBuckets = 8, chunkBuckets = 4)
+    assert(ExtractJob.statusString(table, "st", 8) == "queued")
+    val mixed = spark.range(0, 10, 1, 2).map { i =>
+      if (i == 3) InterleavedGen.corruptDoc(i) else InterleavedGen.docWithGolden(i)._1
+    }.toDF()
+    ExtractJob.run(spark, mixed, table, cfg.copy(maxChunks = 1)) // half committed
+    assert(ExtractJob.statusString(table, "st", 8) == "processing")
+    val st = ExtractJob.run(spark, mixed, table, cfg.copy(attempt = 2)) // finish
+    assert(st.failedDocs + 1 >= 1) // corrupt doc failed in one of the runs
+    // the reference's lossy read: FAILED surfaces as 'completed'
+    assert(ExtractJob.statusString(table, "st", 8) == "completed")
+  }
+
   test("per-doc option columns override job defaults row-wise (NewFileProcessQueue fidelity)") {
     import spark.implicits._
     def pdfDoc(id: String, pages: Int) = {
