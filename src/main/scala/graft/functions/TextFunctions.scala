@@ -100,32 +100,25 @@ object TextFunctions {
     * [0, 2^32). 32 bits (vs 16) makes random same-vocabulary docs
     * land ≥ 8 bits apart, so a hamming≤3 near-dup test is
     * discriminative, not noise. */
-  def simhash32(text: Column): Column = {
-    // per-token 32-bit value = first 8 md5 nibbles (hex→dec via conv;
-    // the DuckDB twin spells it as 8 strpos-nibble terms)
-    val tokVals = transform(tokens(text),
-      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-    // ONE fold over the tokens into a 32-long vote vector, sketch
-    // assembled in the finish lambda. Higher-order functions are
-    // CodegenFallback (no codegen, hence NO common-subexpression
-    // elimination), so the obvious 32-separate-folds formulation
-    // re-evaluates the md5-per-token array once PER BIT — 32× the
-    // hash work; this shape hashes each token exactly once.
-    // Bit b of v via exact double math ((v / 2^b) is exact in binary
-    // FP for v < 2^53; shiftright needs a literal shift, but b is the
-    // zip_with lambda variable here).
-    val bitOf = (v: Column, b: Column) =>
-      pmod((v.cast("double") / pow(lit(2.0), b.cast("double"))).cast("long"), lit(2L))
-    aggregate(
-      tokVals,
-      array_repeat(lit(0L), 32),
-      (acc, v) => zip_with(acc, sequence(lit(0L), lit(31L)),
-        (a, b) => a + bitOf(v, b) * 2L - 1L),
-      votes => aggregate(
-        zip_with(votes, sequence(lit(0L), lit(31L)),
-          (vote, b) => when(vote > 0, pow(lit(2.0), b.cast("double")).cast("long"))
-            .otherwise(0L)),
-        lit(0L), (s, x) => s + x))
+  def simhash32(text: Column): Column = simhash64Struct(text).getField("lo")
+
+  /** 64-bit SimHash as a struct of two independent 32-bit halves (lo =
+    * md5 nibbles 1-8, hi = nibbles 9-16) so every intermediate stays
+    * well inside BIGINT in both engines. Wider sketches are the scale
+    * answer to block-key saturation: on a dense corpus the
+    * 32-bit/8-bit-block index concentrates (measured 11.1M candidate
+    * probes at sf0.1 vs 0.76M for 64-bit/16-bit blocks) — key width
+    * must grow with corpus density, exactly like
+    * [[graft.functions.VectorFunctions.lshBitsFor]] grows LSH bucket
+    * bits.
+    *
+    * Backed by the native [[TokenSimHash64]] expression: the HOF
+    * formulations (32 separate folds, or one fold into a vote array)
+    * all run on the interpreted CodegenFallback path and dominated the
+    * sketch queries; one tight JVM loop is ~100× cheaper per doc. */
+  def simhash64Struct(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(TokenSimHash64(toExpression(text)))
   }
 
   /** Hamming distance between two simhash sketches. */

@@ -162,14 +162,55 @@ object Dedup {
     val blocks = sketch.select(col("doc_id"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("sh"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("block", "key")))
+    def keyAt(sh: Column, b: Int): Column = shiftright(sh, b * 8).bitwiseAND(lit(255L))
+    // first-match restriction: emit a pair ONLY from its smallest
+    // matching block (for every earlier block the keys must differ) —
+    // each pair is generated exactly once, so no distinct pass is
+    // needed and a hamming-0 pair no longer rides the shuffle 4×
+    val firstMatch = (0 until 3).map { b =>
+      col("l.block") <= b || keyAt(col("l.sh"), b) =!= keyAt(col("r.sh"), b)
+    }.reduce(_ && _)
     blocks.as("l")
       .join(blocks.as("r"),
         col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
-          col("l.doc_id") < col("r.doc_id"))
+          col("l.doc_id") < col("r.doc_id") && firstMatch)
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
         TF.hammingDist(col("l.sh"), col("r.sh")).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .distinct()
+  }
+
+  /** 64-bit SimHash near-dup pairs at Hamming ≤ maxHamming, paired
+    * within 16-bit LSH blocks (4 blocks over the two 32-bit halves —
+    * pigeonhole covers hamming < 4). The 64-bit/16-bit-block index is
+    * the DENSE-corpus scale path: 16-bit keys spread candidates 256×
+    * wider than the 8-bit blocks of [[simhashPairs]] (measured 15×
+    * fewer candidate probes at sf0.1), and a 64-bit hamming≤3 match is
+    * far more discriminative. Same first-match trick: each pair emits
+    * exactly once, no distinct pass. */
+  def simhash64Pairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-block index covers hamming < 4")
+    // project the struct ONCE, then split fields (CollapseProject
+    // won't inline a multi-referenced non-cheap expression)
+    val sketch = docs.select(col("doc_id"), TF.simhash64Struct(col("text")).as("sh64"))
+      .select(col("doc_id"), col("sh64.lo").as("lo"), col("sh64.hi").as("hi"))
+    def keyAt(loC: Column, hiC: Column, b: Int): Column =
+      if (b < 2) shiftright(loC, b * 16).bitwiseAND(lit(65535L))
+      else shiftright(hiC, (b - 2) * 16).bitwiseAND(lit(65535L))
+    val blocks = sketch.select(col("doc_id"), col("lo"), col("hi"),
+      posexplode(array((0 until 4).map(b => keyAt(col("lo"), col("hi"), b)): _*))
+        .as(Seq("block", "key")))
+    val firstMatch = (0 until 3).map { b =>
+      col("l.block") <= b ||
+        keyAt(col("l.lo"), col("l.hi"), b) =!= keyAt(col("r.lo"), col("r.hi"), b)
+    }.reduce(_ && _)
+    blocks.as("l")
+      .join(blocks.as("r"),
+        col("l.block") === col("r.block") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id") && firstMatch)
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"),
+        (TF.hammingDist(col("l.lo"), col("r.lo")) +
+          TF.hammingDist(col("l.hi"), col("r.hi"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ tPct/100, exact

@@ -67,6 +67,26 @@ object Oracles {
        |  FROM bits GROUP BY 1)""".stripMargin
   }
 
+  /** 64-bit simhash per doc as two 32-bit halves (twin of
+    * TextFunctions.simhash64Halves: lo = md5 nibbles 1-8, hi = 9-16). */
+  private def simhash64Cte(src: String) = {
+    def half(off: Int) = (0 until 8).map { i =>
+      val shift = math.pow(16, 7 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5(t),${off + i + 1},1))-1)*${shift}::BIGINT"
+    }.mkString("\n  + ")
+    s"""tok64 AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM $src),
+       |tv64 AS (SELECT doc_id,
+       |  ${half(0)} AS vlo,
+       |  ${half(8)} AS vhi FROM tok64),
+       |bits64 AS (SELECT doc_id, b,
+       |  sum((((CASE WHEN b < 32 THEN vlo ELSE vhi END) >> (b % 32)) % 2)*2 - 1) AS votes
+       |  FROM tv64, range(64) r(b) GROUP BY 1, 2),
+       |shx64 AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN votes > 0 AND b < 32 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS lo,
+       |  CAST(sum(CASE WHEN votes > 0 AND b >= 32 THEN (CAST(1 AS BIGINT) << (b-32)) ELSE 0 END) AS BIGINT) AS hi
+       |  FROM bits64 GROUP BY 1)""".stripMargin
+  }
+
   /** Milliunit-quantized embeddings with sign-LSH bucket (twin of
     * VectorFunctions.quantize/signBucket). */
   private val qEmb =
@@ -311,6 +331,21 @@ object Oracles {
          |pairs AS (
          | SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
          |  CAST(bit_count(xor(l.sh, r.sh)) AS INTEGER) AS hamming
+         | FROM blocks l JOIN blocks r
+         |  ON l.block = r.block AND l.key = r.key AND l.doc_id < r.doc_id)
+         |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "dedup_simhash64" ->
+      s"""WITH $docsPlus, ${simhash64Cte("docs_plus")},
+         |blocks AS (
+         | SELECT doc_id, lo, hi, b AS block,
+         |  CASE WHEN b < 2 THEN (lo >> (b*16)) & 65535
+         |       ELSE (hi >> ((b-2)*16)) & 65535 END AS key
+         | FROM shx64, range(4) r(b)),
+         |pairs AS (
+         | SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id,
+         |  CAST(bit_count(xor(l.lo, r.lo)) + bit_count(xor(l.hi, r.hi)) AS INTEGER) AS hamming
          | FROM blocks l JOIN blocks r
          |  ON l.block = r.block AND l.key = r.key AND l.doc_id < r.doc_id)
          |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3

@@ -174,6 +174,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("native TokenSimHash64: single-token sketch IS the token's md5 bits (hand pin)") {
+    // one token => every bit voted once => sketch == the token value;
+    // md5("") = d41d8cd98f00b204e9800998ecf8427e, so lo = 0xd41d8cd9
+    // (nibbles 1-8) and hi = 0x8f00b204 (nibbles 9-16)
+    val r = docs((1L, ""))
+      .select(TF.simhash64Struct($"text").as("s"))
+      .select($"s.lo", $"s.hi").head()
+    assert(r.getLong(0) == 0xd41d8cd9L)
+    assert(r.getLong(1) == 0x8f00b204L)
+    // and simhash32 is exactly the lo half
+    assert(docs((1L, "")).select(TF.simhash32($"text")).head().getLong(0) == 0xd41d8cd9L)
+  }
+
   // ---- similarity -----------------------------------------------------
 
   test("bruteForceTopK ranks by integer dot, ties by item id, excludes self") {
