@@ -9,5 +9,7 @@ object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "dot_q", exprs => VectorDotQ(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_simhash64", exprs => TokenSimHash64(exprs.head), "scala_udf")
   }
 }

@@ -123,6 +123,31 @@ class OperatorsSpec extends AnyFunSuite {
     graft.functions.GraftFunctions.register(spark)
     Seq((Seq(2L, 3L), Seq(4L, 5L))).toDF("a", "b").createOrReplaceTempView("vecs")
     assert(spark.sql("SELECT dot_q(a, b) FROM vecs").head().getLong(0) == 23L)
+    assert(spark.sql("SELECT token_simhash64('').lo").head().getLong(0) == 0xd41d8cd9L)
+  }
+
+  test("GraftExtensions installs the native functions via SparkSessionExtensions") {
+    // a SEPARATE session built with .withExtensions over the same
+    // SparkContext — the application-level install path
+    // (spark.sql.extensions=graft.spark.GraftExtensions). getOrCreate
+    // returns the default session if one is set (ignoring extensions),
+    // so clear it first and restore after; never stop() here — the
+    // context is shared by the whole JVM's suites.
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]").appName("graft-ext-spec")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.spark.GraftExtensions)
+        .getOrCreate()
+      assert(s2.sql("SELECT dot_q(array(2L, 3L), array(4L, 5L))").head().getLong(0) == 23L)
+      assert(s2.sql("SELECT token_simhash64('').hi").head().getLong(0) == 0x8f00b204L)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
   }
 
   // ---- dedup operators ------------------------------------------------
