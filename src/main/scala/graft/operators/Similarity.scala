@@ -63,6 +63,47 @@ object Similarity {
       .select("query_id", "item_id", "dot", "rnk")
   }
 
+  /** IVF (inverted-file) top-k — the other standard ANN scale path
+    * next to LSH: items are assigned to their nearest coarse centroid
+    * (exact integer L2² over quantized vectors, ties to the smaller
+    * centroid id) forming inverted lists — ONE shuffle on the centroid
+    * id; each query probes only its `nProbe` nearest lists. Centroids
+    * here are deterministic seeds (the first `numCentroids` item
+    * vectors) so the DuckDB oracle can reproduce the exact partition —
+    * a production deployment would run k-means and persist the
+    * centroid table; everything downstream is unchanged.
+    *
+    * At 10^12 items: assignment is a broadcast (centroids are small)
+    * + map + one shuffle; probing scores ~nProbe/numCentroids of the
+    * corpus per query instead of all of it. */
+  def ivfTopK(queries: DataFrame, items: DataFrame, k: Int,
+      numCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val cent = items.where(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cid"), VF.quantize(col("embedding")).as("cv"))
+      .withColumn("cn", VF.normSqQ(col("cv")))
+    def assign(df: DataFrame, idName: String, qvName: String, keep: Int) = {
+      val v = df.select(col("vec_id").as(idName), VF.quantize(col("embedding")).as(qvName))
+        .withColumn("vn", VF.normSqQ(col(qvName)))
+      // exact integer L2²: |v-c|² = |v|² - 2·v·c + |c|²
+      val d2 = col("vn") - lit(2L) * VF.dotQ(col(qvName), col("cv")) + col("cn")
+      val w = Window.partitionBy(idName).orderBy(col("d2"), col("cid"))
+      v.crossJoin(broadcast(cent))
+        .withColumn("d2", d2)
+        .withColumn("crk", row_number().over(w))
+        .where(col("crk") <= keep)
+        .select(col(idName), col("cid"), col(qvName))
+    }
+    val lists = assign(items, "item_id", "qv", keep = 1) // inverted lists
+    val probes = assign(queries, "query_id", "q_qv", keep = nProbe)
+    val scored = broadcast(probes).join(lists, Seq("cid"))
+      .where(col("query_id") =!= col("item_id"))
+      .withColumn("dot", VF.dotQ(col("q_qv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("item_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "item_id", "dot", "rnk")
+  }
+
   /** Multi-table LSH top-k: `tables` independent sign-LSH bucket
     * tables (table t hashes dims [t·lshBits, (t+1)·lshBits)); a
     * candidate is any item sharing a bucket with the query in ANY

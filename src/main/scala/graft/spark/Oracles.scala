@@ -410,6 +410,25 @@ object Oracles {
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
     },
 
+    "sim_topk_ivf" ->
+      s"""WITH $qEmb,
+         |qn AS (SELECT vec_id, qv,
+         |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS vn FROM qemb),
+         |cent AS (SELECT vec_id AS cid, qv AS cv, vn AS cn FROM qn WHERE vec_id < 8),
+         |assign AS (SELECT vec_id, qv, cid,
+         |  row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY vn - 2*${dot("qv", "cv")} + cn, cid) AS crk
+         | FROM qn, cent),
+         |lists AS (SELECT vec_id AS item_id, qv, cid FROM assign WHERE crk = 1),
+         |probes AS (SELECT vec_id AS query_id, qv AS q_qv, cid FROM assign
+         | WHERE vec_id < 8 AND crk <= 2),
+         |scored AS (SELECT query_id, item_id, ${dot("q_qv", "qv")} AS dot
+         | FROM probes JOIN lists USING (cid) WHERE query_id <> item_id)
+         |SELECT query_id, item_id, dot, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dot DESC, item_id) AS rnk FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     "text_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |m AS (SELECT doc_id,

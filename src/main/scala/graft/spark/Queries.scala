@@ -387,6 +387,16 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF (inverted-file) top-5: items partitioned into inverted lists
+    * by nearest deterministic coarse centroid (exact integer L2²);
+    * each query probes its 2 nearest of 8 lists. */
+  def simTopkIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 5,
+        numCentroids = 8, nProbe = 2)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-document text statistics: token counts, stopword/length
     * ratios (permille/centichar integers), quality bucket. */
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -524,6 +534,7 @@ object Queries {
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_lsh_multi" -> (simTopkLshMulti _),
+    "sim_topk_ivf" -> (simTopkIvf _),
     "text_stats" -> (textStats _),
     "text_tokens_fp" -> (textTokensFp _),
     "text_langid" -> (textLangId _),

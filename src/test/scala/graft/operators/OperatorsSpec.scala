@@ -261,6 +261,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(multi.head.getAs[Long]("item_id") == 1L)
   }
 
+  test("ivfTopK scores ONLY the probed inverted lists (IVF semantics)") {
+    // centroids = first 2 items: c0=[1,0], c1=[0,1]; item 2 joins list
+    // c0, item 3 joins list c1. A query at c0 with nProbe=1 must score
+    // list c0 only — items 1 and 3 are invisible even though their
+    // dot products are computable.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f)), (3L, Seq(0.1f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfTopK(e.where($"vec_id" === 0), e, k = 5,
+        numCentroids = 2, nProbe = 1)
+      .select("item_id").as[Long].collect().toSet
+    assert(got == Set(2L))
+    // nProbe=2 probes both lists -> everything scored
+    val all = Similarity.ivfTopK(e.where($"vec_id" === 0), e, k = 5,
+        numCentroids = 2, nProbe = 2)
+      .select("item_id").as[Long].collect().toSet
+    assert(all == Set(1L, 2L, 3L))
+  }
+
   test("lshBitsFor grows with corpus size and is clamped") {
     assert(VF.lshBitsFor(1000L, targetBucketSize = 4096L) == 1)
     assert(VF.lshBitsFor(4096L * 16, targetBucketSize = 4096L) == 4)
