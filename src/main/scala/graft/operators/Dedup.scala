@@ -45,10 +45,21 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
     val banded = bandedSignatures(docs, shingleN, numHashes, bands)
-    val l = banded.as("l"); val r = banded.as("r")
-    l.join(r, col("l.band") === col("r.band") && col("l.sig") === col("r.sig") &&
-        col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+    // bucket members via ONE pass (groupBy + sorted collect_list, then
+    // pairs unfolded from the member array) — a self-join on (band,sig)
+    // computes the dominant shingle/minhash aggregation once PER SIDE
+    // (broadcast and shuffle exchanges never reuse each other). A
+    // mega-bucket collects into one row here, but all-pairs output is
+    // quadratic in bucket size regardless — the linear-output
+    // [[minhashLshStarPairs]] is the 10^12 path either way.
+    val members = banded.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ms"))
+      .where(size(col("ms")) >= 2)
+    members
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
       .distinct()
   }
 
@@ -56,24 +67,29 @@ object Dedup {
     * minhash values (hash k = min over shingles of md5(k:shingle) —
     * md5-string min is engine-portable) in `bands` bands.
     *
-    * ONE pass over the expensive signature aggregation: the band
-    * signatures are projected into a single array and `posexplode`d.
-    * (The previous union-of-per-band-selects form made Spark re-execute
-    * the shingle explode + minhash agg — the dominant stage — once PER
-    * BAND; a projection over one aggregate cannot be duplicated that
-    * way.) */
+    * The signature is computed MAP-SIDE by the native
+    * [[graft.functions.MinHashSigs]] expression — a per-row pure
+    * function needs no explode and no aggregation shuffle; the first
+    * exchange in any LSH plan is the bucket shuffle itself. (History:
+    * the union-of-per-band-selects form re-executed a shingle explode
+    * + minhash hash-agg once per band; the posexplode-over-one-agg
+    * form fixed the recompute but still paid the explode + agg
+    * exchange.) */
   private def bandedSignatures(docs: DataFrame, shingleN: Int,
       numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sh = docs
-      .select(col("doc_id"), explode(TF.shingles(col("text"), shingleN)).as("sh"))
-    val aggs = (0 until numHashes).map(k =>
-      min(md5(concat(lit(s"$k:"), col("sh")))).as(s"mh$k"))
-    val sigs = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    // band signature = md5 of its concatenated rows
+    val mh = {
+      import org.apache.spark.sql.GraftColumnBridge._
+      toColumn(graft.functions.MinHashSigs(toExpression(col("text")), shingleN, numHashes))
+    }
+    // null signature = doc shorter than one shingle (no rows in the
+    // exploded formulation either)
+    val sigs = docs.select(col("doc_id"), mh.as("mh")).where(col("mh").isNotNull)
+    // band signature = md5 of its concatenated minhash values
     val bandSig = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(k => col(s"mh$k"))
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => element_at(col("mh"), k + 1))
       md5(concat_ws("|", cols: _*))
     }
     sigs.select(col("doc_id"), posexplode(array(bandSig: _*)).as(Seq("band", "sig")))
