@@ -81,16 +81,13 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** Word n-gram shingles as md5 strings (dedup/minhash input).
-    * transform over a 0..len-n index range keeps this a single
-    * codegen'd expression (no explode needed at call sites that only
-    * want the array). */
+  /** Word n-gram shingles as md5 strings (dedup/jaccard input) —
+    * backed by the native [[ShingleMd5s]] expression (the transform-
+    * over-index-range HOF form runs interpreted; same motivation as
+    * [[TokenSimHash64]]). Empty array below n tokens. */
   def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    val count = size(toks) - lit(n - 1)
-    when(count <= 0, typedLit(Seq.empty[String]))
-      .otherwise(transform(sequence(lit(0), count - 1, lit(1)),
-        i => md5(array_join(slice(toks, i + 1, lit(n)), " "))))
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(ShingleMd5s(toExpression(text), n))
   }
 
   /** 32-bit SimHash from per-token md5 prefixes. For each token the
