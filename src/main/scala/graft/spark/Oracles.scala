@@ -235,6 +235,22 @@ object Oracles {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | count(*) AS n,
+        | CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        | CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        | CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        | CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        | CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_setops" ->
       """SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'
         |EXCEPT

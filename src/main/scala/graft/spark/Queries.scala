@@ -252,6 +252,30 @@ object Queries {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
       .orderBy("rf", "ls")
 
+  /** Full CUBE over (returnflag, linestatus) — every grouping-set
+    * combination plus grand total (extends [[qRollup]]'s hierarchy to
+    * the cross-product; absent from the reference, SURVEY.md §2.7). */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sum(round(col("l_quantity")).cast("long")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
+      .orderBy("rf", "ls")
+
+  /** Pivot: per-user event counts fanned into one column per event
+    * type (fixed vocabulary so the twin is plain conditional
+    * aggregation — the relational core of PIVOT). */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    rd(s, dir, "events")
+      .groupBy("user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy("user_id")
+  }
+
   /** Set operation: customers active before 1996 EXCEPT those still
     * active after 2000 (churned-customer detection shape). */
   def qSetOps(s: SparkSession, dir: String): DataFrame = {
@@ -520,6 +544,8 @@ object Queries {
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_rollup" -> (qRollup _),
+    "q_cube" -> (qCube _),
+    "q_pivot" -> (qPivot _),
     "q_setops" -> (qSetOps _),
     "q_above_group_avg" -> (qAboveGroupAvg _),
     "q_events_json" -> (qEventsJson _),

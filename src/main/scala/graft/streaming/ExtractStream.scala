@@ -81,6 +81,20 @@ object ExtractStream {
       }
   }
 
+  /** Streaming exact dedup over arriving documents: content
+    * fingerprint (order/duplication-invariant md5, ≡ the batch
+    * [[graft.operators.Dedup.exactGroups]] key) + `dropDuplicates` on
+    * it — Spark keeps the seen-fingerprint set in the state store, so
+    * duplicates are suppressed ACROSS micro-batches and across
+    * restarts (checkpointed state). At 10^12 docs unbounded dedup
+    * state is a memory risk: bound it by also watermarking an
+    * event-time column and using `dropDuplicatesWithinWatermark`
+    * (same plan shape; state pruned to the watermark horizon). */
+  def dedupStream(spark: SparkSession, docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .dropDuplicates("fp")
+
   /** Event-time windowed aggregation with a watermark over the events
     * stream table — the engine's late-data-tolerant streaming agg
     * (absent from the reference, which has no time semantics:

@@ -18,6 +18,33 @@ class ExtractStreamSpec extends AnyFunSuite {
   private def tmp(tag: String): String =
     Files.createTempDirectory(s"graft-stream-$tag").toString
 
+  test("streaming dedup suppresses duplicates ACROSS micro-batches (state-store fingerprints)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val src = tmp("dd-src"); val out = tmp("dd-out"); val ck = tmp("dd-ck")
+    // two separate files = two micro-batches (maxFilesPerTrigger=1);
+    // 'b a' in file 2 is a token-order duplicate of file 1's 'a b'
+    Seq((1L, "a b"), (2L, "unique one")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq((3L, "b a"), (4L, "another unique")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/f2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f*")
+    val q = ExtractStream.dedupStream(spark, stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    // doc 3 is the cross-batch duplicate: exactly one of {1,3} survives
+    // (batch order decides which), both uniques survive
+    assert(kept.size == 3 && kept.contains(2L) && kept.contains(4L))
+    assert((kept & Set(1L, 3L)).size == 1)
+  }
+
   test("streaming extraction over the corpus equals the by-construction goldens (S1 queue ≡ file stream)") {
     import spark.implicits._
     val n = 60
