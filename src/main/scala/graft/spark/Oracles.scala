@@ -273,6 +273,18 @@ object Oracles {
         | CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "q_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events
+        |  WHERE event_type = 'click'),
+        |sg AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, CAST(max(event_id) AS BIGINT) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.tms, s.signup_id
+        |FROM clicks c ASOF LEFT JOIN sg s
+        |  ON c.user_id = s.user_id AND c.tms >= s.tms
+        |ORDER BY c.event_id""".stripMargin,
+
     // ---- dedup / similarity / text analysis
     "dedup_exact" ->
       s"""WITH $docsPlus

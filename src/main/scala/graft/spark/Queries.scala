@@ -301,6 +301,24 @@ object Queries {
       .orderBy("o_orderkey")
   }
 
+  /** As-of join: every click event enriched with the user's most
+    * recent prior (or simultaneous) signup event — the point-in-time
+    * join Spark lacks as a built-in, one shuffle+sort (see
+    * [[graft.operators.AsOfJoin]]); DuckDB's native ASOF JOIN is the
+    * oracle twin. */
+  def qAsof(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("tms"), col("event_type"))
+    val clicks = ev.where(col("event_type") === "click").drop("event_type")
+    // unique right rows per (user, time): deterministic tie-break
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy("user_id", "tms").agg(max("event_id").as("signup_id"))
+    graft.operators.AsOfJoin.asOf(clicks, signups,
+        keys = Seq("user_id"), timeCol = "tms", payloadCols = Seq("signup_id"))
+      .orderBy("event_id")
+  }
+
   /** Semi-structured extraction: JSON props column → typed field,
     * aggregated per event type. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
@@ -549,6 +567,7 @@ object Queries {
     "q_setops" -> (qSetOps _),
     "q_above_group_avg" -> (qAboveGroupAvg _),
     "q_events_json" -> (qEventsJson _),
+    "q_asof" -> (qAsof _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_star" -> (dedupMinhashStar _),

@@ -288,6 +288,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(VF.lshBitsFor(4096L * 16, targetBucketSize = 4096L, maxBits = 3) == 3)
   }
 
+  test("asOf join: latest right row at-or-before each left row, per key, null when none") {
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 5L, "l0"), (2L, 50L, "m1"))
+      .toDF("k", "tms", "tag")
+    val right = Seq((1L, 10L, 100L), (1L, 15L, 101L), (2L, 60L, 102L))
+      .toDF("k", "tms", "pay")
+    val got = AsOfJoin.asOf(left, right, keys = Seq("k"), timeCol = "tms",
+        payloadCols = Seq("pay"))
+      .collect().map(r => (r.getAs[String]("tag"),
+        if (r.isNullAt(r.fieldIndex("pay"))) -1L else r.getAs[Long]("pay"))).toMap
+    assert(got("l0") == -1L)  // before any right row -> null
+    assert(got("l1") == 100L) // tie: right row AT the left time is visible
+    assert(got("l2") == 101L) // latest prior wins
+    assert(got("m1") == -1L)  // key 2: right row is in the future
+  }
+
   // ---- multimodal plumbing -------------------------------------------
 
   test("multimodal stub features are deterministic and schema-typed") {
