@@ -235,6 +235,17 @@ object Oracles {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY rf, ls""".stripMargin,
 
+    "q_median" ->
+      """WITH p AS (SELECT o_orderpriority, o_orderkey,
+        |  CAST(round(o_totalprice*100) AS BIGINT) AS price_cents FROM orders),
+        |rk AS (SELECT o_orderpriority, price_cents,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY price_cents, o_orderkey) AS rk,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        | FROM p)
+        |SELECT o_orderpriority, price_cents AS median_cents, CAST(n AS BIGINT) AS n
+        |FROM rk WHERE rk = (n + 1) // 2 ORDER BY o_orderpriority""".stripMargin,
+
     "q_cube" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         | count(*) AS n,

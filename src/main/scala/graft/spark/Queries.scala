@@ -252,6 +252,21 @@ object Queries {
         coalesce(col("l_linestatus"), lit("ALL")).as("ls"), col("n"), col("sum_qty"))
       .orderBy("rf", "ls")
 
+  /** Exact per-group order statistics via window rank — the lower
+    * median of order price per priority, deterministic in both engines
+    * (no percentile-interpolation semantics to disagree on: rank
+    * (n+1)/2 of the (price, orderkey)-sorted group). */
+  def qMedian(s: SparkSession, dir: String): DataFrame = {
+    val ord = rd(s, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"), cents(col("o_totalprice")).as("price_cents"))
+    val w = Window.partitionBy("o_orderpriority").orderBy(col("price_cents"), col("o_orderkey"))
+    ord.withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderpriority")))
+      .where(col("rk") === floor((col("n") + lit(1)) / lit(2))) // integer lower-median rank
+      .select(col("o_orderpriority"), col("price_cents").as("median_cents"), col("n"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Full CUBE over (returnflag, linestatus) — every grouping-set
     * combination plus grand total (extends [[qRollup]]'s hierarchy to
     * the cross-product; absent from the reference, SURVEY.md §2.7). */
@@ -563,6 +578,7 @@ object Queries {
     "q_events_sessions" -> (qEventsSessions _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
+    "q_median" -> (qMedian _),
     "q_pivot" -> (qPivot _),
     "q_setops" -> (qSetOps _),
     "q_above_group_avg" -> (qAboveGroupAvg _),
