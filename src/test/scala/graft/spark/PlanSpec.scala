@@ -116,6 +116,15 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Window"), s"expected window-df plan:\n${plan.take(4000)}")
   }
 
+  test("window top-k: Spark's rank-limit pushdown (WindowGroupLimit) engages — no full-partition sort-and-discard") {
+    // InferWindowGroupLimit rewrites filter(row_number<=k over w) into a
+    // partial per-partition group limit BEFORE the shuffle — the exact
+    // optimization a hand-rolled top-k operator would buy; pinned so a
+    // query change that silently breaks the pattern shows up here
+    val plan = physical(Queries.qWindowTopN(spark, sf))
+    assert(plan.contains("WindowGroupLimit"), s"rank-limit pushdown lost:\n${plan.take(4000)}")
+  }
+
   test("whole-stage codegen covers the scalar aggregation pipeline (q1)") {
     // note: array higher-order functions (textStats) are CodegenFallback
     // by design in Spark — the codegen pin targets the scalar path
