@@ -97,6 +97,45 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readSpans(killed) == readSpans(single))
   }
 
+  test("job extracts spans in offset order even when stored shuffled (InternalRow path)") {
+    import spark.implicits._
+    val table = tmpDir("graft-shuffled")
+    val in = spark.createDataset(Seq(InterleavedDoc("ds", Seq(
+      RawSpan("text", "third", "", 2),
+      RawSpan("text", "first", "", 0),
+      RawSpan("media", "", "m.png", 1))))).toDF()
+    ExtractJob.run(spark, in, table, ExtractJob.Config(numBuckets = 2))
+    assert(readSpans(table)("ds").map(s => (s.kind, s.text, s.media_ref)) ==
+      Seq(("text", "first", ""), ("media", "", "m.png"), ("text", "third", "")))
+  }
+
+  test("kill mid-chunk: uncommitted task files (_temporary) are invisible to readers and resume") {
+    import spark.implicits._
+    // the v1 committer keeps in-flight task output under _temporary
+    // until job commit; a kill mid-chunk must leave nothing a reader or
+    // a resume can see (this is why the v2 committer is bench-only)
+    val table = tmpDir("graft-killmid")
+    val input = corpusDf(40)
+    val cfg = ExtractJob.Config(jobId = "km", numBuckets = 8, chunkBuckets = 4)
+    ExtractJob.run(spark, input, table, cfg.copy(maxChunks = 1)) // chunk 1 committed
+    // simulate the kill: chunk 2 died mid-write, leaving only task
+    // attempt files under _temporary (what the v1 committer leaves)
+    val tmpTask = new java.io.File(
+      s"${TableIO.dataDir(table)}/_temporary/0/_temporary/attempt_x/part-00000.parquet")
+    tmpTask.getParentFile.mkdirs()
+    spark.createDataset(Seq(ExtractJob.OutRow("doc_BOGUS", Seq(Span("text", "x", "", 0)), 3)))
+      .write.mode("overwrite").parquet(tmpTask.toString)
+    val before = readSpans(table)
+    assert(!before.contains("doc_BOGUS"), "reader must ignore _temporary")
+    val resumed = ExtractJob.run(spark, input, table, cfg.copy(attempt = 2))
+    assert(resumed.committedBucketsBefore == 4 && resumed.bucketsProcessed == 4)
+    val after = readSpans(table)
+    assert(!after.contains("doc_BOGUS"))
+    val single = tmpDir("graft-killmid-single")
+    ExtractJob.run(spark, input, single, cfg)
+    assert(after == readSpans(single))
+  }
+
   test("rerun of a complete table is a metadata no-op") {
     val table = tmpDir("graft-noop")
     val input = corpusDf(20)
