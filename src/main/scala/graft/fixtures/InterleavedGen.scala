@@ -19,7 +19,10 @@ import graft.pdf.PdfBuilder
   *   2    → media-only doc (2 spans)
   *   3    → mixed text+media
   *   9    → multi-page "heavy" PDF (skew tail; page count grows with i)
-  *   else → PDF doc, 1-4 pages; style rotates plain/flate/objstm/images
+  *   else → PDF doc; style = i mod 4: 0 = single-page object-stream,
+  *          1 = single-page with embedded image XObjects
+  *          (DCT + Flate + raw — the image sink path),
+  *          2/3 = 3-4 pages plain/flate
   */
 object InterleavedGen {
 

@@ -113,10 +113,18 @@ object ExtractCli {
         ExtractJob.progress(spark, table, jobId, buckets).show(false)
         spark.stop()
 
+      case "status" :: table :: rest =>
+        // ≡ GET /progress/:id's derived status string (metadata-only —
+        // no Spark session needed; see ExtractJob.statusString quirk doc)
+        val jobId = rest.headOption.getOrElse("extract")
+        val buckets = rest.drop(1).headOption.map(_.toInt).getOrElse(64)
+        println(s"""{"id":"$jobId","status":"${ExtractJob.statusString(table, jobId, buckets)}"}""")
+
       case _ =>
         System.err.println("usage: ExtractCli gen <dir> <n> | run <corpus> <table> [chunk] [buckets] [scan|bucketed] | " +
           "stream <corpus> <table> [checkpointDir] | " +
-          "show <table> <doc_id> | verify <corpus> <table> | progress <table> [jobId] [buckets]")
+          "show <table> <doc_id> | verify <corpus> <table> | progress <table> [jobId] [buckets] | " +
+          "status <table> [jobId] [buckets]")
         sys.exit(2)
     }
   }
