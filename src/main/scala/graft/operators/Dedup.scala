@@ -231,20 +231,32 @@ object Dedup {
 
   /** Embedding near-duplicates: pairs with cosine ≥ tPct/100, exact
     * integer test over milliunit-quantized vectors, bucketed by
-    * sign-LSH on the first `lshBits` dims so the pair join is
-    * per-bucket, not all-pairs. NOTE: sign-LSH is approximate — a pair
-    * straddling a hyperplane in those dims is missed; raise recall
-    * with multiple rotated bucket tables at scale. */
+    * sign-LSH so the pair join is per-bucket, not all-pairs. Sign-LSH
+    * is approximate — a pair straddling a hyperplane of one table is
+    * missed deterministically; `tables > 1` unions independent bucket
+    * tables over disjoint dim ranges (same recall mechanism as
+    * [[Similarity.lshTopKMulti]]), deduping candidates before the
+    * exact cosine verify. Size `lshBits` with
+    * [[graft.functions.VectorFunctions.lshBitsFor]]: fixed bits make
+    * per-bucket work O(n²/2^bits) — quadratic again at 10^12 rows. */
   def embeddingNearDupPairs(emb: DataFrame, tPct: Int = 80,
-      lshBits: Int = 4): DataFrame = {
+      lshBits: Int = 4, tables: Int = 1): DataFrame = {
     val q = emb.select(col("vec_id"),
-      VF.signBucket(col("embedding"), lshBits).as("bucket"),
+      posexplode(array((0 until tables).map(t =>
+        VF.signBucket(col("embedding"), lshBits, offset = t * lshBits)): _*))
+        .as(Seq("tbl", "bucket")),
       VF.quantize(col("embedding")).as("qv"))
       .withColumn("nsq", VF.normSqQ(col("qv")))
-    q.as("l").join(q.as("r"),
-        col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
-      .withColumn("dot", VF.dotQ(col("l.qv"), col("r.qv")))
-      .where(VF.cosineGePct(col("dot"), col("l.nsq"), col("r.nsq"), tPct))
-      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"), col("dot"))
+    val cands = q.as("l").join(q.as("r"),
+        col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"),
+        col("l.qv").as("a_qv"), col("r.qv").as("b_qv"),
+        col("l.nsq").as("a_nsq"), col("r.nsq").as("b_nsq"))
+    val deduped = if (tables == 1) cands else cands.dropDuplicates("a_id", "b_id")
+    deduped
+      .withColumn("dot", VF.dotQ(col("a_qv"), col("b_qv")))
+      .where(VF.cosineGePct(col("dot"), col("a_nsq"), col("b_nsq"), tPct))
+      .select(col("a_id"), col("b_id"), col("dot"))
   }
 }

@@ -261,6 +261,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(multi.head.getAs[Long]("item_id") == 1L)
   }
 
+  test("embeddingNearDupPairs tables=2 recovers a straddling near-dup single-table misses") {
+    // vecs 0/1 are near-identical but differ in dim-1 sign (invisible
+    // to table 0 over dims 1-4); dims 5-8 agree -> table 1 catches it
+    val e = Seq(
+      (0L, Seq(0.01f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)),
+      (1L, Seq(-0.01f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val single = Dedup.embeddingNearDupPairs(e, tPct = 95, lshBits = 4).collect()
+    assert(single.isEmpty, "fixture must straddle table 0")
+    val multi = Dedup.embeddingNearDupPairs(e, tPct = 95, lshBits = 4, tables = 2)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+    assert(multi.toSeq == Seq((0L, 1L)))
+  }
+
   test("ivfTopK scores ONLY the probed inverted lists (IVF semantics)") {
     // centroids = first 2 items: c0=[1,0], c1=[0,1]; item 2 joins list
     // c0, item 3 joins list c1. A query at c0 with nProbe=1 must score
