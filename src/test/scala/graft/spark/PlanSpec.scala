@@ -81,17 +81,19 @@ class PlanSpec extends AnyFunSuite {
       s"doc_id filter not pushed:\n$plan")
   }
 
-  test("minhash LSH: the shingle signature agg runs ONCE per join side (no per-band recompute)") {
+  test("minhash LSH: signature is MAP-SIDE (no shingle explode/agg); first exchange is the bucket shuffle") {
     val plan = physical(Queries.dedupMinhashLsh(spark, sf))
-    // the expensive stage is groupBy(doc_id).agg(min(md5(k:sh))...) over
-    // exploded shingles; with band sigs posexploded from ONE projection
-    // there are exactly 2 shingle explodes (self-join l/r) — the old
-    // union-of-selects form had one per band per side (8)
-    val explodes = "Generate explode".r.findAllIn(plan).size
-    assert(explodes <= 2, s"shingle agg recomputed per band ($explodes explodes):\n${plan.take(4000)}")
-    val posexplodes = "Generate posexplode".r.findAllIn(plan).size
-    assert(posexplodes >= 1 && posexplodes <= 2,
-      s"expected banded sigs via posexplode:\n${plan.take(4000)}")
+    // the minhash signature is a native per-row expression (MinHashSigs)
+    // posexploded into band rows, and pairs come from ONE
+    // groupBy(band,sig) collect_list + pair unfold — the old plans'
+    // signature hash-agg over exploded shingles (min(md5(k:sh)) with
+    // partial_min) must not exist anywhere
+    assert(!plan.contains("partial_min"),
+      s"shingle-agg signature path resurfaced:\n${plan.take(4000)}")
+    assert(plan.contains("minhash_sigs"),
+      s"native map-side signature lost:\n${plan.take(4000)}")
+    assert(plan.contains("collect_list"),
+      s"one-pass bucket-member pairing lost:\n${plan.take(4000)}")
   }
 
   test("simhash: the 32-term sketch is evaluated once per side (posexplode, not per-block union)") {
