@@ -69,17 +69,23 @@ object Multimodal {
   /** Input: (doc_id string, media_ref string, payload binary).
     * Output: Dataset[MediaFeatures]. Decoder constructed once per
     * partition — the batching that makes real codecs affordable. */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] =
+    extractFeaturesWith(spark, media, docId => new StubDecoder(docId))
+
+  /** [[extractFeatures]] with a pluggable decoder factory (e.g.
+    * [[PngMetaDecoder]] for real PNG payloads). */
+  def extractFeaturesWith(spark: SparkSession, media: DataFrame,
+      mkDecoder: String => MediaDecoder): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id").cast("string"), col("media_ref").cast("string"),
         col("payload").cast("binary"))
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition decoder cache (here keyed by doc for the stub's
+        // per-partition decoder cache (keyed by doc for the decoders'
         // doc_id capture; a real codec would be one shared instance)
         val cache = scala.collection.mutable.HashMap.empty[String, MediaDecoder]
         it.map { case (docId, ref, bytes) =>
-          cache.getOrElseUpdate(docId, new StubDecoder(docId)).decode(ref, bytes)
+          cache.getOrElseUpdate(docId, mkDecoder(docId)).decode(ref, bytes)
         }
       }
   }

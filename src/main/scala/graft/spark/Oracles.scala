@@ -531,6 +531,18 @@ object Oracles {
          |FROM b ORDER BY doc_id, media_ref""".stripMargin
     },
 
+    // real-payload multimodal features: PNG dims parsed from IHDR by
+    // the decoder; DCT pass-throughs are not PNGs -> unknown/0/0
+    "mm_pdf_image_features" ->
+      """SELECT printf('doc%08d', i) AS doc_id,
+        | printf('doc%08d_1_%d.png', i, j) AS media_ref,
+        | CASE j WHEN 0 THEN 'unknown' ELSE 'png' END AS format,
+        | CAST(CASE j WHEN 0 THEN 0 WHEN 1 THEN 4 ELSE 2 END AS INTEGER) AS width,
+        | CAST(CASE j WHEN 0 THEN 0 WHEN 1 THEN 4 ELSE 2 END AS INTEGER) AS height
+        |FROM range(400) t(i), range(3) u(j)
+        |WHERE i % 10 BETWEEN 4 AND 8 AND i % 4 = 1
+        |ORDER BY doc_id, media_ref""".stripMargin,
+
     "text_langid" -> {
       s"""WITH ${simhashCte("documents")},
          |t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),

@@ -559,6 +559,31 @@ object Queries {
       .toDF()
       .orderBy("doc_id", "media_ref")
 
+  /** End-to-end multimodal over REAL payloads: PDF image XObjects →
+    * materialized bytes (PNG for Flate/raw, opaque DCT pass-through) →
+    * batched per-partition feature decode with the real IHDR-parsing
+    * [[Multimodal.PngMetaDecoder]] (DCT payloads are not PNGs →
+    * format "unknown", zero dims — honest stub boundary). */
+  def mmPdfImageFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = InterleavedTable.readVerifyCorpus(s)
+    val media = docs.select(col("doc_id"), col("spans")).as[InterleavedDoc]
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          d.spans.iterator.filter(_.kind == "pdf_bytes").flatMap { sp =>
+            try graft.pdf.PdfImages
+              .documentImages(d.doc_id, java.util.Base64.getDecoder.decode(sp.text))
+              .map(im => (d.doc_id, im.name, im.bytes))
+            catch { case scala.util.control.NonFatal(_) => Vector.empty }
+          }
+        }
+      }.toDF("doc_id", "media_ref", "payload")
+    Multimodal.extractFeaturesWith(s, media, docId => new Multimodal.PngMetaDecoder(docId))
+      .toDF()
+      .select("doc_id", "media_ref", "format", "width", "height")
+      .orderBy("doc_id", "media_ref")
+  }
+
   /** name → query. Keys match Oracles.sql keys (rows-only checks for
     * the extraction/multimodal entries, which SQL cannot express). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -602,5 +627,6 @@ object Queries {
     "extract_spans" -> (extractSpans _),
     "extract_parity" -> (extractParity _),
     "stream_extract_parity" -> (streamExtractParity _),
-    "mm_media_features" -> (mmMediaFeatures _))
+    "mm_media_features" -> (mmMediaFeatures _),
+    "mm_pdf_image_features" -> (mmPdfImageFeatures _))
 }
