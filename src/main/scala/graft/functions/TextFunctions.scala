@@ -131,12 +131,14 @@ object TextFunctions {
     size(regexp_extract_all(text, lit(BpeishPattern), lit(0))).cast("long")
 
   /** Order-sensitive rolling-hash fingerprint: left fold of
-    * h → (h*31 + charCode) mod (2^31−1) over the characters. Detects
+    * h → (h*31 + codePoint) mod (2^31−1) over the characters. Detects
     * exact duplicates cheaply and, unlike [[fingerprint]], changes when
     * token ORDER changes. Step-wise modular integer arithmetic →
-    * bit-identical in the DuckDB twin (list_reduce). */
+    * bit-identical in the DuckDB twin (list_reduce). Backed by the
+    * native [[RollingFp]] expression (the per-character HOF fold ran
+    * interpreted). */
   def rollingFingerprint(text: Column): Column = {
-    val codes = transform(split(text, ""), c => ascii(c).cast("long"))
-    aggregate(codes, lit(0L), (h, c) => pmod(h * 31L + c, lit(2147483647L)))
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(RollingFp(toExpression(text)))
   }
 }

@@ -70,6 +70,13 @@ object NativeExprProperties extends Properties("graft.nativeexpr") {
       got == refShingles(t, n)
     }
 
+  property("RollingFp == code-point left fold mod 2^31-1") =
+    forAll(text) { t =>
+      var h = 0L
+      t.codePoints().forEach(cp => h = (h * 31L + cp) % 2147483647L)
+      graft.functions.RollingFp(lit(t)).eval(null) == h
+    }
+
   property("MinHashSigs == per-k min of md5hex(k:shingle); null below n tokens") =
     forAll(text, Gen.chooseNum(1, 3), Gen.chooseNum(1, 8)) { (t, n, k) =>
       val got = MinHashSigs(lit(t), n, k).eval(null)
