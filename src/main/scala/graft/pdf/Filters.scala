@@ -170,6 +170,55 @@ object Filters {
     out.toByteArray
   }
 
+  /** LZWDecode (§7.4.4): variable-width MSB-first codes, 256 = clear
+    * table, 257 = EOD; code width starts at 9 bits and widens at
+    * 512/1024/2048 entries, one code EARLY when `earlyChange` = 1 (the
+    * PDF default). Handles the KwKwK case (a code one past the table).
+    * The reference decodes LZW streams through lopdf; legacy PDFs
+    * still carry it. */
+  def lzwDecode(data: Array[Byte], earlyChange: Int = 1): Array[Byte] = {
+    val out = new ByteArrayOutputStream(math.max(256, data.length * 3))
+    // dictionary of byte strings; slots 256/257 are control codes
+    var dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    def resetDict(): Unit = {
+      var i = 0
+      while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+      dictSize = 258
+    }
+    resetDict()
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L; var bitCnt = 0; var pos = 0
+    var done = false
+    while (!done) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xffL); bitCnt += 8; pos += 1
+      }
+      if (bitCnt < width) done = true // truncated tail: stop (fail-soft EOD)
+      else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { resetDict(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry =
+            if (code < dictSize && dict(code) != null) dict(code)
+            else if (code == dictSize && prev != null) prev :+ prev(0) // KwKwK
+            else throw new PdfParseException(s"bad LZW code $code (dict $dictSize)")
+          out.write(entry, 0, entry.length)
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+          }
+          prev = entry
+          if (width < 12 && dictSize + earlyChange >= (1 << width)) width += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
+
   /** Image filters we pass through as opaque payloads. */
   val opaqueFilters: Set[String] = Set("DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode")
 
@@ -204,6 +253,17 @@ object Filters {
               cur = unpredict(cur, pred, colors, bpc, cols)
             case _ =>
           }
+        case "LZWDecode" | "LZW" =>
+          val (early, pred, colors, bpc, cols) = parms match {
+            case d: PDict => (
+              resolve(d.get("EarlyChange").getOrElse(PInt(1))).asInt.getOrElse(1L).toInt,
+              resolve(d.get("Predictor").getOrElse(PInt(1))).asInt.getOrElse(1L).toInt,
+              resolve(d.get("Colors").getOrElse(PInt(1))).asInt.getOrElse(1L).toInt,
+              resolve(d.get("BitsPerComponent").getOrElse(PInt(8))).asInt.getOrElse(8L).toInt,
+              resolve(d.get("Columns").getOrElse(PInt(1))).asInt.getOrElse(1L).toInt)
+            case _ => (1, 1, 1, 8, 1)
+          }
+          cur = unpredict(lzwDecode(cur, early), pred, colors, bpc, cols)
         case "ASCIIHexDecode" | "AHx" => cur = asciiHexDecode(cur)
         case "ASCII85Decode" | "A85"  => cur = ascii85Decode(cur)
         case "RunLengthDecode" | "RL" => cur = runLengthDecode(cur)
