@@ -90,6 +90,21 @@ object TextFunctions {
     toColumn(ShingleMd5s(toExpression(text), n))
   }
 
+  /** Per-doc MinHash signature array (native [[MinHashSigs]]); null
+    * below `shingleN` tokens. */
+  def minhashSigs(text: Column, shingleN: Int, numHashes: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(MinHashSigs(toExpression(text), shingleN, numHashes))
+  }
+
+  /** Element-wise minimum AGGREGATE over string arrays — the MinHash
+    * cluster-signature merge (native [[ArrayMinAgg]]; runs with
+    * map-side partial aggregation like any hash agg). */
+  def arrayMinAgg(arr: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(ArrayMinAgg(toExpression(arr)).toAggregateExpression())
+  }
+
   /** 32-bit SimHash from per-token md5 prefixes. For each token the
     * first 8 hex chars of md5(token) supply 32 bits; each bit votes
     * +1/-1; the sketch bit is 1 iff the vote sum is positive. Integer

@@ -406,6 +406,20 @@ object Oracles {
          | AND CAST(dot AS HUGEINT)*dot*10000 >= CAST(nl AS HUGEINT)*nr*6400
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "dedup_cluster_sigs" -> {
+      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
+      val outer = (0 until 8).map(k => s"min(mh$k)").mkString(", ")
+      """WITH shd AS (
+        | SELECT doc_id, unnest(list_transform(
+        |   range(0, greatest(len(string_split(text,' ')) - 2, 0)),
+        |   i -> md5(array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS sh
+        | FROM documents),
+        |""".stripMargin +
+        s"""sigs AS (SELECT doc_id, $mins FROM shd GROUP BY doc_id)
+           |SELECT doc_id % 16 AS bucket, [$outer] AS cluster_sig
+           |FROM sigs GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
     "sim_topk_brute" ->
       s"""WITH $qEmb,
          |q AS (SELECT vec_id AS query_id, qv AS q_qv FROM qemb WHERE vec_id < 8),

@@ -419,6 +419,19 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  /** MinHash CLUSTER signatures: element-wise min of member signatures
+    * per bucket — the signature-merge that lets re-clustering run over
+    * cluster representatives instead of members (custom ArrayMinAgg
+    * aggregate: built-ins can't express element-wise array min with
+    * map-side combine at arbitrary signature width). */
+  def dedupClusterSigs(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .select((col("doc_id") % 16).as("bucket"), TF.minhashSigs(col("text"), 3, 8).as("mh"))
+      .where(col("mh").isNotNull)
+      .groupBy("bucket")
+      .agg(TF.arrayMinAgg(col("mh")).as("cluster_sig"))
+      .orderBy("bucket")
+
   /** Brute-force top-5 neighbors by exact integer dot product for the
     * first 8 vectors (the ANN correctness baseline). */
   def simTopkBrute(s: SparkSession, dir: String): DataFrame = {
@@ -617,6 +630,7 @@ object Queries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash64" -> (dedupSimhash64 _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_cluster_sigs" -> (dedupClusterSigs _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_lsh_multi" -> (simTopkLshMulti _),

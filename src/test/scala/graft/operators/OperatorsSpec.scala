@@ -199,6 +199,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("ArrayMinAgg: element-wise min across a shuffled group; nulls ignored; empty group null") {
+    val df = Seq(
+      (1L, Some(Seq("m", "a", "z"))),
+      (1L, Some(Seq("b", "x", "y"))),
+      (1L, None: Option[Seq[String]]), // ignored like built-in min
+      (2L, Some(Seq("q", "q", "q"))))
+      .toDF("k", "arr").repartition(4) // forces partial/merge/serialize path
+    val got = df.groupBy("k").agg(TF.arrayMinAgg($"arr").as("m"))
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Seq[String]]("m")).toMap
+    assert(got(1L) == Seq("b", "a", "y"))
+    assert(got(2L) == Seq("q", "q", "q"))
+  }
+
   test("native TokenSimHash64: single-token sketch IS the token's md5 bits (hand pin)") {
     // one token => every bit voted once => sketch == the token value;
     // md5("") = d41d8cd98f00b204e9800998ecf8427e, so lo = 0xd41d8cd9
