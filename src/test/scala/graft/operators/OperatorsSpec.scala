@@ -207,9 +207,11 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, Some(Seq("q", "q", "q"))))
       .toDF("k", "arr").repartition(4) // forces partial/merge/serialize path
     val got = df.groupBy("k").agg(TF.arrayMinAgg($"arr").as("m"))
-      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Seq[String]]("m")).toMap
-    assert(got(1L) == Seq("b", "a", "y"))
-    assert(got(2L) == Seq("q", "q", "q"))
+      .collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[scala.collection.Seq[String]]("m").toList)
+      .toMap
+    assert(got(1L) == List("b", "a", "y"))
+    assert(got(2L) == List("q", "q", "q"))
   }
 
   test("native TokenSimHash64: single-token sketch IS the token's md5 bits (hand pin)") {
