@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{TokenSimHash64, VectorDotQ}
+import graft.functions.{ArrayMinAgg, MinHashSigs, RollingFp, ShingleMd5s, TokenSimHash64, VectorDotQ}
 
 /** SparkSessionExtensions installer for graft's native expressions —
   * the supported library integration point: set
@@ -24,5 +24,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("token_simhash64"),
       new ExpressionInfo(classOf[TokenSimHash64].getName, "token_simhash64"),
       (exprs: Seq[Expression]) => TokenSimHash64(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_md5s"),
+      new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
+      (exprs: Seq[Expression]) =>
+        ShingleMd5s(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      (exprs: Seq[Expression]) => MinHashSigs(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fp"),
+      new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
+      (exprs: Seq[Expression]) => RollingFp(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("array_min_agg"),
+      new ExpressionInfo(classOf[ArrayMinAgg].getName, "array_min_agg"),
+      (exprs: Seq[Expression]) => ArrayMinAgg(exprs.head)))
   }
 }

@@ -144,6 +144,12 @@ class OperatorsSpec extends AnyFunSuite {
         .getOrCreate()
       assert(s2.sql("SELECT dot_q(array(2L, 3L), array(4L, 5L))").head().getLong(0) == 23L)
       assert(s2.sql("SELECT token_simhash64('').hi").head().getLong(0) == 0x8f00b204L)
+      assert(s2.sql("SELECT size(shingle_md5s('a b c d', 2))").head().getInt(0) == 3)
+      assert(s2.sql("SELECT size(minhash_sigs('a b c d', 2, 4))").head().getInt(0) == 4)
+      assert(s2.sql("SELECT rolling_fp('A')").head().getLong(0) == 65L)
+      assert(s2.sql(
+        "SELECT array_min_agg(a) FROM VALUES (array('b','z')), (array('c','a')) t(a)")
+        .head().getSeq[String](0).toList == List("b", "a"))
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prev.foreach(SparkSession.setDefaultSession)
