@@ -90,6 +90,40 @@ object Multimodal {
       }
   }
 
+  /** One sampled frame of a video-like payload. */
+  final case class FrameRow(doc_id: String, media_ref: String, frame_idx: Int,
+      frame_md5: String)
+
+  /** Frame sampling over opaque video payloads: take every `stride`-th
+    * frame up to `maxFrames` — the standard decimation step before
+    * per-frame feature extraction. The Spark plumbing (typed explode
+    * inside the batched partition stage, schema, ordering) is REAL;
+    * the frame DECODE is a clearly-marked STUB (no video codec in this
+    * container): a "frame" is a fixed-size byte chunk of the payload,
+    * fingerprinted by md5. A real deployment swaps the chunker for a
+    * demuxer; nothing downstream changes. */
+  def sampleFrames(spark: SparkSession, media: DataFrame,
+      frameBytes: Int = 32, stride: Int = 2, maxFrames: Int = 4): Dataset[FrameRow] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("string"), col("media_ref").cast("string"),
+        col("payload").cast("binary"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        val md = MessageDigest.getInstance("MD5") // per-partition, reused
+        it.flatMap { case (docId, ref, bytes) =>
+          val total = (bytes.length + frameBytes - 1) / frameBytes
+          (0 until total by stride).take(maxFrames).map { f =>
+            md.reset()
+            val from = f * frameBytes
+            val chunk = java.util.Arrays.copyOfRange(bytes, from,
+              math.min(from + frameBytes, bytes.length))
+            FrameRow(docId, ref, f,
+              md.digest(chunk).map(b => f"${b & 0xff}%02x").mkString)
+          }
+        }
+      }
+  }
+
   /** Deterministic synthetic media table (doc_id, media_ref, payload)
     * for tests/benches: payload bytes are a pure function of (i, j). */
   def syntheticMedia(spark: SparkSession, nDocs: Int, perDoc: Int): DataFrame = {

@@ -144,6 +144,75 @@ object PdfImages {
     out.toByteArray
   }
 
+  /** Decode an 8-bit RGBA PNG back to its pixel buffer. Covers
+    * scanline filter 0 (what [[encodePng]] emits) — others return None
+    * fail-soft; a full PNG unfilter pipeline belongs to a real codec. */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    pngMeta(bytes) match {
+      case Some((w, h, 6)) =>
+        // concatenate IDAT chunks, inflate, strip per-row filter bytes
+        val idat = new java.io.ByteArrayOutputStream()
+        var off = 8
+        var ok = true
+        while (ok && off + 8 <= bytes.length) {
+          def be(o: Int) = ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+            ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+          val len = be(off)
+          val tag = new String(bytes.slice(off + 4, off + 8), "US-ASCII")
+          if (tag == "IDAT") idat.write(bytes, off + 8, len)
+          if (tag == "IEND") ok = false
+          off += 8 + len + 4
+        }
+        try {
+          val scan = Filters.inflate(idat.toByteArray)
+          val rowLen = 1 + w * 4
+          if (scan.length != h * rowLen) None
+          else {
+            val rgba = new Array[Byte](w * h * 4)
+            var y = 0
+            var filtersOk = true
+            while (filtersOk && y < h) {
+              if (scan(y * rowLen) != 0) filtersOk = false // only filter 0
+              else System.arraycopy(scan, y * rowLen + 1, rgba, y * w * 4, w * 4)
+              y += 1
+            }
+            if (filtersOk) Some((w, h, rgba)) else None
+          }
+        } catch { case _: PdfParseException => None }
+      case _ => None
+    }
+
+  /** Nearest-neighbor resize of an RGBA buffer — REAL pixel math
+    * (deterministic integer source mapping sx = x·w/W), codec-free.
+    * The brief's multimodal `resize` stage: runs inside the batched
+    * per-partition decode like the feature extractors. */
+  def resizeRgba(rgba: Array[Byte], w: Int, h: Int,
+      outW: Int, outH: Int): Array[Byte] = {
+    val out = new Array[Byte](outW * outH * 4)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * h / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * w / outW).toInt
+        val si = (sy * w + sx) * 4
+        val di = (y * outW + x) * 4
+        out(di) = rgba(si); out(di + 1) = rgba(si + 1)
+        out(di + 2) = rgba(si + 2); out(di + 3) = rgba(si + 3)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize a PNG payload (decode → nearest-neighbor → re-encode);
+    * None for undecodable inputs (fail-soft, like every decode path). */
+  def resizePng(png: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
+    decodePng(png).map { case (w, h, rgba) =>
+      encodePng(outW, outH, resizeRgba(rgba, w, h, outW, outH))
+    }
+
   /** Parse width/height/color type from a PNG's IHDR (codec-free
     * metadata decode for the multimodal feature stage). */
   def pngMeta(bytes: Array[Byte]): Option[(Int, Int, Int)] = {

@@ -557,6 +557,26 @@ object Oracles {
         |WHERE i % 10 BETWEEN 4 AND 8 AND i % 4 = 1
         |ORDER BY doc_id, media_ref""".stripMargin,
 
+    // 8x8 thumbnails exist for exactly the DECODABLE (png) images —
+    // j=1 (Flate) and j=2 (raw); the DCT pass-through is not a PNG
+    "mm_thumbnails" ->
+      """SELECT printf('doc%08d', i) AS doc_id,
+        | printf('doc%08d_1_%d.png', i, j) AS media_ref,
+        | CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height
+        |FROM range(400) t(i), range(1, 3) u(j)
+        |WHERE i % 10 BETWEEN 4 AND 8 AND i % 4 = 1
+        |ORDER BY doc_id, media_ref""".stripMargin,
+
+    // frame chunks of the reconstructible synthetic payload
+    // (repeat(md5(id), 4) = 4 chunks of 32 bytes; stride 2 -> 0 and 2)
+    "mm_frame_sample" ->
+      """SELECT printf('doc%08d', i // 2) AS doc_id,
+        | printf('m_%d_%d.bin', i // 2, i % 2) AS media_ref,
+        | CAST(f AS INTEGER) AS frame_idx,
+        | md5(substr(repeat(md5(CAST(i AS VARCHAR)), 4), f*32 + 1, 32)) AS frame_md5
+        |FROM range(200) t(i), (VALUES (0), (2)) u(f)
+        |ORDER BY doc_id, media_ref, frame_idx""".stripMargin,
+
     "text_langid" -> {
       s"""WITH ${simhashCte("documents")},
          |t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),

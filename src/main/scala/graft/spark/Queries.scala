@@ -597,6 +597,43 @@ object Queries {
       .orderBy("doc_id", "media_ref")
   }
 
+  /** Multimodal resize: decodable PDF images resized to an 8×8
+    * thumbnail — REAL nearest-neighbor pixel math through our PNG
+    * codec (DCT pass-throughs are not decodable → skipped fail-soft,
+    * so exactly the 2 PNG images per image doc survive). */
+  def mmThumbnails(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = InterleavedTable.readVerifyCorpus(s)
+    docs.select(col("doc_id"), col("spans")).as[InterleavedDoc]
+      .mapPartitions { it =>
+        it.flatMap { d =>
+          d.spans.iterator.filter(_.kind == "pdf_bytes").flatMap { sp =>
+            try graft.pdf.PdfImages
+              .documentImages(d.doc_id, java.util.Base64.getDecoder.decode(sp.text))
+              .flatMap { im =>
+                graft.pdf.PdfImages.resizePng(im.bytes, 8, 8).map { thumb =>
+                  val meta = graft.pdf.PdfImages.pngMeta(thumb).get
+                  (d.doc_id, im.name, meta._1, meta._2)
+                }
+              }
+            catch { case scala.util.control.NonFatal(_) => Vector.empty }
+          }
+        }
+      }
+      .toDF("doc_id", "media_ref", "width", "height")
+      .orderBy("doc_id", "media_ref")
+  }
+
+  /** Multimodal frame sampling over the synthetic video-like payloads:
+    * every 2nd fixed-size frame chunk, max 4, md5-fingerprinted —
+    * STUB decode (chunker), REAL plumbing; oracle reconstructs the
+    * payload and chunks it in SQL. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.sampleFrames(s, Multimodal.syntheticMedia(s, nDocs = 100, perDoc = 2),
+        frameBytes = 32, stride = 2, maxFrames = 4)
+      .toDF()
+      .orderBy("doc_id", "media_ref", "frame_idx")
+
   /** name → query. Keys match Oracles.sql keys (rows-only checks for
     * the extraction/multimodal entries, which SQL cannot express). */
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -642,5 +679,7 @@ object Queries {
     "extract_parity" -> (extractParity _),
     "stream_extract_parity" -> (streamExtractParity _),
     "mm_media_features" -> (mmMediaFeatures _),
-    "mm_pdf_image_features" -> (mmPdfImageFeatures _))
+    "mm_pdf_image_features" -> (mmPdfImageFeatures _),
+    "mm_thumbnails" -> (mmThumbnails _),
+    "mm_frame_sample" -> (mmFrameSample _))
 }

@@ -63,6 +63,39 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(scan.slice(1, 1 + 12).toSeq == rgba.slice(0, 12).toSeq)
   }
 
+  test("PNG decode is a left inverse of encode (filter-0 RGBA)") {
+    val rgba = Array.tabulate[Byte](5 * 3 * 4)(i => (i * 7).toByte)
+    val png = PdfImages.encodePng(5, 3, rgba)
+    assert(PdfImages.decodePng(png).map { case (w, h, p) => (w, h, p.toSeq) }
+      .contains((5, 3, rgba.toSeq)))
+    assert(PdfImages.decodePng("not a png".getBytes).isEmpty)
+  }
+
+  test("nearest-neighbor resize: hand-computed pixel mapping (4x4 -> 2x2 and 1x1 -> 3x3)") {
+    // 4x4 gray gradient 0,16,...,240 (as in the Flate fixture): the 2x2
+    // thumbnail picks sources (0,0),(2,0),(0,2),(2,2) = values 0,32,128,160
+    val gray = Array.tabulate[Byte](16)(i => (i * 16).toByte)
+    val rgba = new Array[Byte](16 * 4)
+    (0 until 16).foreach { i =>
+      rgba(i * 4) = gray(i); rgba(i * 4 + 1) = gray(i)
+      rgba(i * 4 + 2) = gray(i); rgba(i * 4 + 3) = -1
+    }
+    val small = PdfImages.resizeRgba(rgba, 4, 4, 2, 2)
+    assert(Seq(small(0), small(4), small(8 * 1), small(12)).map(_ & 0xff) ==
+      Seq(0, 32, 128, 160))
+    // upscale replicates the single source pixel
+    val one = Array[Byte](7, 8, 9, -1)
+    val up = PdfImages.resizeRgba(one, 1, 1, 3, 3)
+    assert(up.grouped(4).forall(_.sameElements(one)))
+  }
+
+  test("resizePng end-to-end on a materialized image; DCT pass-through is not resizable") {
+    val ims = images()
+    val thumb = PdfImages.resizePng(ims(1).bytes, 8, 8)
+    assert(thumb.isDefined && PdfImages.pngMeta(thumb.get).contains((8, 8, 6)))
+    assert(PdfImages.resizePng(ims(0).bytes, 8, 8).isEmpty) // jpeg stub: fail-soft
+  }
+
   test("determinism: same doc -> byte-identical images (retry idempotence)") {
     val a = images(); val b = images()
     assert(a.map(_.bytes.toSeq) == b.map(_.bytes.toSeq))
