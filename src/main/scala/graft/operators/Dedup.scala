@@ -136,14 +136,22 @@ object Dedup {
     * a lone shingle can produce no pair. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
       minPermille: Int = 200, maxDf: Int = Int.MaxValue): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val sh = docs
       .select(col("doc_id"),
         explode(array_distinct(TF.shingles(col("text"), shingleN))).as("sh"))
-    // document frequency per shingle: one shuffle+sort on sh, which the
-    // downstream self-join on sh then reuses (no re-exchange, no re-sort)
-    val withDf = sh.withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
-    val kept = if (maxDf == Int.MaxValue) withDf else withDf.where(col("df") <= maxDf)
+    // document frequency per shingle via HASH AGGREGATION, joined back:
+    // map-side partial counts collapse a hot shingle's rows BEFORE the
+    // shuffle (a stopword 3-gram with df 10^9 ships one partial row per
+    // input partition, not 10^9 rows into one task), and the df cap is
+    // applied to the one-row-per-shingle agg result so capped-out hot
+    // shingles vanish from the join. The earlier window formulation
+    // (count over partitionBy(sh)) forced ALL rows of a shingle into a
+    // single unsplittable task before the cap could drop it; a skewed
+    // JOIN partition, by contrast, is AQE-splittable (the df side is
+    // one row per key and gets replicated across splits).
+    val dfAgg = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val dfKept = if (maxDf == Int.MaxValue) dfAgg else dfAgg.where(col("df") <= maxDf)
+    val kept = sh.join(dfKept, "sh")
     val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val joinable = kept.where(col("df") >= 2).select("doc_id", "sh")
     val inter = joinable.as("l")

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.{VectorFunctions => VF}
@@ -78,23 +78,98 @@ object Similarity {
     * corpus per query instead of all of it. */
   def ivfTopK(queries: DataFrame, items: DataFrame, k: Int,
       numCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    val cent = items.where(col("vec_id") < numCentroids)
+    val cent = seedCentroids(items, numCentroids)
+    val lists = assignNearest(items, cent, "item_id", "qv") // inverted lists
+    val probes = assignProbes(queries, cent, "query_id", "q_qv", nProbe)
+    probeAndRank(probes, lists, k)
+  }
+
+  /** IVF with LEARNED centroids: seeded Lloyd k-means over the
+    * quantized integer vectors, a FIXED number of iterations, fully
+    * deterministic (floor-of-mean integer centroids, ties to the
+    * smaller centroid id) so an external engine can replay the exact
+    * iterations. Initial centroids are the deterministic seeds of
+    * [[ivfTopK]]; each iteration reassigns all items (broadcast
+    * centroids + min_by aggregation — map-side combine, no window)
+    * and recomputes centroids as the element-wise floored mean of
+    * their members. A cluster that loses all members drops out (same
+    * semantics both engines). At 10^12 items each iteration is one
+    * broadcast + map + partial-agg shuffle over (cid, dim) — the
+    * centroid table stays tiny; persist it between iterations in a
+    * real deployment instead of re-deriving the lineage. */
+  def ivfTopKKmeans(queries: DataFrame, items: DataFrame, k: Int,
+      numCentroids: Int = 8, nProbe: Int = 2, iterations: Int = 2): DataFrame = {
+    var cent = seedCentroids(items, numCentroids)
+    val it = items.select(col("vec_id").as("item_id"), VF.quantize(col("embedding")).as("qv"))
+    for (_ <- 0 until iterations) {
+      val asg = assignNearestQ(it, cent, "item_id", "qv")
+      // element-wise floored mean per (centroid, dim): floor(sum/cnt)
+      // via double division then floor — bit-identical across engines
+      // for BIGINT sums (both use IEEE double division)
+      cent = asg
+        .select(col("cid"), posexplode(col("qv")).as(Seq("d", "x")))
+        .groupBy("cid", "d")
+        .agg(floor(sum(col("x")) / count(lit(1))).cast("long").as("m"))
+        .groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          p => p.getField("m")).as("cv"))
+        .withColumn("cn", VF.normSqQ(col("cv")))
+    }
+    val lists = assignNearestQ(it, cent, "item_id", "qv")
+    val probes = assignProbes(queries, cent, "query_id", "q_qv", nProbe)
+    probeAndRank(probes, lists, k)
+  }
+
+  /** Deterministic seed centroids: the first `numCentroids` item
+    * vectors (a production deployment would persist k-means output —
+    * see [[ivfTopKKmeans]]). */
+  private def seedCentroids(items: DataFrame, numCentroids: Int): DataFrame =
+    items.where(col("vec_id") < numCentroids)
       .select(col("vec_id").as("cid"), VF.quantize(col("embedding")).as("cv"))
       .withColumn("cn", VF.normSqQ(col("cv")))
-    def assign(df: DataFrame, idName: String, qvName: String, keep: Int) = {
-      val v = df.select(col("vec_id").as(idName), VF.quantize(col("embedding")).as(qvName))
-        .withColumn("vn", VF.normSqQ(col(qvName)))
-      // exact integer L2²: |v-c|² = |v|² - 2·v·c + |c|²
-      val d2 = col("vn") - lit(2L) * VF.dotQ(col(qvName), col("cv")) + col("cn")
-      val w = Window.partitionBy(idName).orderBy(col("d2"), col("cid"))
-      v.crossJoin(broadcast(cent))
-        .withColumn("d2", d2)
-        .withColumn("crk", row_number().over(w))
-        .where(col("crk") <= keep)
-        .select(col(idName), col("cid"), col(qvName))
-    }
-    val lists = assign(items, "item_id", "qv", keep = 1) // inverted lists
-    val probes = assign(queries, "query_id", "q_qv", keep = nProbe)
+
+  /** exact integer L2²: |v-c|² = |v|² - 2·v·c + |c|² (the |v|² term is
+    * constant per vector, kept so distances are true L2² values). */
+  private def d2Col(qvName: String): Column =
+    col("vn") - lit(2L) * VF.dotQ(col(qvName), col("cv")) + col("cn")
+
+  /** Nearest-centroid assignment (keep=1) via min_by AGGREGATION:
+    * map-side partial combine collapses each vector's C candidate rows
+    * before the shuffle — the row_number-window form shuffled and
+    * sorted all n×C rows through unsplittable per-vector partitions.
+    * Ties break to the smaller centroid id (struct ordering). */
+  private def assignNearestQ(v: DataFrame, cent: DataFrame,
+      idName: String, qvName: String): DataFrame =
+    v.withColumn("vn", VF.normSqQ(col(qvName)))
+      .crossJoin(broadcast(cent))
+      .withColumn("d2", d2Col(qvName))
+      .groupBy(idName)
+      .agg(min_by(struct(col("cid"), col(qvName).as("v")),
+        struct(col("d2"), col("cid"))).as("m"))
+      .select(col(idName), col("m.cid").as("cid"), col("m.v").as(qvName))
+
+  private def assignNearest(df: DataFrame, cent: DataFrame,
+      idName: String, qvName: String): DataFrame =
+    assignNearestQ(
+      df.select(col("vec_id").as(idName), VF.quantize(col("embedding")).as(qvName)),
+      cent, idName, qvName)
+
+  /** nProbe-nearest-centroid assignment for the QUERY side — window
+    * top-n is fine here: the query set is small by contract (it is
+    * broadcast into the probe join). */
+  private def assignProbes(queries: DataFrame, cent: DataFrame,
+      idName: String, qvName: String, nProbe: Int): DataFrame = {
+    val v = queries.select(col("vec_id").as(idName), VF.quantize(col("embedding")).as(qvName))
+      .withColumn("vn", VF.normSqQ(col(qvName)))
+    val w = Window.partitionBy(idName).orderBy(col("d2"), col("cid"))
+    v.crossJoin(broadcast(cent))
+      .withColumn("d2", d2Col(qvName))
+      .withColumn("crk", row_number().over(w))
+      .where(col("crk") <= nProbe)
+      .select(col(idName), col("cid"), col(qvName))
+  }
+
+  private def probeAndRank(probes: DataFrame, lists: DataFrame, k: Int): DataFrame = {
     val scored = broadcast(probes).join(lists, Seq("cid"))
       .where(col("query_id") =!= col("item_id"))
       .withColumn("dot", VF.dotQ(col("q_qv"), col("qv")))

@@ -416,7 +416,8 @@ object Oracles {
         | FROM documents),
         |""".stripMargin +
         s"""sigs AS (SELECT doc_id, $mins FROM shd GROUP BY doc_id)
-           |SELECT doc_id % 16 AS bucket, [$outer] AS cluster_sig
+           |SELECT doc_id % 16 AS bucket,
+           | md5(array_to_string([$outer], '|')) AS cluster_sig
            |FROM sigs GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
@@ -481,6 +482,47 @@ object Oracles {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY dot DESC, item_id) AS rnk FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    "sim_topk_ivf_kmeans" -> {
+      // replay of Similarity.ivfTopKKmeans: seeds = first 8 vectors,
+      // 2 Lloyd iterations of (nearest-centroid assign, floor-of-mean
+      // integer recompute), then the standard IVF probe/rank
+      def assignCte(name: String, centN: String) =
+        s"""$name AS (SELECT vec_id, qv, cid FROM (
+           | SELECT q.vec_id, q.qv, c.cid,
+           |  row_number() OVER (PARTITION BY q.vec_id
+           |   ORDER BY q.vn - 2*${dot("q.qv", "c.cv")} + c.cn, c.cid) AS rk
+           | FROM qn q, $centN c) WHERE rk = 1)""".stripMargin
+      def centCte(asg: String, out: String) =
+        s"""${out}e AS (SELECT cid, CAST(unnest(range(len(qv))) AS INTEGER) AS d,
+           |  unnest(qv) AS x FROM $asg),
+           |$out AS (SELECT cid, list(m ORDER BY d) AS cv FROM
+           | (SELECT cid, d, CAST(floor(sum(x)/count(*)) AS BIGINT) AS m
+           |  FROM ${out}e GROUP BY 1, 2) GROUP BY cid),
+           |${out}n AS (SELECT cid, cv,
+           |  CAST(list_sum(list_transform(cv, x -> x*x)) AS BIGINT) AS cn FROM $out)""".stripMargin
+      s"""WITH $qEmb,
+         |qn AS (SELECT vec_id, qv,
+         |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS vn FROM qemb),
+         |c0n AS (SELECT vec_id AS cid, qv AS cv, vn AS cn FROM qn WHERE vec_id < 8),
+         |${assignCte("a0", "c0n")},
+         |${centCte("a0", "c1")},
+         |${assignCte("a1", "c1n")},
+         |${centCte("a1", "c2")},
+         |${assignCte("a2", "c2n")},
+         |lists AS (SELECT vec_id AS item_id, qv, cid FROM a2),
+         |probes AS (SELECT vec_id AS query_id, qv AS q_qv, cid FROM (
+         | SELECT q.vec_id, q.qv, c.cid,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |   ORDER BY q.vn - 2*${dot("q.qv", "c.cv")} + c.cn, c.cid) AS rk
+         | FROM qn q, c2n c WHERE q.vec_id < 8) WHERE rk <= 2),
+         |scored AS (SELECT query_id, item_id, ${dot("q_qv", "qv")} AS dot
+         | FROM probes JOIN lists USING (cid) WHERE query_id <> item_id)
+         |SELECT query_id, item_id, dot, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dot DESC, item_id) AS rnk FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+    },
 
     "text_stats" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

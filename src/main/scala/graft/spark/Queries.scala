@@ -423,13 +423,17 @@ object Queries {
     * per bucket — the signature-merge that lets re-clustering run over
     * cluster representatives instead of members (custom ArrayMinAgg
     * aggregate: built-ins can't express element-wise array min with
-    * map-side combine at arbitrary signature width). */
+    * map-side combine at arbitrary signature width). The signature
+    * array is projected to an md5 of its joined elements so the
+    * driver's pandas hash-compare sees a scalar column (array-typed
+    * outputs are unhashable there); the md5 pins every element. */
   def dedupClusterSigs(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "documents")
       .select((col("doc_id") % 16).as("bucket"), TF.minhashSigs(col("text"), 3, 8).as("mh"))
       .where(col("mh").isNotNull)
       .groupBy("bucket")
-      .agg(TF.arrayMinAgg(col("mh")).as("cluster_sig"))
+      .agg(TF.arrayMinAgg(col("mh")).as("sig_arr"))
+      .select(col("bucket"), md5(array_join(col("sig_arr"), "|")).as("cluster_sig"))
       .orderBy("bucket")
 
   /** Brute-force top-5 neighbors by exact integer dot product for the
@@ -464,6 +468,17 @@ object Queries {
     val emb = rd(s, dir, "embeddings")
     Similarity.ivfTopK(emb.where(col("vec_id") < 8), emb, k = 5,
         numCentroids = 8, nProbe = 2)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** IVF with LEARNED centroids: 2 deterministic Lloyd iterations
+    * (integer floor-of-mean centroids, min_by assignment — no n×C
+    * window) from the same seeds; the DuckDB twin replays the exact
+    * iterations. */
+  def simTopkIvfKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    Similarity.ivfTopKKmeans(emb.where(col("vec_id") < 8), emb, k = 5,
+        numCentroids = 8, nProbe = 2, iterations = 2)
       .orderBy("query_id", "rnk")
   }
 
@@ -672,6 +687,7 @@ object Queries {
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_lsh_multi" -> (simTopkLshMulti _),
     "sim_topk_ivf" -> (simTopkIvf _),
+    "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "text_stats" -> (textStats _),
     "text_tokens_fp" -> (textTokensFp _),
     "text_langid" -> (textLangId _),

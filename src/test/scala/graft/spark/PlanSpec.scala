@@ -111,11 +111,21 @@ class PlanSpec extends AnyFunSuite {
     assert(sketches <= 4, s"sketch recomputed per block ($sketches):\n${plan.take(4000)}")
   }
 
-  test("jaccard: df computation reuses the shingle partitioning for the self-join") {
+  test("jaccard: shingle df is a hash aggregation (map-side partials), NOT a window over sh") {
     val plan = physical(Queries.dedupJaccardCapped(spark, sf))
-    // window df shuffles on sh once per side; the self-join on sh must
-    // not add further exchanges on top of those
-    assert(plan.contains("Window"), s"expected window-df plan:\n${plan.take(4000)}")
+    // a window over partitionBy(sh) forces ALL rows of a hot shingle
+    // into one unsplittable task before the df cap can drop it — the
+    // 10^12-doc scale-killer; the agg+join form collapses hot keys
+    // map-side and leaves skew to AQE's splittable join handling
+    assert(!plan.contains("Window"), s"window-df scale-killer resurfaced:\n${plan.take(4000)}")
+    assert(plan.contains("partial_count"),
+      s"df subtree lost its map-side partial aggregation:\n${plan.take(4000)}")
+  }
+
+  test("IVF: item→centroid assignment is a min_by aggregation (map-side combine), not an n×C window sort") {
+    val plan = physical(Queries.simTopkIvf(spark, sf))
+    assert(plan.contains("partial_min_by"),
+      s"assignment lost its map-side partial min_by:\n${plan.take(4000)}")
   }
 
   test("window top-k: Spark's rank-limit pushdown (WindowGroupLimit) engages — no full-partition sort-and-discard") {
