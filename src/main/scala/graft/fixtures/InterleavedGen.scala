@@ -21,7 +21,8 @@ import graft.pdf.PdfBuilder
   *   9    → multi-page "heavy" PDF (skew tail; page count grows with i)
   *   else → PDF doc; style = i mod 4: 0 = single-page object-stream,
   *          1 = single-page with embedded image XObjects
-  *          (DCT + Flate + raw — the image sink path),
+  *          (real JPEG-DCT + Flate-PNG + Flate-raw + raw — the image
+  *          sink path),
   *          2/3 = 3-4 pages plain/flate
   */
 object InterleavedGen {
@@ -92,7 +93,8 @@ object InterleavedGen {
       case _ =>
         val style = i % 4
         // style 0: single-page object-stream PDF; style 1: single-page
-        // with embedded image XObjects (DCT + Flate + raw — exercises
+        // with embedded image XObjects (JPEG-DCT + Flate-PNG + Flate +
+        // raw — exercises
         // the reference's image sink path, SURVEY §2 S6/T4-T6);
         // styles 2/3: multi-page plain/flate
         val pages = if (style <= 1) 1 else 1 + (i % 4).toInt

@@ -181,9 +181,27 @@ object PdfBuilder {
     b.bytes
   }
 
-  /** One page with a Tj line plus three image XObjects (DCT-opaque,
-    * Flate, raw DeviceGray) — FIXTURES.md `pdf_with_images`. Images
-    * must not affect span output (parity pin SURVEY.md §2.6.1). */
+  /** Deterministic 8×8 RGB test pattern for the JPEG fixture. */
+  def jpegPatternRgb: Array[Byte] = {
+    val rgb = new Array[Byte](8 * 8 * 3)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val i = (y * 8 + x) * 3
+      rgb(i) = (x * 32).toByte; rgb(i + 1) = (y * 32).toByte; rgb(i + 2) = ((x + y) * 16).toByte
+    }
+    rgb
+  }
+
+  /** Deterministic 2×3 RGBA test pattern for the Flate-wrapped-PNG
+    * fixture (distinct per-pixel values so rotation is pinnable). */
+  def pngPatternRgba: Array[Byte] =
+    Array.tabulate[Byte](2 * 3 * 4)(i => if (i % 4 == 3) -1 else (i * 11).toByte)
+
+  /** One page with a Tj line plus four image XObjects: REAL JPEG via
+    * DCTDecode, Flate-wrapped PNG container (the reference's
+    * guessed-format branch, mod.rs:152-158), Flate raw DeviceGray
+    * (our /ColorSpace extension), raw DeviceGray — FIXTURES.md
+    * `pdf_with_images`. Images must not affect span output (parity
+    * pin SURVEY.md §2.6.1). */
   def withImages(text: String): Array[Byte] = {
     val b = new Builder
     b.raw("%PDF-1.7\n%âãÏÓ\n")
@@ -192,13 +210,14 @@ object PdfBuilder {
     b.obj(3) { b.raw("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") }
     b.obj(4) {
       b.raw("<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources " +
-        "<< /Font << /F1 3 0 R >> /XObject << /Im0 6 0 R /Im1 7 0 R /Im2 8 0 R >> >> >>")
+        "<< /Font << /F1 3 0 R >> /XObject << /Im0 6 0 R /Im1 7 0 R /Im2 8 0 R /Im3 9 0 R >> >> >>")
     }
     val content = (tjLine(text) + " q 100 0 0 100 72 500 cm /Im0 Do Q" +
-      " q 100 0 0 100 200 500 cm /Im1 Do Q q 8 0 0 8 320 500 cm /Im2 Do Q").getBytes(ISO_8859_1)
+      " q 100 0 0 100 200 500 cm /Im1 Do Q q 8 0 0 8 320 500 cm /Im2 Do Q" +
+      " q 8 0 0 8 400 500 cm /Im3 Do Q").getBytes(ISO_8859_1)
     b.streamObj(5, "", content)
-    // DCT (opaque payload — deterministic pseudo-JPEG bytes)
-    val dct = Array.tabulate[Byte](64)(i => ((i * 37 + 11) & 0xff).toByte)
+    // DCT: REAL deterministic JPEG bytes (JDK encoder, fixed pattern)
+    val dct = ImageCodec.encodeJpegRgb(8, 8, jpegPatternRgb)
     b.streamObj(6, "/Type /XObject /Subtype /Image /Width 8 /Height 8 " +
       "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode", dct)
     // Flate gray 4x4
@@ -208,6 +227,11 @@ object PdfBuilder {
     // raw gray 2x2
     b.streamObj(8, "/Type /XObject /Subtype /Image /Width 2 /Height 2 " +
       "/ColorSpace /DeviceGray /BitsPerComponent 8", Array[Byte](0, 64, -128, -1))
+    // Flate-wrapped PNG container 2x3 (decodes via the guessed-format
+    // branch, rotate90 → 3x2 output)
+    val png = PdfImages.encodePng(2, 3, pngPatternRgba)
+    b.streamObj(9, "/Type /XObject /Subtype /Image /Width 2 /Height 3 " +
+      "/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /FlateDecode", deflate(png))
     writeClassicXref(b)
   }
 

@@ -6,16 +6,17 @@ import java.util.zip.{CRC32, Deflater}
   * `save_pdf_image` (/root/reference/extractor/src/engine/mod.rs:138-211)
   * re-expressed, including its quirks:
   *
-  *  - DCTDecode → the reference JPEG-decodes (image crate) and saves
-  *    PNG. No JPEG codec exists in this sandbox, so that branch is a
-  *    clearly-marked PASS-THROUGH: the opaque JPEG bytes are emitted
-  *    with format "jpeg" (real deployment: transcode to PNG here);
-  *  - FlateDecode → inflate, then **rotate90 clockwise** — the
-  *    reference rotates ONLY this branch (mod.rs:161) — then save PNG.
-  *    The reference expects the inflated bytes to be a guessable image
-  *    container; raw-pixel payloads (the common case in real PDFs) make
-  *    it error out and skip. We EXTEND deliberately: raw pixels are
-  *    interpreted via /ColorSpace (+ the rotate90 quirk preserved);
+  *  - DCTDecode → JPEG-decode (the reference uses the image crate,
+  *    mod.rs:142-148; here the JDK's built-in [[ImageCodec]]) and save
+  *    PNG — dims from the DECODED image, no rotation;
+  *  - FlateDecode → inflate, then guessed-container decode
+  *    (mod.rs:152-158 `with_guessed_format().decode()` ≡ ImageIO's
+  *    byte-sniffing read), then **rotate90 clockwise** — the reference
+  *    rotates ONLY this branch (mod.rs:161) — then save PNG. Raw-pixel
+  *    payloads (the common case in real PDFs) make the reference error
+  *    out and skip; we EXTEND deliberately: when the container guess
+  *    fails, raw pixels are interpreted via /ColorSpace (+ the
+  *    rotate90 quirk preserved);
   *  - no filter → raw pixels by /ColorSpace, built as RGBA with alpha
   *    255 exactly like the reference's `RgbaImage` (mod.rs:169-204),
   *    no rotation, saved as PNG.
@@ -25,7 +26,8 @@ import java.util.zip.{CRC32, Deflater}
   */
 object PdfImages {
 
-  /** One extracted page image. `format` ∈ png | jpeg (DCT pass-through). */
+  /** One extracted page image; always materialized as PNG, like the
+    * reference (its `img.save("....png")` writes PNG on every branch). */
   final case class ImageOut(name: String, width: Int, height: Int,
       format: String, bytes: Array[Byte])
 
@@ -43,14 +45,26 @@ object PdfImages {
     }
     filter match {
       case "DCTDecode" =>
-        // STUB of the JPEG→PNG transcode (no JPEG codec in-sandbox):
-        // opaque pass-through, dimensions from the PDF dict
-        Right((w, h, "jpeg", s.raw))
+        // JPEG → RGBA → PNG (mod.rs:142-148): dims from the DECODED
+        // image, no rotation on this branch
+        ImageCodec.decodeToRgba(s.raw) match {
+          case Some((dw, dh, rgba)) => Right((dw, dh, "png", encodePng(dw, dh, rgba)))
+          case None => Left("Failed to decode JPEG image")
+        }
       case "FlateDecode" =>
         val data = Filters.inflate(s.raw)
-        rgbaFromRaw(data, w, h, cs).map { rgba =>
-          val rot = rotate90(rgba, w, h) // the reference's Flate-only quirk
-          (h, w, "png", encodePng(h, w, rot))
+        // container-guess first (mod.rs:152-158): a Flate-wrapped
+        // PNG/BMP/GIF decodes by byte-sniffing, then rotate90
+        ImageCodec.decodeToRgba(data) match {
+          case Some((cw, ch, rgba)) =>
+            Right((ch, cw, "png", encodePng(ch, cw, rotate90(rgba, cw, ch))))
+          case None =>
+            // EXTENSION: raw pixels by /ColorSpace (the reference
+            // fail-soft skips these; rotate90 quirk preserved)
+            rgbaFromRaw(data, w, h, cs).map { rgba =>
+              val rot = rotate90(rgba, w, h)
+              (h, w, "png", encodePng(h, w, rot))
+            }
         }
       case "" =>
         rgbaFromRaw(s.raw, w, h, cs).map(rgba => (w, h, "png", encodePng(w, h, rgba)))

@@ -153,15 +153,18 @@ object Oracles {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // image-doc membership and dimensions are BY CONSTRUCTION (fixture
-    // style 1 embeds 8x8 DCT + 4x4 Flate-gray + 2x2 raw-gray on page 1;
-    // the 4x4 stays 4x4 through the reference's Flate rotate90 quirk)
+    // style 1 embeds 8x8 JPEG-DCT + 4x4 Flate-gray + 2x2 raw-gray +
+    // 2x3 Flate-wrapped-PNG on page 1; the Flate rotate90 quirk keeps
+    // the square 4x4 and turns the 2x3 container into 3x2; the decoded
+    // JPEG keeps its 8x8 — all four materialize as PNG like the
+    // reference's img.save)
     "pdfz_images" ->
       """SELECT printf('doc%08d', i) AS doc_id,
         | printf('doc%08d_1_%d.png', i, j) AS media_ref,
-        | CASE j WHEN 0 THEN 'jpeg' ELSE 'png' END AS format,
-        | CAST(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 2 END AS INTEGER) AS width,
+        | 'png' AS format,
+        | CAST(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 3 END AS INTEGER) AS width,
         | CAST(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 2 END AS INTEGER) AS height
-        |FROM range(400) t(i), range(3) u(j)
+        |FROM range(400) t(i), range(4) u(j)
         |WHERE i % 10 BETWEEN 4 AND 8 AND i % 4 = 1
         |ORDER BY doc_id, media_ref""".stripMargin,
 
@@ -587,25 +590,25 @@ object Oracles {
          |FROM b ORDER BY doc_id, media_ref""".stripMargin
     },
 
-    // real-payload multimodal features: PNG dims parsed from IHDR by
-    // the decoder; DCT pass-throughs are not PNGs -> unknown/0/0
+    // real-payload multimodal features: every materialized image is
+    // now a real PNG (DCT decodes via ImageIO), dims parsed from IHDR
     "mm_pdf_image_features" ->
       """SELECT printf('doc%08d', i) AS doc_id,
         | printf('doc%08d_1_%d.png', i, j) AS media_ref,
-        | CASE j WHEN 0 THEN 'unknown' ELSE 'png' END AS format,
-        | CAST(CASE j WHEN 0 THEN 0 WHEN 1 THEN 4 ELSE 2 END AS INTEGER) AS width,
-        | CAST(CASE j WHEN 0 THEN 0 WHEN 1 THEN 4 ELSE 2 END AS INTEGER) AS height
-        |FROM range(400) t(i), range(3) u(j)
+        | 'png' AS format,
+        | CAST(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 3 END AS INTEGER) AS width,
+        | CAST(CASE j WHEN 0 THEN 8 WHEN 1 THEN 4 ELSE 2 END AS INTEGER) AS height
+        |FROM range(400) t(i), range(4) u(j)
         |WHERE i % 10 BETWEEN 4 AND 8 AND i % 4 = 1
         |ORDER BY doc_id, media_ref""".stripMargin,
 
-    // 8x8 thumbnails exist for exactly the DECODABLE (png) images —
-    // j=1 (Flate) and j=2 (raw); the DCT pass-through is not a PNG
+    // 8x8 thumbnails now exist for ALL four images per image doc —
+    // every branch (JPEG-DCT included) materializes a decodable PNG
     "mm_thumbnails" ->
       """SELECT printf('doc%08d', i) AS doc_id,
         | printf('doc%08d_1_%d.png', i, j) AS media_ref,
         | CAST(8 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height
-        |FROM range(400) t(i), range(1, 3) u(j)
+        |FROM range(400) t(i), range(4) u(j)
         |WHERE i % 10 BETWEEN 4 AND 8 AND i % 4 = 1
         |ORDER BY doc_id, media_ref""".stripMargin,
 

@@ -119,10 +119,10 @@ object Queries {
           .otherwise(concat(col("source"), lit(":latest"))).as("model_tag"))
       .orderBy("doc_id")
 
-  /** S6/T4-T6 analog: materialize embedded PDF images — decoded to
-    * real PNG bytes for Flate/raw XObjects (rotate90 quirk preserved
-    * on the Flate path), opaque pass-through for DCT (no JPEG codec
-    * in-sandbox) — with the reference's `{id}_{page}_{i}.png` name
+  /** S6/T4-T6 analog: materialize embedded PDF images — every decode
+    * class produces real PNG bytes (JPEG via the JDK codec for DCT,
+    * guessed-container + rotate90 quirk for Flate, /ColorSpace raw
+    * pixels otherwise) with the reference's `{id}_{page}_{i}.png` name
     * formula. Output restricted to the oracle-expressible columns;
     * payload bytes are pinned by unit tests (PdfImagesSpec). */
   def pdfzImages(s: SparkSession, dir: String): DataFrame = {
@@ -588,10 +588,9 @@ object Queries {
       .orderBy("doc_id", "media_ref")
 
   /** End-to-end multimodal over REAL payloads: PDF image XObjects →
-    * materialized bytes (PNG for Flate/raw, opaque DCT pass-through) →
+    * materialized PNG bytes (JPEG-DCT decoded via the JDK codec) →
     * batched per-partition feature decode with the real IHDR-parsing
-    * [[Multimodal.PngMetaDecoder]] (DCT payloads are not PNGs →
-    * format "unknown", zero dims — honest stub boundary). */
+    * [[Multimodal.PngMetaDecoder]]. */
   def mmPdfImageFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = InterleavedTable.readVerifyCorpus(s)
@@ -612,10 +611,9 @@ object Queries {
       .orderBy("doc_id", "media_ref")
   }
 
-  /** Multimodal resize: decodable PDF images resized to an 8×8
-    * thumbnail — REAL nearest-neighbor pixel math through our PNG
-    * codec (DCT pass-throughs are not decodable → skipped fail-soft,
-    * so exactly the 2 PNG images per image doc survive). */
+  /** Multimodal resize: PDF images resized to an 8×8 thumbnail — REAL
+    * nearest-neighbor pixel math through our PNG codec (all four
+    * materialized images per image doc are PNGs now, JPEG included). */
   def mmThumbnails(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = InterleavedTable.readVerifyCorpus(s)

@@ -14,16 +14,47 @@ class PdfImagesSpec extends AnyFunSuite {
   private def images(text: String = "img doc") =
     PdfImages.documentImages("docX", PdfBuilder.withImages(text))
 
-  test("withImages doc: 3 images, reference name formula, stable order") {
+  test("withImages doc: 4 images, reference name formula, stable order") {
     val ims = images()
-    assert(ims.map(_.name) == Vector("docX_1_0.png", "docX_1_1.png", "docX_1_2.png"))
+    assert(ims.map(_.name) ==
+      Vector("docX_1_0.png", "docX_1_1.png", "docX_1_2.png", "docX_1_3.png"))
   }
 
-  test("DCTDecode: opaque pass-through (STUB of the JPEG->PNG transcode), dims from dict") {
+  test("DCTDecode: REAL JPEG decode -> RGBA -> PNG, dims from the decoded image, no rotation") {
     val im = images()(0)
-    assert(im.format == "jpeg" && im.width == 8 && im.height == 8)
-    // the exact deterministic pseudo-JPEG payload the builder embeds
-    assert(im.bytes.toSeq == Array.tabulate[Byte](64)(i => ((i * 37 + 11) & 0xff).toByte).toSeq)
+    assert(im.format == "png" && im.width == 8 && im.height == 8)
+    val Some((w, h, rgba)) = PdfImages.decodePng(im.bytes)
+    assert((w, h) == (8, 8))
+    // JPEG is lossy: decoded pixels must be NEAR the encoded pattern
+    // (channel-wise |err| small for this smooth gradient), alpha 255
+    val src = PdfBuilder.jpegPatternRgb
+    var maxErr = 0
+    for (i <- 0 until 64) {
+      for (c <- 0 until 3)
+        maxErr = math.max(maxErr, math.abs((rgba(i * 4 + c) & 0xff) - (src(i * 3 + c) & 0xff)))
+      assert((rgba(i * 4 + 3) & 0xff) == 255)
+    }
+    assert(maxErr <= 48, s"JPEG decode drifted too far from the source pattern: $maxErr")
+  }
+
+  test("Flate-wrapped PNG container: guessed-format decode + rotate90 (the reference's branch)") {
+    val im = images()(3)
+    // source container is 2x3; the Flate branch rotates 90° clockwise
+    assert(im.format == "png" && im.width == 3 && im.height == 2)
+    val Some((w, h, rgba)) = PdfImages.decodePng(im.bytes)
+    assert((w, h) == (3, 2))
+    // PNG is lossless: output pixels == rotate90 of the exact source
+    val expected = PdfImages.rotate90(PdfBuilder.pngPatternRgba, 2, 3)
+    assert(rgba.toSeq == expected.toSeq)
+  }
+
+  test("ImageCodec: deterministic JPEG encode; undecodable bytes fail soft") {
+    val a = ImageCodec.encodeJpegRgb(8, 8, PdfBuilder.jpegPatternRgb)
+    val b = ImageCodec.encodeJpegRgb(8, 8, PdfBuilder.jpegPatternRgb)
+    assert(a.toSeq == b.toSeq)
+    assert((a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xd8) // real JPEG SOI
+    assert(ImageCodec.decodeToRgba("not an image".getBytes).isEmpty)
+    assert(ImageCodec.decodeToRgba(Array.emptyByteArray).isEmpty)
   }
 
   test("FlateDecode: inflated gray pixels -> rotate90 -> real PNG (the reference's quirk)") {
@@ -89,11 +120,13 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(up.grouped(4).forall(_.sameElements(one)))
   }
 
-  test("resizePng end-to-end on a materialized image; DCT pass-through is not resizable") {
+  test("resizePng end-to-end: every materialized image (JPEG-DCT included) is resizable") {
     val ims = images()
-    val thumb = PdfImages.resizePng(ims(1).bytes, 8, 8)
-    assert(thumb.isDefined && PdfImages.pngMeta(thumb.get).contains((8, 8, 6)))
-    assert(PdfImages.resizePng(ims(0).bytes, 8, 8).isEmpty) // jpeg stub: fail-soft
+    ims.foreach { im =>
+      val thumb = PdfImages.resizePng(im.bytes, 8, 8)
+      assert(thumb.isDefined && PdfImages.pngMeta(thumb.get).contains((8, 8, 6)),
+        s"${im.name} not resizable")
+    }
   }
 
   test("determinism: same doc -> byte-identical images (retry idempotence)") {
@@ -105,7 +138,7 @@ class PdfImagesSpec extends AnyFunSuite {
     // i=5: i%10=5 in 4..8, i%4=1 -> withImages
     val (in5, _) = InterleavedGen.docWithGolden(5)
     val pdf5 = java.util.Base64.getDecoder.decode(in5.spans.head.text)
-    assert(PdfImages.documentImages(in5.doc_id, pdf5).size == 3)
+    assert(PdfImages.documentImages(in5.doc_id, pdf5).size == 4)
     // i=6: style 2, plain multi-page, no images
     val (in6, _) = InterleavedGen.docWithGolden(6)
     val pdf6 = java.util.Base64.getDecoder.decode(in6.spans.head.text)

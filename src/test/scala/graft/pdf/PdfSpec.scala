@@ -43,7 +43,7 @@ class PdfSpec extends AnyFunSuite {
     val b = PdfBuilder.withImages("text beside images")
     assert(pageTexts(b) == Vector("text beside images"))
     val doc = PdfDocument.load(b)
-    assert(ContentText.pageImageNames(doc, doc.pages.head) == Vector("Im0", "Im1", "Im2"))
+    assert(ContentText.pageImageNames(doc, doc.pages.head) == Vector("Im0", "Im1", "Im2", "Im3"))
   }
 
   test("pdf_corrupt: truncated xref throws PdfParseException") {
