@@ -222,6 +222,19 @@ object Oracles {
         | CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_permille
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // watermark replay: arrival = event time + deterministic 0-2h
+    // jitter (out-of-order log); a row whose ts is older than
+    // (running max ts of prior arrivals - 1h) is late-dropped
+    "q_events_hourly_late" ->
+      """WITH ev AS (SELECT event_id, ts, event_type, value, epoch_ms(ts) AS tms,
+        |  epoch_ms(ts) + (event_id*2654435761) % 7200000 AS arr FROM events),
+        |h AS (SELECT *, max(tms) OVER (ORDER BY arr, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 3600000 AS hor FROM ev)
+        |SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour, event_type, count(*) AS n,
+        | CAST(SUM(CAST(round(value*1000) AS BIGINT)) AS BIGINT) AS value_permille
+        |FROM h WHERE hor IS NULL OR tms >= hor
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_events_sessions" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events),
         |flags AS (SELECT user_id,

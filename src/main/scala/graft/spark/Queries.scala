@@ -227,6 +227,31 @@ object Queries {
       .agg(count(lit(1)).as("n"), sum(permille(col("value"))).as("value_permille"))
       .orderBy("hour", "event_type")
 
+  /** WATERMARKED hourly aggregation, batch REPLAY twin: arrival order
+    * is event time plus a deterministic 0-2h per-event jitter (an
+    * out-of-order log — the testdata's event_id order is fully sorted,
+    * which would make the late path vacuous); the watermark is the
+    * running max event time of prior arrivals minus 1 hour, and a row
+    * older than the watermark at its arrival is LATE and dropped —
+    * exactly Structured Streaming's `withWatermark("ts","1 hour")`
+    * semantics, replayed losslessly so the DuckDB oracle can verify
+    * the late-drop rule (~31% of sf0.01 rows drop). The sequential
+    * running-max window is inherent to REPLAYING a global watermark
+    * (it is the verification twin — the scale path is the streaming
+    * query itself, [[graft.streaming.ExtractStream.eventsHourly]]). */
+  def qEventsHourlyLate(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("tms", unix_millis(col("ts").cast("timestamp")))
+      .withColumn("arr", col("tms") + pmod(col("event_id") * lit(2654435761L), lit(7200000L)))
+    val w = Window.orderBy("arr", "event_id").rowsBetween(Window.unboundedPreceding, -1)
+    ev.withColumn("hor", max(col("tms")).over(w) - lit(3600000L))
+      .where(col("hor").isNull || col("tms") >= col("hor"))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH:00").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(permille(col("value"))).as("value_permille"))
+      .orderBy("hour", "event_type")
+  }
+
   /** Sessionization: per-user session count with a 30-minute
     * inactivity gap (lag + cumulative flag — the standard formulation). */
   def qEventsSessions(s: SparkSession, dir: String): DataFrame = {
@@ -663,6 +688,7 @@ object Queries {
     "q5_region_revenue" -> (q5RegionRevenue _),
     "q_window_topn" -> (qWindowTopN _),
     "q_events_hourly" -> (qEventsHourly _),
+    "q_events_hourly_late" -> (qEventsHourlyLate _),
     "q_events_sessions" -> (qEventsSessions _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),

@@ -69,11 +69,17 @@ object ExtractStream {
       numBuckets: Int = 64): Dataset[BucketProgress] = {
     import spark.implicits._
     extracted
-      .map(d => (math.floorMod(d.doc_id.hashCode, numBuckets), 1L, d.spans.size.toLong))
+      // SAME bucket hash as the batch job's lineage
+      // (ExtractJob: pmod(xxhash64(doc_id), numBuckets)) so streaming
+      // progress joins 1:1 against batch lineage buckets
+      .select(
+        pmod(xxhash64(col("doc_id")), lit(numBuckets)).cast("int").as("bucket"),
+        size(col("spans")).cast("long").as("nspans"))
+      .as[(Int, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
-        (bucket: Int, rows: Iterator[(Int, Long, Long)], state: GroupState[BucketProgress]) =>
-          val (dAdd, sAdd) = rows.foldLeft((0L, 0L)) { case ((a, b), r) => (a + r._2, b + r._3) }
+        (bucket: Int, rows: Iterator[(Int, Long)], state: GroupState[BucketProgress]) =>
+          val (dAdd, sAdd) = rows.foldLeft((0L, 0L)) { case ((a, b), r) => (a + 1L, b + r._2) }
           val cur = state.getOption.getOrElse(BucketProgress(bucket, 0L, 0L))
           val next = BucketProgress(bucket, cur.docs + dAdd, cur.spans + sAdd)
           state.update(next)
@@ -87,13 +93,25 @@ object ExtractStream {
     * it — Spark keeps the seen-fingerprint set in the state store, so
     * duplicates are suppressed ACROSS micro-batches and across
     * restarts (checkpointed state). At 10^12 docs unbounded dedup
-    * state is a memory risk: bound it by also watermarking an
-    * event-time column and using `dropDuplicatesWithinWatermark`
-    * (same plan shape; state pruned to the watermark horizon). */
+    * state is a memory risk — use the watermark-bounded
+    * [[dedupStreamWithinWatermark]] variant there. */
   def dedupStream(spark: SparkSession, docs: DataFrame): DataFrame =
     docs
       .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
       .dropDuplicates("fp")
+
+  /** BOUNDED-STATE streaming dedup — the 10^12-doc path: the same
+    * fingerprint key, but state is pruned to the watermark horizon
+    * (`dropDuplicatesWithinWatermark`): a duplicate arriving within
+    * `delay` of the original is suppressed; one arriving later may
+    * pass (by then a batch dedup pass owns the long tail). `tsCol`
+    * must be an event-time column of `docs`. */
+  def dedupStreamWithinWatermark(spark: SparkSession, docs: DataFrame,
+      tsCol: String, delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions.fingerprint(col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("fp")
 
   /** Event-time windowed aggregation with a watermark over the events
     * stream table — the engine's late-data-tolerant streaming agg

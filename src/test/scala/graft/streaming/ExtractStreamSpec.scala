@@ -96,6 +96,54 @@ class ExtractStreamSpec extends AnyFunSuite {
     assert(total == 30)
   }
 
+  test("streaming progress buckets join 1:1 against batch lineage buckets (same xxhash64)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = tmp("corpus4")
+    InterleavedTable.generate(spark, 40).coalesce(1)
+      .write.mode("overwrite").parquet(corpus)
+    val src = spark.readStream.schema(ExtractStream.inputSchema).parquet(corpus)
+    val prog = ExtractStream.progressStream(spark, ExtractStream.extract(spark, src))
+    val q = prog.writeStream.format("memory").queryName("prog4")
+      .outputMode("update").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamBuckets = spark.sql("SELECT bucket, docs FROM prog4")
+      .as[(Int, Long)].collect().toMap
+    // batch side: the extraction job's lineage bucketing formula
+    val batchBuckets = spark.read.parquet(corpus)
+      .groupBy(pmod(xxhash64(col("doc_id")), lit(64)).cast("int").as("bucket"))
+      .agg(count(lit(1)).as("docs"))
+      .as[(Int, Long)].collect().toMap
+    assert(streamBuckets == batchBuckets,
+      s"bucket mismatch: stream=$streamBuckets batch=$batchBuckets")
+  }
+
+  test("dropDuplicatesWithinWatermark suppresses in-horizon duplicates across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val src = tmp("ddw-src"); val out = tmp("ddw-out"); val ck = tmp("ddw-ck")
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:10:00") // within the 1h horizon
+    Seq((1L, "a b", t0), (2L, "unique one", t0))
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$src/f1")
+    Seq((3L, "b a", t1), (4L, "another unique", t1)) // doc 3 = dup of doc 1's fp
+      .toDF("doc_id", "text", "ts").coalesce(1).write.parquet(s"$src/f2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f*")
+    val q = ExtractStream.dedupStreamWithinWatermark(spark, stream, "ts", "1 hour")
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept.size == 3 && kept.contains(2L) && kept.contains(4L))
+    assert((kept & Set(1L, 3L)).size == 1)
+  }
+
   test("event-time windowed agg with watermark runs over the events table") {
     // file-stream sources need a directory: stage the table into one
     val evDir = tmp("events")
