@@ -55,7 +55,8 @@ object Bench {
     def best: Double = kept.map(_.wallDps).max
     def median: Double = {
       val s = kept.map(_.wallDps).sorted
-      s(s.length / 2)
+      if (s.length % 2 == 1) s(s.length / 2)
+      else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0 // true median, not upper-middle
     }
     /** docs per executor-CPU-second — wall-contamination-immune. */
     def cpuDps: Double = kept.map(_.cpuDps).max

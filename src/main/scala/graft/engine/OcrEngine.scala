@@ -63,14 +63,25 @@ object TesseractEngine {
       .find(p => Files.isRegularFile(p) && Files.isExecutable(p))
       .map(_.toString)
 
+  /** Hard deadline on the child process — keeps the fail-soft (Left)
+    * contract even when tesseract wedges. */
+  private[engine] val TimeoutSec = 60L
+
   private[engine] def exec(cmd: Seq[String]): Either[String, String] =
     try {
       val pb = new ProcessBuilder(cmd: _*)
-      pb.redirectErrorStream(false)
+      // stderr is DISCARDED, not left on a pipe: tesseract writes
+      // warnings there, and an undrained ~64KB pipe fills, blocks the
+      // child, and stdout never reaches EOF — a hung executor thread
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
       val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val code = proc.waitFor()
-      if (code == 0) Right(out) else Left(s"tesseract exited $code")
+      val done = proc.waitFor(TimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) {
+        proc.destroyForcibly()
+        Left(s"tesseract timed out after ${TimeoutSec}s")
+      } else if (proc.exitValue() == 0) Right(out)
+      else Left(s"tesseract exited ${proc.exitValue()}")
     } catch { case scala.util.control.NonFatal(e) => Left(s"tesseract exec: ${e.getMessage}") }
 }
 

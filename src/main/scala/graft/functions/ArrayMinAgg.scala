@@ -17,8 +17,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * group, any signature width.
   *
   * Null inputs are ignored (like built-in min); an empty group yields
-  * null. Mixed lengths take the shorter prefix (defensive — signatures
-  * are fixed-width by construction).
+  * null. Null ELEMENTS are skipped (a null contributes no information
+  * at its position; a position that only ever saw nulls stays null).
+  * Mixed lengths take the shorter prefix (defensive — signatures are
+  * fixed-width by construction). Non-array input is an ANALYSIS error
+  * (the function is SQL-exposed as array_min_agg).
   */
 final case class ArrayMinAgg(
     child: Expression,
@@ -28,7 +31,16 @@ final case class ArrayMinAgg(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = true
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_min_agg requires an array<string> argument, got ${other.catalogString}")
+    }
 
   override def createAggregationBuffer(): Array[UTF8String] = null
 
@@ -37,15 +49,20 @@ final case class ArrayMinAgg(
       val n = arr.numElements()
       val out = new Array[UTF8String](n)
       var i = 0
-      while (i < n) { out(i) = arr.getUTF8String(i).clone(); i += 1 }
+      while (i < n) {
+        out(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i).clone()
+        i += 1
+      }
       out
     } else {
       val n = math.min(buf.length, arr.numElements())
       val out = if (n == buf.length) buf else java.util.Arrays.copyOf(buf, n)
       var i = 0
       while (i < n) {
-        val v = arr.getUTF8String(i)
-        if (v.compareTo(out(i)) < 0) out(i) = v.clone()
+        if (!arr.isNullAt(i)) {
+          val v = arr.getUTF8String(i)
+          if (out(i) == null || v.compareTo(out(i)) < 0) out(i) = v.clone()
+        }
         i += 1
       }
       out
@@ -69,7 +86,10 @@ final case class ArrayMinAgg(
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.length)
-    buf.foreach { s => val b = s.getBytes; out.writeInt(b.length); out.write(b) }
+    buf.foreach { s =>
+      if (s == null) out.writeInt(-1) // null element (skipped position)
+      else { val b = s.getBytes; out.writeInt(b.length); out.write(b) }
+    }
     out.flush()
     bos.toByteArray
   }
@@ -81,9 +101,13 @@ final case class ArrayMinAgg(
     val out = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
-      val b = new Array[Byte](in.readInt())
-      in.readFully(b)
-      out(i) = UTF8String.fromBytes(b)
+      val len = in.readInt()
+      if (len < 0) out(i) = null
+      else {
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        out(i) = UTF8String.fromBytes(b)
+      }
       i += 1
     }
     out

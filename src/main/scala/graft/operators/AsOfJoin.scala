@@ -25,29 +25,38 @@ object AsOfJoin {
   /** `left` keeps all its columns; `right` contributes `payloadCols`
     * (null when the left row has no prior right row). Both sides must
     * carry `keys` and `timeCol`. Right rows must be unique per
-    * (keys, timeCol) — pre-aggregate otherwise (determinism). */
+    * (keys, timeCol) — pre-aggregate otherwise (determinism).
+    *
+    * All payload columns are carried forward in ONE struct (non-null
+    * exactly on right rows), so every payload value on a left row
+    * comes from the SAME latest right row — filling each column
+    * independently would skip a right row's null payload value and mix
+    * values from different right rows, diverging from ASOF JOIN
+    * semantics. */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       timeCol: String, payloadCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
     val base = keys :+ timeCol
+    val pType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => right.schema(c)).toArray)
     // side 0 sorts before side 1 at equal time: a right row AT the
     // left row's time is visible (<= semantics)
     val l = left.select(
       base.map(col) ++
-        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        leftCols.filterNot(base.contains).map(col) :+ lit(1).as("__side"): _*)
+        leftCols.filterNot(base.contains).map(col) :+
+        lit(null).cast(pType).as("__p") :+ lit(1).as("__side"): _*)
     val r = right.select(
       base.map(col) ++
-        payloadCols.map(col) ++
         leftCols.filterNot(base.contains)
-          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+ lit(0).as("__side"): _*)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(payloadCols.map(col): _*).as("__p") :+ lit(0).as("__side"): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(timeCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(l.unionAll(r)) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    val filled = l.unionAll(r)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
     filled.where(col("__side") === 1)
-      .select(leftCols.map(col) ++ payloadCols.map(col): _*)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__p").getField(c).as(c)): _*)
   }
 }

@@ -83,9 +83,14 @@ object Dedup {
       import org.apache.spark.sql.GraftColumnBridge._
       toColumn(graft.functions.MinHashSigs(toExpression(col("text")), shingleN, numHashes))
     }
-    // null signature = doc shorter than one shingle (no rows in the
-    // exploded formulation either)
-    val sigs = docs.select(col("doc_id"), mh.as("mh")).where(col("mh").isNotNull)
+    // docs shorter than one shingle produce a null signature (no rows
+    // in the exploded formulation either); filter on the EQUIVALENT
+    // cheap token-count predicate (null ⟺ fewer than shingleN tokens
+    // by construction) — a filter on mh.isNotNull gets pushed below
+    // the projection and evaluates the interpreted minhash expression
+    // TWICE per row (CodegenFallback has no subexpression elimination)
+    val sigs = docs.where(size(split(col("text"), " ")) >= shingleN)
+      .select(col("doc_id"), mh.as("mh"))
     // band signature = md5 of its concatenated minhash values
     val bandSig = (0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)

@@ -454,8 +454,10 @@ object Queries {
     * outputs are unhashable there); the md5 pins every element. */
   def dedupClusterSigs(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "documents")
+      // cheap equivalent of mh.isNotNull (null ⟺ < 3 tokens): keeps the
+      // interpreted signature expression single-evaluation per row
+      .where(size(split(col("text"), " ")) >= 3)
       .select((col("doc_id") % 16).as("bucket"), TF.minhashSigs(col("text"), 3, 8).as("mh"))
-      .where(col("mh").isNotNull)
       .groupBy("bucket")
       .agg(TF.arrayMinAgg(col("mh")).as("sig_arr"))
       .select(col("bucket"), md5(array_join(col("sig_arr"), "|")).as("cluster_sig"))

@@ -220,6 +220,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == List("q", "q", "q"))
   }
 
+  test("ArrayMinAgg: null ELEMENTS are skipped; all-null positions stay null; shuffled merge path") {
+    val df = Seq(
+      (1L, Seq(Some("m"), None, None)),
+      (1L, Seq(Some("b"), Some("x"), None)))
+      .toDF("k", "arr").repartition(4)
+    val got = df.groupBy("k").agg(TF.arrayMinAgg($"arr").as("m"))
+      .collect().map(r => r.getAs[scala.collection.Seq[String]]("m").toList).head
+    assert(got == List("b", "x", null))
+  }
+
+  test("array_min_agg: non-array SQL argument is an ANALYSIS error, not a runtime ClassCastException") {
+    import org.apache.spark.sql.SparkSession
+    val prev = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]").appName("graft-amg-spec")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new graft.spark.GraftExtensions)
+        .getOrCreate()
+      val e = intercept[org.apache.spark.sql.AnalysisException] {
+        s2.sql("SELECT array_min_agg(x) FROM VALUES (1), (2) t(x)").collect()
+      }
+      assert(e.getMessage.contains("array<string>"))
+      // and null ELEMENTS are handled (skipped), not NPE
+      assert(s2.sql(
+        "SELECT array_min_agg(a) FROM VALUES (array('b', CAST(NULL AS STRING))), (array('c','a')) t(a)")
+        .head().getSeq[String](0).toList == List("b", "a"))
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prev.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("native TokenSimHash64: single-token sketch IS the token's md5 bits (hand pin)") {
     // one token => every bit voted once => sketch == the token value;
     // md5("") = d41d8cd98f00b204e9800998ecf8427e, so lo = 0xd41d8cd9
@@ -336,6 +370,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got("l1") == 100L) // tie: right row AT the left time is visible
     assert(got("l2") == 101L) // latest prior wins
     assert(got("m1") == -1L)  // key 2: right row is in the future
+  }
+
+  test("asOf join: ALL payload columns come from the single latest right row (null payload values included)") {
+    // the latest right row (t=15) carries a NULL pay: the left row must
+    // see (NULL, 'y') from THAT row — per-column forward-fill would mix
+    // pay=100 from the older row with note='y' from the newer one
+    val left = Seq((1L, 20L, "l")).toDF("k", "tms", "tag")
+    val right = Seq((1L, 10L, Some(100L), "x"), (1L, 15L, None, "y"))
+      .toDF("k", "tms", "pay", "note")
+    val row = AsOfJoin.asOf(left, right, keys = Seq("k"), timeCol = "tms",
+      payloadCols = Seq("pay", "note")).collect().head
+    assert(row.isNullAt(row.fieldIndex("pay")), "stale pay from an older right row")
+    assert(row.getAs[String]("note") == "y")
   }
 
   // ---- multimodal plumbing -------------------------------------------
