@@ -4,6 +4,7 @@ import java.nio.file.{Files, Paths}
 import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import graft.core.model._
 import graft.job.ExtractJob
 import graft.io.TableIO
 import graft.spark.{Queries, Sessions}
@@ -52,6 +53,7 @@ object Bench {
   final case class Rep(wallDps: Double, cpuDps: Double, stealPct: Double, clean: Boolean)
   final case class Level(reps: Vector[Rep]) {
     def kept: Vector[Rep] = { val c = reps.filter(_.clean); if (c.nonEmpty) c else reps }
+    def hasClean: Boolean = reps.exists(_.clean)
     def best: Double = kept.map(_.wallDps).max
     def median: Double = {
       val s = kept.map(_.wallDps).sorted
@@ -75,6 +77,83 @@ object Bench {
     * discarded and retried (the whole-window 3.4% of round 1 hid a
     * burst that halved the graded number). */
   private val StealGatePct = 1.5
+
+  /** Max single-task wall time (ms) via listener — the straggler metric
+    * for the giant-doc fan-out experiment. */
+  private final class MaxTaskListener extends SparkListener {
+    val maxMs = new AtomicLong(0L)
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) maxMs.getAndUpdate(cur => math.max(cur, m.executorRunTime))
+    }
+  }
+
+  final case class SkewResult(giantDocs: Int, giantPages: Int, normalDocs: Int,
+      wallOffSec: Double, wallOnSec: Double, maxTaskOffMs: Long, maxTaskOnMs: Long)
+
+  /** Giant-doc skew experiment: same corpus (normal mix + a few
+    * multi-ten-thousand-page PDFs), same job, fan-out OFF vs ON
+    * (Config.giantBytesThreshold). OFF: each giant doc is one
+    * unsplittable row — a second-plus task that pins job wall time.
+    * ON: the doc explodes into page-range chunks extracted in parallel
+    * and reassembled with one shuffle of extracted text. Chunk size is
+    * pages/8: every chunk re-pays the b64 decode + xref walk of the
+    * WHOLE doc (inline payload — production chunks would carry an
+    * object-store ref), so small chunks multiply that fixed cost;
+    * ~8 chunks per doc keeps refactor overhead well under the
+    * straggler win. */
+  private def measureSkew(cores: Int): SkewResult = {
+    val nNormal = 4000; val nGiant = 4; val giantPages = 24000; val linesPerPage = 600
+    val spark = Sessions.bench(cores, "graft-bench-skew")
+    import spark.implicits._
+    val corpusDir = s"/root/repo/target/graft-bench/skew-corpus-$nGiant-$giantPages-$linesPerPage"
+    if (!Files.exists(Paths.get(s"$corpusDir/_SUCCESS"))) {
+      val normal = spark.range(nNormal)
+        .map(i => graft.fixtures.InterleavedGen.docWithGolden(i)._1).toDF()
+      val giants = spark.range(nGiant).map { g =>
+        // OP-DENSE pages (600 positioned one-glyph lines each): the
+        // content-stream interpreter work per page far outweighs both
+        // the stored bytes (streams deflate heavily) and the extracted
+        // text — the layout-heavy/generated-report class where one doc
+        // is a multi-second unsplittable task. Fan-out duplicates the
+        // payload per chunk and reshuffles extracted text, so the win
+        // exists exactly when processing dominates shipping; that is
+        // the trade-off Config.giantBytesThreshold gates on.
+        val pages = (1 to giantPages).map { _ =>
+          graft.pdf.PdfBuilder.multiLine((1 to linesPerPage).map(_ => "g"))
+        }
+        val pdf = graft.pdf.PdfBuilder.simple(pages, flate = true)
+        InterleavedDoc(f"giant$g%08d", Seq(RawSpan("pdf_bytes",
+          java.util.Base64.getEncoder.encodeToString(pdf), "", 0)))
+      }.toDF()
+      normal.unionAll(giants).repartition(cores)
+        .write.mode("overwrite").parquet(corpusDir)
+    }
+    val input = spark.read.parquet(corpusDir)
+    val outBase = if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
+    def run(tag: String, threshold: Long): (Double, Long) = {
+      val out = s"$outBase/graft-bench-skew-$tag"
+      TableIO.deleteRecursively(out)
+      val lst = new MaxTaskListener
+      spark.sparkContext.addSparkListener(lst)
+      System.gc()
+      val t0 = System.nanoTime()
+      ExtractJob.run(spark, input, out, ExtractJob.Config(jobId = s"skew-$tag",
+        giantBytesThreshold = threshold, giantChunkPages = giantPages / 8))
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.removeSparkListener(lst)
+      TableIO.deleteRecursively(out)
+      (wall, lst.maxMs.get())
+    }
+    // warmup runs BOTH code paths (fan-out ON covers the normal path
+    // for the 4000 normal docs AND the chunk/reassembly path), discarded
+    run("warm", 1000000L)
+    val (wOff, tOff) = run("off", 0L)
+    val (wOn, tOn) = run("on", 1000000L) // giants are ~12MB b64; normal tail ≤ ~100KB
+    spark.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    SkewResult(nGiant, giantPages, nNormal, wOff, wOn, tOff, tOn)
+  }
 
   private def measureLevel(cores: Int, corpusDir: String,
       targetReps: Int, maxAttempts: Int): Level = {
@@ -133,6 +212,15 @@ object Bench {
     }
     val corpusDir = s"/root/repo/target/graft-bench/corpus-$nDocs"
 
+    // standalone skew-experiment mode (local iteration)
+    if (sys.env.contains("SPARK_GRAFT_SKEW_ONLY")) {
+      val s = measureSkew(cpus)
+      println(f"""{"skew_fanout":{"giant_docs":${s.giantDocs},"giant_pages_each":${s.giantPages},""" +
+        f""""normal_docs":${s.normalDocs},"wall_off_sec":${s.wallOffSec}%.2f,"wall_on_sec":${s.wallOnSec}%.2f,""" +
+        f""""max_task_off_ms":${s.maxTaskOffMs},"max_task_on_ms":${s.maxTaskOnMs}}}""")
+      return
+    }
+
     // --- corpus (generated once, reused across rounds/levels)
     if (!Files.exists(Paths.get(s"$corpusDir/interleaved_docs.parquet/_SUCCESS"))) {
       val s = Sessions.local(cpus, "graft-bench-gen")
@@ -146,8 +234,17 @@ object Bench {
     // --- extraction throughput: graded pair 2→8; 8→32 diagnostic
     def level(n: Int): Level =
       measureLevel(n, corpusDir, targetReps = if (n <= 2) 2 else 4, maxAttempts = 8)
-    val l2 = level(2)
-    val l8 = level(8)
+    // a GRADED level must contain at least one clean rep — best-of-dirty
+    // is recorded but flagged, never silently graded (round-2 lesson:
+    // the committed record's graded number came from all-dirty windows)
+    def gradedLevel(n: Int): Level = {
+      var l = level(n)
+      var extra = 0
+      while (!l.hasClean && extra < 2) { l = Level(l.reps ++ level(n).reps); extra += 1 }
+      l
+    }
+    val l2 = gradedLevel(2)
+    val l8 = gradedLevel(8)
     var l32 = level(32)
     var anomaly = false
     if (l32.best < l8.best) {
@@ -173,20 +270,34 @@ object Bench {
       "q_events_hourly", "q_events_sessions", "dedup_exact", "dedup_minhash_lsh",
       "dedup_minhash_star", "dedup_jaccard", "dedup_jaccard_capped", "dedup_simhash",
       "dedup_simhash64", "dedup_embedding", "sim_topk_brute", "sim_topk_lsh",
-      "sim_topk_lsh_multi", "text_stats", "text_langid", "pdfz_images")
+      "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans",
+      "text_stats", "text_langid", "pdfz_images")
+    // SORT-PRESERVING action: executing the df's own physical plan keeps
+    // each query's final global ORDER BY in the timed region (a plain
+    // .count() re-plans and EliminateSorts drops the sort every real
+    // consumer would pay)
+    def runFullPlan(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.executedPlan.execute().count()
     val qTimes = headline.map { name =>
       val fn = Queries.all(name)
-      fn(spark, sfDir).count() // warmup (codegen + JIT)
+      runFullPlan(fn(spark, sfDir)) // warmup (codegen + JIT)
       // best of 2 timed runs: a single sample on this shared host is as
       // fragile as the round-1 extraction record was
       val secs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        runFullPlan(fn(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       name -> secs.min
     }
     spark.stop()
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+
+    // --- giant-doc fan-out skew datapoint: a corpus with a few
+    // multi-thousand-page PDFs; fan-out OFF leaves each giant doc as
+    // ONE unsplittable row (a single straggler task pins the job wall
+    // time), ON explodes it into page-range chunks (Config scaladoc)
+    val skew = measureSkew(cpus)
 
     def repsJson(l: Level): String = l.reps.map(r =>
       f"""{"wall_dps":${r.wallDps}%.1f,"cpu_dps":${r.cpuDps}%.1f,""" +
@@ -202,8 +313,15 @@ object Bench {
         f""""cpu_docs_per_core_sec_2":${l2.cpuDps}%.1f,"cpu_docs_per_core_sec_8":${l8.cpuDps}%.1f,"cpu_docs_per_core_sec_32":${l32.cpuDps}%.1f,""" +
         f""""cpu_efficiency_8_32":$cpuEff832%.3f,""" +
         f""""graded_pair":"2->8 (N vs 4N cores)","anomaly_32_inverted":$anomaly,""" +
+        f""""graded_clean":${l2.hasClean && l8.hasClean},""" +
+        f""""clean_reps":{"2":${l2.reps.count(_.clean)},"8":${l8.reps.count(_.clean)},"32":${l32.reps.count(_.clean)}},""" +
         f""""reps":{"2":${repsJson(l2)},"8":${repsJson(l8)},"32":${repsJson(l32)}},""" +
+        f""""skew_fanout":{"giant_docs":${skew.giantDocs},"giant_pages_each":${skew.giantPages},""" +
+        f""""normal_docs":${skew.normalDocs},"wall_off_sec":${skew.wallOffSec}%.2f,""" +
+        f""""wall_on_sec":${skew.wallOnSec}%.2f,"max_task_off_ms":${skew.maxTaskOffMs},""" +
+        f""""max_task_on_ms":${skew.maxTaskOnMs}},""" +
         f""""host_steal_pct":$stealPct%.2f,"steal_gate_pct":$StealGatePct,""" +
-        f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; best-of-clean graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag)."}}""")
+        f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region",""" +
+        f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (up to 2x) until they hold >=1 clean rep, else graded_clean=false; best-of-clean graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag). skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}""")
   }
 }

@@ -323,9 +323,23 @@ object ExtractJob {
       }
 
       // ONE action: the write. Metrics ride the accumulator.
-      val writer = extracted.write.mode("append")
-      (if (cfg.mode == "bucketed") writer.partitionBy("bucket") else writer)
-        .parquet(TableIO.dataDir(tableDir))
+      // Giant fan-out caveat: AQE coalesces shuffle partitions by
+      // COMPRESSED map-output size, and extracted text compresses so
+      // well that it collapses the per-doc reassembly into one task —
+      // re-creating the straggler the fan-out exists to remove. Keep
+      // the key-hash spread for this write (the scan-mode normal path
+      // has no exchange, so the setting is inert for it).
+      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+      val prevCoalesce = spark.conf.getOption(coalesceKey)
+      if (fanOut) spark.conf.set(coalesceKey, "false")
+      try {
+        val writer = extracted.write.mode("append")
+        (if (cfg.mode == "bucketed") writer.partitionBy("bucket") else writer)
+          .parquet(TableIO.dataDir(tableDir))
+      } finally if (fanOut) prevCoalesce match {
+        case Some(v) => spark.conf.set(coalesceKey, v)
+        case None => spark.conf.unset(coalesceKey)
+      }
 
       val stats = acc.value
       val now = System.currentTimeMillis()

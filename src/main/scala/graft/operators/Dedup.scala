@@ -242,6 +242,38 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Connected-component labeling over near-duplicate pairs — the
+    * union-find/keep-min pass every pair generator above feeds (the
+    * cluster label IS the kept doc of [[exactGroups]], generalized to
+    * transitive near-dup chains): iterative min-label propagation,
+    * a FIXED number of BSP rounds so the result is a pure function of
+    * (edges, iterations) and an external engine can replay it. Each
+    * round is one join + one hash aggregation (map-side partial min) —
+    * the standard relational form; after round k every node holds the
+    * min label within distance k, so `iterations` ≥ the component
+    * diameter labels exactly. At 10^12 edges use the same shape with
+    * alternating large-star/small-star rounds (Kiveris et al., SoCC
+    * 2014) to cut the round count to O(log n) — each round here IS the
+    * large-star primitive.
+    *
+    * Input: (a_id, b_id) pairs. Output: (doc_id, component) for every
+    * doc appearing in any pair, component = min doc_id reachable
+    * within `iterations` hops. */
+  def components(pairs: DataFrame, iterations: Int = 3): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+    for (_ <- 0 until iterations) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      labels = labels.unionAll(propagated)
+        .groupBy("id").agg(min("component").as("component"))
+    }
+    labels.select(col("id").as("doc_id"), col("component"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ tPct/100, exact
     * integer test over milliunit-quantized vectors, bucketed by
     * sign-LSH so the pair join is per-bucket, not all-pairs. Sign-LSH

@@ -348,6 +348,33 @@ object Oracles {
          |ORDER BY a_id, b_id""".stripMargin
     },
 
+    "dedup_components" -> {
+      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sigs")
+        .mkString("\n UNION ALL ")
+      // 3 BSP min-propagation rounds over the symmetric star-pair edges
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT id, min(component) AS component FROM (
+           | SELECT id, component FROM $prev
+           | UNION ALL
+           | SELECT e.dst AS id, p.component FROM edges e JOIN $prev p ON p.id = e.src
+           |) GROUP BY id)""".stripMargin
+      s"""WITH $docsPlus, $sh3,
+         |sigs AS (SELECT doc_id, $mins FROM sh3 GROUP BY doc_id),
+         |banded AS ($bands),
+         |canon AS (SELECT band, sig, min(doc_id) AS canon FROM banded GROUP BY 1, 2),
+         |pairs AS (SELECT DISTINCT c.canon AS a_id, b.doc_id AS b_id
+         | FROM banded b JOIN canon c USING (band, sig) WHERE b.doc_id <> c.canon),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         | UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS id, src AS component FROM edges),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT id AS doc_id, component FROM l3 ORDER BY doc_id""".stripMargin
+    },
+
     "dedup_jaccard" ->
       s"""WITH $docsPlus, $sh3,
          |shd AS (SELECT DISTINCT doc_id, sh FROM sh3),

@@ -444,6 +444,15 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Connected components over the MinHash-LSH star pairs — the
+    * keep-min union pass of the dedup pipeline (3 BSP min-propagation
+    * rounds, deterministic; the DuckDB twin replays the same rounds). */
+  def dedupComponents(s: SparkSession, dir: String): DataFrame =
+    Dedup.components(
+        Dedup.minhashLshStarPairs(docsPlus(s, dir), shingleN = 3, numHashes = 8, bands = 4),
+        iterations = 3)
+      .orderBy("doc_id")
+
   /** MinHash CLUSTER signatures: element-wise min of member signatures
     * per bucket — the signature-merge that lets re-clustering run over
     * cluster representatives instead of members (custom ArrayMinAgg
@@ -709,6 +718,7 @@ object Queries {
     "dedup_simhash64" -> (dedupSimhash64 _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_sigs" -> (dedupClusterSigs _),
+    "dedup_components" -> (dedupComponents _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_lsh_multi" -> (simTopkLshMulti _),

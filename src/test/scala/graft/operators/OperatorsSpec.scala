@@ -254,6 +254,20 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("components: min-label propagation merges transitive chains within the iteration radius") {
+    // chain 1-2-3-4 plus isolated pair (10,11): 3 rounds reach radius 3,
+    // enough for the diameter-3 chain
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a_id", "b_id")
+    val got = Dedup.components(pairs, iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+    // 1 round only reaches distance-1 neighbors (initial labels): node 4
+    // sees 3's initial label, node 3 sees 2's, node 2 reaches 1
+    val one = Dedup.components(pairs, iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(4L) == 3L && one(3L) == 2L && one(2L) == 1L)
+  }
+
   test("native TokenSimHash64: single-token sketch IS the token's md5 bits (hand pin)") {
     // one token => every bit voted once => sketch == the token value;
     // md5("") = d41d8cd98f00b204e9800998ecf8427e, so lo = 0xd41d8cd9
