@@ -144,24 +144,37 @@ object Dedup {
     val sh = docs
       .select(col("doc_id"),
         explode(array_distinct(TF.shingles(col("text"), shingleN))).as("sh"))
-    // document frequency per shingle via HASH AGGREGATION, joined back:
-    // map-side partial counts collapse a hot shingle's rows BEFORE the
-    // shuffle (a stopword 3-gram with df 10^9 ships one partial row per
-    // input partition, not 10^9 rows into one task), and the df cap is
+    // ONE hash aggregation per shingle carries both the document
+    // frequency AND the sorted member list: map-side partial counts
+    // collapse a hot shingle's rows BEFORE the shuffle, the df cap is
     // applied to the one-row-per-shingle agg result so capped-out hot
-    // shingles vanish from the join. The earlier window formulation
-    // (count over partitionBy(sh)) forced ALL rows of a shingle into a
-    // single unsplittable task before the cap could drop it; a skewed
-    // JOIN partition, by contrast, is AQE-splittable (the df side is
-    // one row per key and gets replicated across splits).
-    val dfAgg = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-    val dfKept = if (maxDf == Int.MaxValue) dfAgg else dfAgg.where(col("df") <= maxDf)
-    val kept = sh.join(dfKept, "sh")
-    val sizes = kept.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val joinable = kept.where(col("df") >= 2).select("doc_id", "sh")
-    val inter = joinable.as("l")
-      .join(joinable.as("r"), col("l.sh") === col("r.sh") && col("l.doc_id") < col("r.doc_id"))
-      .groupBy(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+    // shingles vanish entirely, and downstream sizes/intersections both
+    // read this aggregate — the scan+explode+partial-agg subtree runs
+    // once (ReuseExchange unifies the exchange under both consumers).
+    // History: (a) count().over(Window.partitionBy(sh)) forced ALL rows
+    // of a hot shingle into one unsplittable task before the cap could
+    // drop it — the 10^12-doc scale-killer; (b) groupBy(sh).count
+    // joined back onto the exploded rows fixed the skew but paid the
+    // shingle explode once per consumer (4 evaluations, measured ~4x
+    // wall). Mega-bucket caveat: an uncapped hot shingle collects its
+    // member list into one row here — still linear in df, vs the d²/2
+    // join rows the self-join form emits for the same shingle; the
+    // capped variant bounds the list at maxDf by construction.
+    val buckets = sh.groupBy("sh").agg(
+      count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("ms"))
+    val kept = if (maxDf == Int.MaxValue) buckets else buckets.where(col("df") <= maxDf)
+    val sizes = kept
+      .select(explode(col("ms")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // pairs via two chained explodes of the member array (a < b keeps
+    // each unordered pair once) — GenerateExec is codegen'd, unlike the
+    // nested-transform HOF unfold (interpreted; measured ~2x slower at
+    // 5M pairs)
+    val inter = kept.where(col("df") >= 2)
+      .select(col("ms"), explode(col("ms")).as("a"))
+      .select(col("a"), explode(col("ms")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a").as("a_id"), col("b").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
