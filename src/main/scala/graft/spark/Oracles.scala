@@ -375,6 +375,48 @@ object Oracles {
          |SELECT id AS doc_id, component FROM l3 ORDER BY doc_id""".stripMargin
     },
 
+    "pipeline_clean_corpus" -> {
+      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sigs")
+        .mkString("\n UNION ALL ")
+      def round(prev: String, out: String) =
+        s"""$out AS (SELECT id, min(component) AS component FROM (
+           | SELECT id, component FROM $prev
+           | UNION ALL
+           | SELECT e.dst AS id, p.component FROM edges e JOIN $prev p ON p.id = e.src
+           |) GROUP BY id)""".stripMargin
+      s"""WITH $docsPlus,
+         |tq AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM docs_plus),
+         |qm AS (SELECT doc_id, text,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         | FROM tq),
+         |dpq AS (SELECT doc_id, text FROM qm WHERE
+         |   (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+         | + (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 400 THEN 1 ELSE 0 END)
+         | + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END) >= 2),
+         |sh3q AS (SELECT doc_id, unnest(list_transform(
+         |   range(0, greatest(len(string_split(text,' ')) - 2, 0)),
+         |   i -> md5(array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS sh
+         | FROM dpq),
+         |sigs AS (SELECT doc_id, $mins FROM sh3q GROUP BY doc_id),
+         |banded AS ($bands),
+         |canon AS (SELECT band, sig, min(doc_id) AS canon FROM banded GROUP BY 1, 2),
+         |pairs AS (SELECT DISTINCT c.canon AS a_id, b.doc_id AS b_id
+         | FROM banded b JOIN canon c USING (band, sig) WHERE b.doc_id <> c.canon),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         | UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS id, src AS component FROM edges),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT q.doc_id FROM dpq q LEFT JOIN l3 ON l3.id = q.doc_id
+         |WHERE coalesce(l3.component, q.doc_id) = q.doc_id
+         |ORDER BY q.doc_id""".stripMargin
+    },
+
     "dedup_jaccard" ->
       s"""WITH $docsPlus, $sh3,
          |shd AS (SELECT DISTINCT doc_id, sh FROM sh3),

@@ -444,6 +444,24 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  /** END-TO-END cleaning pipeline over the near-duplicate testbed —
+    * the composition a training-data user actually runs: quality
+    * filter (heuristic bucket ≥ 2) → MinHash-LSH star pairs →
+    * connected components → keep each cluster's min doc_id (docs in
+    * no pair keep themselves). Output: the surviving representative
+    * corpus. Every stage is one of this library's operators; the
+    * DuckDB twin replays the whole composition. */
+  def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
+    val quality = docsPlus(s, dir).where(TF.qualityBucket(col("text")) >= 2)
+    val comp = Dedup.components(
+      Dedup.minhashLshStarPairs(quality, shingleN = 3, numHashes = 8, bands = 4),
+      iterations = 3)
+    quality.join(comp, Seq("doc_id"), "left")
+      .where(coalesce(col("component"), col("doc_id")) === col("doc_id"))
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Connected components over the MinHash-LSH star pairs — the
     * keep-min union pass of the dedup pipeline (3 BSP min-propagation
     * rounds, deterministic; the DuckDB twin replays the same rounds). */
@@ -719,6 +737,7 @@ object Queries {
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_cluster_sigs" -> (dedupClusterSigs _),
     "dedup_components" -> (dedupComponents _),
+    "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_lsh_multi" -> (simTopkLshMulti _),
