@@ -255,6 +255,33 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Linear-output variant of [[embeddingNearDupPairs]] (the star
+    * pattern of [[minhashLshStarPairs]] applied to the embedding
+    * family): each vector is tested ONLY against its sign-LSH bucket's
+    * canonical (minimum-id) member — exact integer cosine — so output
+    * is linear in bucket size instead of quadratic, and the canon side
+    * is one row per bucket → it BROADCASTS (no self-join shuffle at
+    * all). The downstream components/keep-min pass reconnects clusters
+    * exactly as with the minhash star pairs. */
+  def embeddingNearDupStarPairs(emb: DataFrame, tPct: Int = 80,
+      lshBits: Int = 4): DataFrame = {
+    val q = emb.select(col("vec_id"),
+        VF.signBucket(col("embedding"), lshBits).as("bucket"),
+        VF.quantize(col("embedding")).as("qv"))
+      .withColumn("nsq", VF.normSqQ(col("qv")))
+    // bucket canonical via min_by aggregation: map-side combine, one
+    // metadata-small result
+    val canon = q.groupBy("bucket")
+      .agg(min_by(struct(col("vec_id").as("cid"), col("qv").as("cqv"),
+        col("nsq").as("cnsq")), col("vec_id")).as("c"))
+      .select(col("bucket"), col("c.cid"), col("c.cqv"), col("c.cnsq"))
+    q.join(broadcast(canon), Seq("bucket"))
+      .where(col("vec_id") =!= col("cid"))
+      .withColumn("dot", VF.dotQ(col("qv"), col("cqv")))
+      .where(VF.cosineGePct(col("dot"), col("nsq"), col("cnsq"), tPct))
+      .select(col("cid").as("a_id"), col("vec_id").as("b_id"), col("dot"))
+  }
+
   /** Connected-component labeling over near-duplicate pairs — the
     * union-find/keep-min pass every pair generator above feeds (the
     * cluster label IS the kept doc of [[exactGroups]], generalized to

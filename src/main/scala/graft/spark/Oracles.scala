@@ -491,6 +491,25 @@ object Oracles {
          | AND CAST(dot AS HUGEINT)*dot*10000 >= CAST(nl AS HUGEINT)*nr*6400
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "dedup_embedding_star" ->
+      s"""WITH $qEmb,
+         |muts AS (SELECT vec_id + 100000 AS vec_id, bucket,
+         |  list_transform(list_zip(qv, range(len(qv))),
+         |    p -> CASE WHEN p[2] = 0 THEN CAST(0 AS BIGINT) ELSE p[1] END) AS qv
+         | FROM qemb),
+         |allv AS (SELECT *, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS nsq
+         | FROM (SELECT * FROM qemb UNION ALL SELECT * FROM muts)),
+         |canon AS (SELECT bucket, vec_id AS cid, qv AS cqv, nsq AS cnsq FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn
+         |  FROM allv) WHERE rn = 1),
+         |pairs AS (SELECT c.cid AS a_id, v.vec_id AS b_id,
+         |  ${dot("v.qv", "c.cqv")} AS dot, v.nsq AS nl, c.cnsq AS nr
+         | FROM allv v JOIN canon c USING (bucket) WHERE v.vec_id <> c.cid)
+         |SELECT a_id, b_id, dot FROM pairs
+         |WHERE dot > 0
+         | AND CAST(dot AS HUGEINT)*dot*10000 >= CAST(nl AS HUGEINT)*nr*6400
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "dedup_cluster_sigs" -> {
       val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
       val outer = (0 until 8).map(k => s"min(mh$k)").mkString(", ")

@@ -444,6 +444,28 @@ object Queries {
       .orderBy("a_id", "b_id")
   }
 
+  /** Linear-output embedding near-dup: same testbed as
+    * [[dedupEmbedding]], star pattern — each vector verified only
+    * against its bucket's canonical member (canon side broadcasts). */
+  def dedupEmbeddingStar(s: SparkSession, dir: String): DataFrame = {
+    val base = rd(s, dir, "embeddings").select(col("vec_id"),
+      VF.signBucket(col("embedding"), 4).as("bucket"),
+      VF.quantize(col("embedding")).as("qv"))
+    val mut = base.select((col("vec_id") + 100000).as("vec_id"), col("bucket"),
+      transform(col("qv"), (x, i) => when(i === 0, lit(0L)).otherwise(x)).as("qv"))
+    val all = base.unionAll(mut).withColumn("nsq", VF.normSqQ(col("qv")))
+    val canon = all.groupBy("bucket")
+      .agg(min_by(struct(col("vec_id").as("cid"), col("qv").as("cqv"),
+        col("nsq").as("cnsq")), col("vec_id")).as("c"))
+      .select(col("bucket"), col("c.cid"), col("c.cqv"), col("c.cnsq"))
+    all.join(broadcast(canon), Seq("bucket"))
+      .where(col("vec_id") =!= col("cid"))
+      .withColumn("dot", VF.dotQ(col("qv"), col("cqv")))
+      .where(VF.cosineGePct(col("dot"), col("nsq"), col("cnsq"), 80))
+      .select(col("cid").as("a_id"), col("vec_id").as("b_id"), col("dot"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** END-TO-END cleaning pipeline over the near-duplicate testbed —
     * the composition a training-data user actually runs: quality
     * filter (heuristic bucket ≥ 2) → MinHash-LSH star pairs →
@@ -735,6 +757,7 @@ object Queries {
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash64" -> (dedupSimhash64 _),
     "dedup_embedding" -> (dedupEmbedding _),
+    "dedup_embedding_star" -> (dedupEmbeddingStar _),
     "dedup_cluster_sigs" -> (dedupClusterSigs _),
     "dedup_components" -> (dedupComponents _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),

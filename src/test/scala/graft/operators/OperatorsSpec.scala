@@ -205,6 +205,18 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("embeddingNearDupStarPairs: members pair only with the bucket canon, linear output") {
+    val e = Seq(
+      (1L, Seq(0.3f, 0.4f, 0.0f, 0.1f)),  // bucket canon (min id)
+      (2L, Seq(0.6f, 0.8f, 0.0f, 0.1f)),  // same bucket, cos≈1 vs canon
+      (5L, Seq(0.6f, 0.8f, 0.0f, 0.1f)),  // same again — pairs with canon, NOT with 2
+      (3L, Seq(0.8f, -0.6f, 0.0f, 0.1f))) // different bucket, alone -> no pair
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDupStarPairs(e, tPct = 95, lshBits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 5L))) // star: no (2,5) — linear in bucket size
+  }
+
   test("ArrayMinAgg: element-wise min across a shuffled group; nulls ignored; empty group null") {
     val df = Seq(
       (1L, Some(Seq("m", "a", "z"))),
@@ -266,6 +278,29 @@ class OperatorsSpec extends AnyFunSuite {
     val one = Dedup.components(pairs, iterations = 1)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(one(4L) == 3L && one(3L) == 2L && one(2L) == 1L)
+  }
+
+  test("components: agrees with brute-force union-find on a seeded random graph") {
+    val rnd = new scala.util.Random(42)
+    val n = 60
+    val edges = Vector.fill(90)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // brute-force union-find
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> find(v.toInt).toLong).toMap
+    // 10 BSP rounds >= any component diameter at this size
+    val got = Dedup.components(edges.toDF("a_id", "b_id"), iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // min-label propagation labels with the component MIN, which the
+    // min-union find above also converges to
+    assert(got == expected)
   }
 
   test("native TokenSimHash64: single-token sketch IS the token's md5 bits (hand pin)") {
