@@ -221,6 +221,40 @@ object Dedup {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Linear-output variant of [[simhashPairs]] (the star pattern):
+    * each doc is tested ONLY against its 8-bit block bucket's
+    * canonical (minimum-id) member — hamming computed exactly — so a
+    * giant duplicate cluster emits O(members) rows per block instead
+    * of O(members²). The canon side is ≤ 4·256 rows of metadata per
+    * corpus → broadcast, no self-join shuffle. A member connects to
+    * EACH of its 4 block-buckets' canons that passes the hamming test;
+    * a pair surfacing in several blocks is deduplicated explicitly —
+    * the pairwise first-match trick of [[simhashPairs]] does not
+    * compose with canon-pairing (suppressing a later-block canon pair
+    * because the two docs share an EARLIER block can orphan a member
+    * whose earlier-block canon is hamming-far). Downstream
+    * components/keep-min reconnects clusters as with the other star
+    * forms. */
+  def simhashStarPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-block index covers hamming < 4")
+    val sketch = docs.select(col("doc_id"), TF.simhash32(col("text")).as("sh"))
+    val blocks = sketch.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("block", "key")))
+    // block-bucket canonical member via min_by aggregation (map-side
+    // combine; ≤ 1024 result rows) — broadcast back onto the members
+    val canon = blocks.groupBy("block", "key")
+      .agg(min_by(struct(col("doc_id").as("cid"), col("sh").as("csh")),
+        col("doc_id")).as("c"))
+      .select(col("block"), col("key"), col("c.cid"), col("c.csh"))
+    blocks.join(broadcast(canon), Seq("block", "key"))
+      .where(col("doc_id") =!= col("cid"))
+      .select(col("cid").as("a_id"), col("doc_id").as("b_id"),
+        TF.hammingDist(col("csh"), col("sh")).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** 64-bit SimHash near-dup pairs at Hamming ≤ maxHamming, paired
     * within 16-bit LSH blocks (4 blocks over the two 32-bit halves —
     * pigeonhole covers hamming < 4). The 64-bit/16-bit-block index is

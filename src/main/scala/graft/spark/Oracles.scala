@@ -460,6 +460,21 @@ object Oracles {
          |SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "dedup_simhash_star" ->
+      s"""WITH $docsPlus, ${simhashCte("docs_plus")},
+         |blocks AS (
+         | SELECT doc_id, sh, b AS block, (sh >> (b*8)) & 255 AS key
+         | FROM shx, range(4) r(b)),
+         |canon AS (SELECT block, key, doc_id AS cid, sh AS csh FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY block, key ORDER BY doc_id) AS rn
+         |  FROM blocks) WHERE rn = 1)
+         |SELECT DISTINCT c.cid AS a_id, m.doc_id AS b_id,
+         | CAST(bit_count(xor(c.csh, m.sh)) AS INTEGER) AS hamming
+         |FROM blocks m JOIN canon c USING (block, key)
+         |WHERE m.doc_id <> c.cid
+         | AND bit_count(xor(c.csh, m.sh)) <= 3
+         |ORDER BY a_id, b_id""".stripMargin,
+
     "dedup_simhash64" ->
       s"""WITH $docsPlus, ${simhash64Cte("docs_plus")},
          |blocks AS (

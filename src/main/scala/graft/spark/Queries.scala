@@ -418,6 +418,13 @@ object Queries {
     Dedup.simhashPairs(docsPlus(s, dir), maxHamming = 3)
       .orderBy("a_id", "b_id")
 
+  /** Linear-output SimHash star pairs: members pair only with their
+    * 8-bit-block bucket's canonical member (canon side broadcasts —
+    * ≤1024 rows), first-match dedup — the giant-cluster scale path. */
+  def dedupSimhashStar(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashStarPairs(docsPlus(s, dir), maxHamming = 3)
+      .orderBy("a_id", "b_id")
+
   /** 64-bit SimHash near-dup pairs (two 32-bit halves, 16-bit block
     * index — the dense-corpus scale path: 15× fewer candidate probes
     * than the 32-bit index at sf0.1 and far more discriminative
@@ -755,6 +762,7 @@ object Queries {
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
     "dedup_simhash" -> (dedupSimhash _),
+    "dedup_simhash_star" -> (dedupSimhashStar _),
     "dedup_simhash64" -> (dedupSimhash64 _),
     "dedup_embedding" -> (dedupEmbedding _),
     "dedup_embedding_star" -> (dedupEmbeddingStar _),

@@ -205,6 +205,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("simhashStarPairs: members pair only with the block-bucket canon, deduped across blocks") {
+    val d = docs((4L, "alpha beta gamma delta"), (7L, "alpha beta gamma delta"),
+      (9L, "alpha beta gamma delta"), (2L, "totally different words here"))
+    val pairs = Dedup.simhashStarPairs(d, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // identical docs share every block bucket; canon=4 → exactly the
+    // star edges (4,7),(4,9) at hamming 0, each emitted once, no (7,9)
+    assert(pairs.toSet == Set((4L, 7L, 0), (4L, 9L, 0)))
+    assert(pairs.length == 2) // cross-block duplicates removed
+  }
+
   test("embeddingNearDupStarPairs: members pair only with the bucket canon, linear output") {
     val e = Seq(
       (1L, Seq(0.3f, 0.4f, 0.0f, 0.1f)),  // bucket canon (min id)
