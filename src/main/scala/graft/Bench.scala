@@ -269,7 +269,8 @@ object Bench {
       "q1_pricing", "q3_top_orders", "q5_region_revenue", "q_window_topn",
       "q_events_hourly", "q_events_sessions", "dedup_exact", "dedup_minhash_lsh",
       "dedup_minhash_star", "dedup_jaccard", "dedup_jaccard_capped", "dedup_simhash",
-      "dedup_simhash64", "dedup_embedding", "sim_topk_brute", "sim_topk_lsh",
+      "dedup_simhash_star", "dedup_simhash64", "dedup_embedding", "dedup_embedding_star",
+      "dedup_components", "pipeline_clean_corpus", "sim_topk_brute", "sim_topk_lsh",
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans",
       "text_stats", "text_langid", "pdfz_images")
     // SORT-PRESERVING action: executing the df's own physical plan keeps
