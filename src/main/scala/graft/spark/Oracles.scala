@@ -660,6 +660,41 @@ object Oracles {
         |   AS INTEGER) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
 
+    "text_tfidf_top3" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfx AS (SELECT token, count(*) AS df
+        | FROM (SELECT DISTINCT doc_id, token FROM tok) GROUP BY 1),
+        |sc AS (SELECT doc_id, token, tf, df,
+        |  CAST(floor(tf * 1000000 / df) AS BIGINT) AS score
+        | FROM tf JOIN dfx USING (token)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |  ORDER BY score DESC, token) AS rk FROM sc)
+        |SELECT doc_id, CAST(rk AS INTEGER) AS rk, token, tf, df, score
+        |FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    "sample_stratified" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+         | FROM t),
+         |q AS (SELECT doc_id,
+         |  CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 400 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END)
+         |    AS INTEGER) AS quality FROM m),
+         |h AS (SELECT doc_id, quality,
+         |  CAST(((${nib(1)}*16 + ${nib(2)})*16 + ${nib(3)})*16 + ${nib(4)} AS BIGINT) % 1000 AS h
+         | FROM q)
+         |SELECT doc_id, quality, h FROM h
+         |WHERE h < CASE quality WHEN 3 THEN 1000 WHEN 2 THEN 500 WHEN 1 THEN 100 ELSE 10 END
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "text_tokens_fp" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '${TextPatterns.Bpeish}')) AS BIGINT) AS bpe_tokens,

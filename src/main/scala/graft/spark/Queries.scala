@@ -576,6 +576,49 @@ object Queries {
         TF.qualityBucket(col("text")).as("quality"))
       .orderBy("doc_id")
 
+  /** TF-IDF top terms: per document, the 3 highest-scoring tokens by
+    * an integer-exact tf-idf (score = floor(tf·10^6 / df) — df is the
+    * corpus document frequency; the log-free variant keeps the ranking
+    * deterministic across engines). Shape at scale: one explode + two
+    * hash aggregations (both with map-side partials), a join on token
+    * (df is one row per distinct token), and a final top-3 window that
+    * rides Spark's WindowGroupLimit pushdown. */
+  def textTfidfTop3(s: SparkSession, dir: String): DataFrame = {
+    val tok = rd(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val tf = tok.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val df = tok.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("token"))
+    tf.join(df, "token")
+      .withColumn("score", floor(col("tf") * lit(1000000L) / col("df")).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("token"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rk")
+  }
+
+  /** Deterministic STRATIFIED SAMPLING for training-data curation:
+    * per-quality-bucket keep rates (q3→100%, q2→50%, q1→10%, q0→1%)
+    * applied via a pure hash of doc_id (md5-prefix mod 1000) — no
+    * randomness, so the sample is reproducible across runs/engines and
+    * task retries are idempotent; entirely map-side (no shuffle before
+    * the final ordering). */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame = {
+    val keepPm = when(col("quality") === 3, 1000)
+      .when(col("quality") === 2, 500)
+      .when(col("quality") === 1, 100)
+      .otherwise(10)
+    rd(s, dir, "documents")
+      .select(col("doc_id"), TF.qualityBucket(col("text")).as("quality"))
+      .withColumn("h", conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 1000)
+      .where(col("h") < keepPm)
+      .select("doc_id", "quality", "h")
+      .orderBy("doc_id")
+  }
+
   /** BPE-ish token counting + both fingerprint families: set-based md5
     * (order-invariant) and rolling hash (order-sensitive). */
   def textTokensFp(s: SparkSession, dir: String): DataFrame =
@@ -775,6 +818,8 @@ object Queries {
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "text_stats" -> (textStats _),
+    "text_tfidf_top3" -> (textTfidfTop3 _),
+    "sample_stratified" -> (sampleStratified _),
     "text_tokens_fp" -> (textTokensFp _),
     "text_langid" -> (textLangId _),
     "extract_spans" -> (extractSpans _),
