@@ -1,0 +1,72 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.Dedup
+import graft.spark.Sessions
+
+/** Scale-trend probe: run the shuffle-once dedup operators on 1× and
+  * 4× the documents table (copies made distinct by a per-copy prefix
+  * token so the duplicate-cluster distribution stays constant) and
+  * report the wall-time growth ratio at fixed cores. A shuffle-once
+  * operator should grow ≈linearly (ratio ≈ 4 minus fixed overhead);
+  * a quadratic/all-pairs regression shows up as ratio ≫ 4. This is
+  * the sandbox evidence for "would the plan survive a data-side
+  * scale-up" — complementary to Bench's core-side N vs 4N pair.
+  *
+  * `runMain graft.tools.ScaleProbe` (env SPARK_GRAFT_SF_DIR /
+  * SPARK_GRAFT_CPUS); prints one JSON line.
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = Sessions.local(cpus, "graft-scaleprobe")
+
+    val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    // per-copy vowel substitution rewrites every token, so copies share
+    // NO shingles/sketches with each other — the duplicate-cluster
+    // distribution stays that of the base corpus, replicated k times
+    // (a bare prefix token left copies 97%-shingle-identical and grew
+    // clusters 4x — a different, denser experiment)
+    val maps = Seq("aeiou", "eioua", "iouae", "ouaei")
+    def scaled(k: Int): DataFrame =
+      (0 until k).map { c =>
+        base.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
+          translate(col("text"), "aeiou", maps(c)).as("text"))
+      }.reduce(_ unionAll _)
+
+    def runPlan(df: DataFrame): Long = df.queryExecution.executedPlan.execute().count()
+
+    val ops: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "dedup_exact" -> (d => Dedup.exactGroups(d)),
+      "dedup_minhash_star" -> (d => Dedup.minhashLshStarPairs(d)),
+      "dedup_jaccard_capped" -> (d => Dedup.ngramJaccardPairs(d, minPermille = 500, maxDf = 10)),
+      "dedup_simhash_star" -> (d => Dedup.simhashStarPairs(d)),
+      "dedup_components" -> (d => Dedup.components(Dedup.minhashLshStarPairs(d))))
+
+    val results = ops.map { case (name, op) =>
+      runPlan(op(scaled(1))) // warmup (codegen + JIT)
+      def best(k: Int): (Double, Long) = {
+        val d = scaled(k)
+        val timed = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          val n = runPlan(op(d))
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        timed.minBy(_._1)
+      }
+      val (t1, n1) = best(1)
+      val (t4, n4) = best(4)
+      (name, t1, n1, t4, n4, t4 / t1)
+    }
+
+    val body = results.map { case (name, t1, n1, t4, n4, r) =>
+      f""""$name":{"sec_1x":$t1%.3f,"rows_1x":$n1,"sec_4x":$t4%.3f,"rows_4x":$n4,"time_ratio_4x":$r%.2f}"""
+    }.mkString(",")
+    println(s"""{"scale_probe":{$body},"sf":"$sfDir","cores":$cpus,""" +
+      """"protocol":"same op on 1x and 4x documents (per-copy vowel-substituted text: zero cross-copy shingle overlap, duplicate-cluster distribution of the base corpus replicated); best of 2 timed runs each, sort-preserving action; linear-growth target ratio ~4"}""")
+    spark.stop()
+  }
+}
