@@ -137,6 +137,14 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("WindowGroupLimit"), s"rank-limit pushdown lost:\n${plan.take(4000)}")
   }
 
+  test("tf-idf: map-side partial aggs for tf/df and the top-3 window rides WindowGroupLimit") {
+    val plan = physical(Queries.textTfidfTop3(spark, sf))
+    assert(plan.contains("partial_count"),
+      s"tf/df aggregations lost their map-side partials:\n${plan.take(4000)}")
+    assert(plan.contains("WindowGroupLimit"),
+      s"top-3 rank-limit pushdown lost:\n${plan.take(4000)}")
+  }
+
   test("whole-stage codegen covers the scalar aggregation pipeline (q1)") {
     // note: array higher-order functions (textStats) are CodegenFallback
     // by design in Spark — the codegen pin targets the scalar path
