@@ -141,6 +141,9 @@ object Bench {
       ExtractJob.run(spark, input, out, ExtractJob.Config(jobId = s"skew-$tag",
         giantBytesThreshold = threshold, giantChunkPages = giantPages / 8))
       val wall = (System.nanoTime() - t0) / 1e9
+      // listener events are async: the straggler's TaskEnd (by
+      // definition the last event) may still be queued — drain first
+      org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
       spark.sparkContext.removeSparkListener(lst)
       TableIO.deleteRecursively(out)
       (wall, lst.maxMs.get())
@@ -176,6 +179,8 @@ object Bench {
       val st = ExtractJob.run(spark, input, out, ExtractJob.Config(jobId = s"bench-$tag"))
       val wallSec = (System.nanoTime() - t0) / 1e9
       val steal1 = cpuStat()
+      // drain the async listener bus so the last tasks' metrics land
+      org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
       val cpuSec = (listener.cpuNs.get() - cpu0) / 1e9
       TableIO.deleteRecursively(out)
       val stealPct =

@@ -67,6 +67,9 @@ object TesseractEngine {
     * contract even when tesseract wedges. */
   private[engine] val TimeoutSec = 60L
 
+  /** Daemon timer shared by all execs on this executor (one thread). */
+  private val watchdog = new java.util.Timer("tesseract-watchdog", true)
+
   private[engine] def exec(cmd: Seq[String]): Either[String, String] =
     try {
       val pb = new ProcessBuilder(cmd: _*)
@@ -75,13 +78,22 @@ object TesseractEngine {
       // child, and stdout never reaches EOF — a hung executor thread
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-      val done = proc.waitFor(TimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
-      if (!done) {
-        proc.destroyForcibly()
-        Left(s"tesseract timed out after ${TimeoutSec}s")
-      } else if (proc.exitValue() == 0) Right(out)
-      else Left(s"tesseract exited ${proc.exitValue()}")
+      // the deadline must cover the stdout READ too (a child that hangs
+      // with its pipe open blocks readAllBytes before any waitFor runs):
+      // a watchdog kills the child at the deadline, which EOFs the pipe
+      // and unblocks the read
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val kill = new java.util.TimerTask {
+        def run(): Unit = { timedOut.set(true); proc.destroyForcibly() }
+      }
+      watchdog.schedule(kill, TimeoutSec * 1000)
+      try {
+        val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+        val code = proc.waitFor()
+        if (timedOut.get()) Left(s"tesseract timed out after ${TimeoutSec}s")
+        else if (code == 0) Right(out)
+        else Left(s"tesseract exited $code")
+      } finally kill.cancel()
     } catch { case scala.util.control.NonFatal(e) => Left(s"tesseract exec: ${e.getMessage}") }
 }
 

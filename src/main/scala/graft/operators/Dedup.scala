@@ -298,11 +298,19 @@ object Dedup {
     * all). The downstream components/keep-min pass reconnects clusters
     * exactly as with the minhash star pairs. */
   def embeddingNearDupStarPairs(emb: DataFrame, tPct: Int = 80,
-      lshBits: Int = 4): DataFrame = {
-    val q = emb.select(col("vec_id"),
+      lshBits: Int = 4): DataFrame =
+    embeddingNearDupStarPairsQ(
+      emb.select(col("vec_id"),
         VF.signBucket(col("embedding"), lshBits).as("bucket"),
-        VF.quantize(col("embedding")).as("qv"))
-      .withColumn("nsq", VF.normSqQ(col("qv")))
+        VF.quantize(col("embedding")).as("qv")),
+      tPct)
+
+  /** [[embeddingNearDupStarPairs]] over an already-prepared
+    * `(vec_id, bucket, qv)` frame — the composition point for callers
+    * that derive buckets/quantization differently (e.g. synthetic
+    * mutants injected post-quantize). */
+  def embeddingNearDupStarPairsQ(prepared: DataFrame, tPct: Int): DataFrame = {
+    val q = prepared.withColumn("nsq", VF.normSqQ(col("qv")))
     // bucket canonical via min_by aggregation: map-side combine, one
     // metadata-small result
     val canon = q.groupBy("bucket")
@@ -328,7 +336,11 @@ object Dedup {
     * diameter labels exactly. At 10^12 edges use the same shape with
     * alternating large-star/small-star rounds (Kiveris et al., SoCC
     * 2014) to cut the round count to O(log n) — each round here IS the
-    * large-star primitive.
+    * large-star primitive. Plan note: each round references the
+    * previous labels twice (self ∪ propagated) — ReuseExchange
+    * collapses the duplicate subtrees within the one query, but a real
+    * deployment should persist/checkpoint labels between rounds so the
+    * lineage does not re-derive the edge generation per round.
     *
     * Input: (a_id, b_id) pairs. Output: (doc_id, component) for every
     * doc appearing in any pair, component = min doc_id reachable

@@ -24,9 +24,11 @@ object ImageCodec {
   System.setProperty("java.awt.headless", "true")
 
   /** Decode any ImageIO-supported container (format sniffed from the
-    * bytes ≡ image-rs `with_guessed_format`) to an RGBA buffer with
-    * alpha 255 — the reference's `RgbaImage` shape. None when the
-    * bytes are not a recognizable image (fail-soft). */
+    * bytes ≡ image-rs `with_guessed_format`) to an RGBA buffer. The
+    * source's real alpha is PRESERVED (image-rs `decode()` keeps it;
+    * opaque formats like JPEG read back as alpha 255 — getRGB reports
+    * 0xff for alpha-less color models). None when the bytes are not a
+    * recognizable image (fail-soft). */
   def decodeToRgba(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
       val img = ImageIO.read(new ByteArrayInputStream(bytes))
@@ -43,7 +45,7 @@ object ImageCodec {
             out(i) = ((p >> 16) & 0xff).toByte
             out(i + 1) = ((p >> 8) & 0xff).toByte
             out(i + 2) = (p & 0xff).toByte
-            out(i + 3) = -1
+            out(i + 3) = ((p >> 24) & 0xff).toByte
             x += 1
           }
           y += 1

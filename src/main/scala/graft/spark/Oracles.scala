@@ -51,6 +51,40 @@ object Oracles {
       |   i -> md5(array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS sh
       | FROM docs_plus)""".stripMargin
 
+  /** MinHash select list (8 hashes over `sh`) — twin of MinHashSigs. */
+  private val minhashMins: String =
+    (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
+
+  /** Banded signatures (4 bands × 2 rows) over a `sigs` CTE. */
+  private val bandedUnion: String =
+    (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sigs")
+      .mkString("\n UNION ALL ")
+
+  /** One BSP min-label propagation round over an `edges(src,dst)` CTE
+    * (twin of Dedup.components' loop body). */
+  private def bspRound(prev: String, out: String): String =
+    s"""$out AS (SELECT id, min(component) AS component FROM (
+       | SELECT id, component FROM $prev
+       | UNION ALL
+       | SELECT e.dst AS id, p.component FROM edges e JOIN $prev p ON p.id = e.src
+       |) GROUP BY id)""".stripMargin
+
+  /** Quality-bucket CTE chain over `src(doc_id, text)` → `$name(doc_id,
+    * text, quality)` (twin of TextFunctions.qualityBucket). */
+  private def qualityCte(src: String, name: String): String =
+    s"""${name}_t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM $src),
+       |${name}_m AS (SELECT doc_id, text,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
+       | FROM ${name}_t),
+       |$name AS (SELECT doc_id, text,
+       |  CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 400 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END)
+       |    AS INTEGER) AS quality FROM ${name}_m)""".stripMargin
+
   /** 32-bit simhash per doc of table `src` (twin of simhash32). */
   private def simhashCte(src: String) = {
     val nibbles = (0 until 8).map { i =>
@@ -319,103 +353,63 @@ object Oracles {
          | min(doc_id) AS keep_id, count(*) AS dup_count
          |FROM docs_plus GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
 
-    "dedup_minhash_lsh" -> {
-      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sigs")
-        .mkString("\n UNION ALL ")
+    "dedup_minhash_lsh" ->
       s"""WITH $docsPlus, $sh3,
-         |sigs AS (SELECT doc_id, $mins FROM sh3 GROUP BY doc_id),
-         |banded AS ($bands)
+         |sigs AS (SELECT doc_id, $minhashMins FROM sh3 GROUP BY doc_id),
+         |banded AS ($bandedUnion)
          |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
          |FROM banded l JOIN banded r
          | ON l.band = r.band AND l.sig = r.sig AND l.doc_id < r.doc_id
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |ORDER BY a_id, b_id""".stripMargin,
 
-    "dedup_minhash_star" -> {
-      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sigs")
-        .mkString("\n UNION ALL ")
+    "dedup_minhash_star" ->
       s"""WITH $docsPlus, $sh3,
-         |sigs AS (SELECT doc_id, $mins FROM sh3 GROUP BY doc_id),
-         |banded AS ($bands),
+         |sigs AS (SELECT doc_id, $minhashMins FROM sh3 GROUP BY doc_id),
+         |banded AS ($bandedUnion),
          |canon AS (SELECT band, sig, min(doc_id) AS canon FROM banded GROUP BY 1, 2)
          |SELECT DISTINCT c.canon AS a_id, b.doc_id AS b_id
          |FROM banded b JOIN canon c USING (band, sig)
          |WHERE b.doc_id <> c.canon
-         |ORDER BY a_id, b_id""".stripMargin
-    },
+         |ORDER BY a_id, b_id""".stripMargin,
 
-    "dedup_components" -> {
-      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sigs")
-        .mkString("\n UNION ALL ")
+    "dedup_components" ->
       // 3 BSP min-propagation rounds over the symmetric star-pair edges
-      def round(prev: String, out: String) =
-        s"""$out AS (SELECT id, min(component) AS component FROM (
-           | SELECT id, component FROM $prev
-           | UNION ALL
-           | SELECT e.dst AS id, p.component FROM edges e JOIN $prev p ON p.id = e.src
-           |) GROUP BY id)""".stripMargin
       s"""WITH $docsPlus, $sh3,
-         |sigs AS (SELECT doc_id, $mins FROM sh3 GROUP BY doc_id),
-         |banded AS ($bands),
+         |sigs AS (SELECT doc_id, $minhashMins FROM sh3 GROUP BY doc_id),
+         |banded AS ($bandedUnion),
          |canon AS (SELECT band, sig, min(doc_id) AS canon FROM banded GROUP BY 1, 2),
          |pairs AS (SELECT DISTINCT c.canon AS a_id, b.doc_id AS b_id
          | FROM banded b JOIN canon c USING (band, sig) WHERE b.doc_id <> c.canon),
          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
          | UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
          |l0 AS (SELECT DISTINCT src AS id, src AS component FROM edges),
-         |${round("l0", "l1")},
-         |${round("l1", "l2")},
-         |${round("l2", "l3")}
-         |SELECT id AS doc_id, component FROM l3 ORDER BY doc_id""".stripMargin
-    },
+         |${bspRound("l0", "l1")},
+         |${bspRound("l1", "l2")},
+         |${bspRound("l2", "l3")}
+         |SELECT id AS doc_id, component FROM l3 ORDER BY doc_id""".stripMargin,
 
-    "pipeline_clean_corpus" -> {
-      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
-      val bands = (0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band, md5(mh${2 * b} || '|' || mh${2 * b + 1}) AS sig FROM sigs")
-        .mkString("\n UNION ALL ")
-      def round(prev: String, out: String) =
-        s"""$out AS (SELECT id, min(component) AS component FROM (
-           | SELECT id, component FROM $prev
-           | UNION ALL
-           | SELECT e.dst AS id, p.component FROM edges e JOIN $prev p ON p.id = e.src
-           |) GROUP BY id)""".stripMargin
+    "pipeline_clean_corpus" ->
       s"""WITH $docsPlus,
-         |tq AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM docs_plus),
-         |qm AS (SELECT doc_id, text,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
-         | FROM tq),
-         |dpq AS (SELECT doc_id, text FROM qm WHERE
-         |   (CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
-         | + (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 400 THEN 1 ELSE 0 END)
-         | + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END) >= 2),
+         |${qualityCte("docs_plus", "qual")},
+         |dpq AS (SELECT doc_id, text FROM qual WHERE quality >= 2),
          |sh3q AS (SELECT doc_id, unnest(list_transform(
          |   range(0, greatest(len(string_split(text,' ')) - 2, 0)),
          |   i -> md5(array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS sh
          | FROM dpq),
-         |sigs AS (SELECT doc_id, $mins FROM sh3q GROUP BY doc_id),
-         |banded AS ($bands),
+         |sigs AS (SELECT doc_id, $minhashMins FROM sh3q GROUP BY doc_id),
+         |banded AS ($bandedUnion),
          |canon AS (SELECT band, sig, min(doc_id) AS canon FROM banded GROUP BY 1, 2),
          |pairs AS (SELECT DISTINCT c.canon AS a_id, b.doc_id AS b_id
          | FROM banded b JOIN canon c USING (band, sig) WHERE b.doc_id <> c.canon),
          |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
          | UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
          |l0 AS (SELECT DISTINCT src AS id, src AS component FROM edges),
-         |${round("l0", "l1")},
-         |${round("l1", "l2")},
-         |${round("l2", "l3")}
+         |${bspRound("l0", "l1")},
+         |${bspRound("l1", "l2")},
+         |${bspRound("l2", "l3")}
          |SELECT q.doc_id FROM dpq q LEFT JOIN l3 ON l3.id = q.doc_id
          |WHERE coalesce(l3.component, q.doc_id) = q.doc_id
-         |ORDER BY q.doc_id""".stripMargin
-    },
+         |ORDER BY q.doc_id""".stripMargin,
 
     "dedup_jaccard" ->
       s"""WITH $docsPlus, $sh3,
@@ -526,7 +520,6 @@ object Oracles {
          |ORDER BY a_id, b_id""".stripMargin,
 
     "dedup_cluster_sigs" -> {
-      val mins = (0 until 8).map(k => s"min(md5('$k:' || sh)) AS mh$k").mkString(", ")
       val outer = (0 until 8).map(k => s"min(mh$k)").mkString(", ")
       """WITH shd AS (
         | SELECT doc_id, unnest(list_transform(
@@ -534,7 +527,7 @@ object Oracles {
         |   i -> md5(array_to_string(string_split(text,' ')[i+1:i+3], ' ')))) AS sh
         | FROM documents),
         |""".stripMargin +
-        s"""sigs AS (SELECT doc_id, $mins FROM shd GROUP BY doc_id)
+        s"""sigs AS (SELECT doc_id, $minhashMins FROM shd GROUP BY doc_id)
            |SELECT doc_id % 16 AS bucket,
            | md5(array_to_string([$outer], '|')) AS cluster_sig
            |FROM sigs GROUP BY 1 ORDER BY 1""".stripMargin
@@ -676,20 +669,10 @@ object Oracles {
     "sample_stratified" -> {
       def nib(i: Int) =
         s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-         |m AS (SELECT doc_id,
-         |  CAST(len(toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-         |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop
-         | FROM t),
-         |q AS (SELECT doc_id,
-         |  CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 400 THEN 1 ELSE 0 END)
-         |     + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END)
-         |    AS INTEGER) AS quality FROM m),
+      s"""WITH ${qualityCte("documents", "qual")},
          |h AS (SELECT doc_id, quality,
          |  CAST(((${nib(1)}*16 + ${nib(2)})*16 + ${nib(3)})*16 + ${nib(4)} AS BIGINT) % 1000 AS h
-         | FROM q)
+         | FROM qual)
          |SELECT doc_id, quality, h FROM h
          |WHERE h < CASE quality WHEN 3 THEN 1000 WHEN 2 THEN 500 WHEN 1 THEN 100 ELSE 10 END
          |ORDER BY doc_id""".stripMargin

@@ -460,16 +460,7 @@ object Queries {
       VF.quantize(col("embedding")).as("qv"))
     val mut = base.select((col("vec_id") + 100000).as("vec_id"), col("bucket"),
       transform(col("qv"), (x, i) => when(i === 0, lit(0L)).otherwise(x)).as("qv"))
-    val all = base.unionAll(mut).withColumn("nsq", VF.normSqQ(col("qv")))
-    val canon = all.groupBy("bucket")
-      .agg(min_by(struct(col("vec_id").as("cid"), col("qv").as("cqv"),
-        col("nsq").as("cnsq")), col("vec_id")).as("c"))
-      .select(col("bucket"), col("c.cid"), col("c.cqv"), col("c.cnsq"))
-    all.join(broadcast(canon), Seq("bucket"))
-      .where(col("vec_id") =!= col("cid"))
-      .withColumn("dot", VF.dotQ(col("qv"), col("cqv")))
-      .where(VF.cosineGePct(col("dot"), col("nsq"), col("cnsq"), 80))
-      .select(col("cid").as("a_id"), col("vec_id").as("b_id"), col("dot"))
+    Dedup.embeddingNearDupStarPairsQ(base.unionAll(mut), tPct = 80)
       .orderBy("a_id", "b_id")
   }
 

@@ -48,6 +48,17 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(rgba.toSeq == expected.toSeq)
   }
 
+  test("ImageCodec preserves the decoded image's real alpha (the reference's decode() does too)") {
+    // a 2x1 RGBA PNG with alpha 128 and 255: decodeToRgba must carry
+    // both through, not force 255 (JPEG-style opaque formats read back
+    // as 255 naturally — getRGB reports 0xff for alpha-less models)
+    val rgba = Array[Byte](10, 20, 30, -128.toByte, 40, 50, 60, -1)
+    val png = PdfImages.encodePng(2, 1, rgba)
+    val Some((w, h, back)) = ImageCodec.decodeToRgba(png)
+    assert((w, h) == (2, 1))
+    assert((back(3) & 0xff) == 128 && (back(7) & 0xff) == 255)
+  }
+
   test("ImageCodec: deterministic JPEG encode; undecodable bytes fail soft") {
     val a = ImageCodec.encodeJpegRgb(8, 8, PdfBuilder.jpegPatternRgb)
     val b = ImageCodec.encodeJpegRgb(8, 8, PdfBuilder.jpegPatternRgb)
