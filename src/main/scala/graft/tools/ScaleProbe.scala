@@ -25,12 +25,17 @@ object ScaleProbe {
     val spark = Sessions.local(cpus, "graft-scaleprobe")
 
     val base = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
-    // per-copy vowel substitution rewrites every token, so copies share
-    // NO shingles/sketches with each other — the duplicate-cluster
-    // distribution stays that of the base corpus, replicated k times
-    // (a bare prefix token left copies 97%-shingle-identical and grew
-    // clusters 4x — a different, denser experiment)
+    // per-copy vowel substitution rewrites almost every token, so
+    // cross-copy shingle/sketch overlap is NEGLIGIBLE (only 3-grams of
+    // all-vowel-free tokens survive the translation; copy 0 keeps the
+    // base text) — the duplicate-cluster distribution is ~the base
+    // corpus replicated k times. (A bare prefix token left copies
+    // 97%-shingle-identical and grew clusters 4x — a different,
+    // denser experiment.)
     val maps = Seq("aeiou", "eioua", "iouae", "ouaei")
+    // copy offset must exceed the base id range or copies collide
+    require(base.agg(max(col("doc_id"))).head().getLong(0) < 1000000L,
+      "ScaleProbe doc_id offset too small for this table")
     def scaled(k: Int): DataFrame =
       (0 until k).map { c =>
         base.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
@@ -66,7 +71,7 @@ object ScaleProbe {
       f""""$name":{"sec_1x":$t1%.3f,"rows_1x":$n1,"sec_4x":$t4%.3f,"rows_4x":$n4,"time_ratio_4x":$r%.2f}"""
     }.mkString(",")
     println(s"""{"scale_probe":{$body},"sf":"$sfDir","cores":$cpus,""" +
-      """"protocol":"same op on 1x and 4x documents (per-copy vowel-substituted text: zero cross-copy shingle overlap, duplicate-cluster distribution of the base corpus replicated); best of 2 timed runs each, sort-preserving action; linear-growth target ratio ~4"}""")
+      """"protocol":"same op on 1x and 4x documents (per-copy vowel-substituted text: negligible cross-copy shingle overlap — only all-vowel-free 3-grams collide — so the duplicate-cluster distribution is ~the base corpus replicated); best of 2 timed runs each, sort-preserving action; linear-growth target ratio ~4"}""")
     spark.stop()
   }
 }
