@@ -108,4 +108,23 @@ object EngineProperties extends Properties("graft.engine") {
       // either parses (unlikely) or reports a failure record — no throw
       r.doc.isDefined || r.error.isDefined
     }
+
+  property("extractor is total under random byte mutations of VALID PDFs (deep fail-soft)") = {
+    // junk bytes die at the header; mutations of a real document reach
+    // the xref walker, ObjStm/xref-stream decode, filters, page tree,
+    // and the content interpreter — every layer must fail soft
+    val mutations = Gen.listOf(Gen.zip(Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127)))
+    forAll(pages, mutations, Gen.chooseNum(0, 2)) { (texts, muts, style) =>
+      val pdf = style match {
+        case 0 => PdfBuilder.simple(texts.map(t => PdfBuilder.tjLine(t)), flate = true)
+        case 1 => PdfBuilder.objStm(PdfBuilder.tjLine(texts.head))
+        case _ => PdfBuilder.withImages(texts.head)
+      }
+      muts.foreach { case (pos, b) => pdf(pos % pdf.length) = b.toByte }
+      val in = InterleavedDoc("m",
+        Seq(RawSpan("pdf_bytes", InterleavedGen.b64(pdf), "", 0)))
+      val r = Extractor.extractDoc(in, ExtractOptions())
+      r.doc.isDefined || r.error.isDefined
+    }
+  }
 }
