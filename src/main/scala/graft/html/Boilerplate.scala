@@ -61,6 +61,19 @@ object Boilerplate {
     sb.toString
   }
 
+  /** Case-insensitive indexOf without copying/lowercasing the haystack
+    * (the naive `html.toLowerCase.indexOf` re-copied the WHOLE document
+    * for every raw-text element — quadratic on script-heavy pages). */
+  private def indexOfIgnoreCase(s: String, target: String, from: Int): Int = {
+    val n = s.length; val m = target.length
+    var i = math.max(0, from)
+    while (i + m <= n) {
+      if (s.regionMatches(true, i, target, 0, m)) return i
+      i += 1
+    }
+    -1
+  }
+
   private final case class Tag(name: String, closing: Boolean, selfClosing: Boolean,
       attrs: Map[String, String])
 
@@ -146,7 +159,7 @@ object Boilerplate {
     while (i < html.length) {
       if (rawUntil != null) {
         // consume until matching close tag of a raw-text element
-        val close = html.toLowerCase.indexOf(s"</$rawUntil", i)
+        val close = indexOfIgnoreCase(html, s"</$rawUntil", i)
         if (close < 0) i = html.length
         else {
           val gt = html.indexOf('>', close)

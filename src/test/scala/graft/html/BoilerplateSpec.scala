@@ -58,4 +58,9 @@ class BoilerplateSpec extends AnyFunSuite {
     val html = "<header><div><nav>x</nav></div>deep</header><p>Kept.</p>"
     assert(extract(html) == Vector(TextPiece("Kept.")))
   }
+
+  test("raw-text close tags match case-insensitively (</SCRIPT>)") {
+    val html = "<SCRIPT>var x = '<p>ghost</p>';</SCRIPT><p>Real.</p><style>p{}</STYLE><p>Also.</p>"
+    assert(extract(html) == Vector(TextPiece("Real."), TextPiece("Also.")))
+  }
 }
