@@ -89,7 +89,8 @@ object Bench {
   }
 
   final case class SkewResult(giantDocs: Int, giantPages: Int, normalDocs: Int,
-      wallOffSec: Double, wallOnSec: Double, maxTaskOffMs: Long, maxTaskOnMs: Long)
+      wallOffSec: Double, wallOnSec: Double, maxTaskOffMs: Long, maxTaskOnMs: Long,
+      drained: Boolean)
 
   /** Giant-doc skew experiment: same corpus (normal mix + a few
     * multi-ten-thousand-page PDFs), same job, fan-out OFF vs ON
@@ -131,7 +132,7 @@ object Bench {
     }
     val input = spark.read.parquet(corpusDir)
     val outBase = if (Files.isDirectory(Paths.get("/dev/shm"))) "/dev/shm" else "/tmp"
-    def run(tag: String, threshold: Long): (Double, Long) = {
+    def run(tag: String, threshold: Long): (Double, Long, Boolean) = {
       val out = s"$outBase/graft-bench-skew-$tag"
       TableIO.deleteRecursively(out)
       val lst = new MaxTaskListener
@@ -142,20 +143,21 @@ object Bench {
         giantBytesThreshold = threshold, giantChunkPages = giantPages / 8))
       val wall = (System.nanoTime() - t0) / 1e9
       // listener events are async: the straggler's TaskEnd (by
-      // definition the last event) may still be queued — drain first
-      org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
+      // definition the last event) may still be queued — drain first;
+      // an un-drained bus is flagged so max_task can't silently lie
+      val drained = org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
       spark.sparkContext.removeSparkListener(lst)
       TableIO.deleteRecursively(out)
-      (wall, lst.maxMs.get())
+      (wall, lst.maxMs.get(), drained)
     }
     // warmup runs BOTH code paths (fan-out ON covers the normal path
     // for the 4000 normal docs AND the chunk/reassembly path), discarded
     run("warm", 1000000L)
-    val (wOff, tOff) = run("off", 0L)
-    val (wOn, tOn) = run("on", 1000000L) // giants are ~12MB b64; normal tail ≤ ~100KB
+    val (wOff, tOff, dOff) = run("off", 0L)
+    val (wOn, tOn, dOn) = run("on", 1000000L) // giants are ~12MB b64; normal tail ≤ ~100KB
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
-    SkewResult(nGiant, giantPages, nNormal, wOff, wOn, tOff, tOn)
+    SkewResult(nGiant, giantPages, nNormal, wOff, wOn, tOff, tOn, dOff && dOn)
   }
 
   private def measureLevel(cores: Int, corpusDir: String,
@@ -179,8 +181,10 @@ object Bench {
       val st = ExtractJob.run(spark, input, out, ExtractJob.Config(jobId = s"bench-$tag"))
       val wallSec = (System.nanoTime() - t0) / 1e9
       val steal1 = cpuStat()
-      // drain the async listener bus so the last tasks' metrics land
-      org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
+      // drain the async listener bus so the last tasks' metrics land;
+      // an un-drained bus means the CPU number may be short — treat the
+      // rep as dirty (same retry path as a steal-contaminated window)
+      val drained = org.apache.spark.GraftListenerBridge.waitUntilEmpty(spark.sparkContext)
       val cpuSec = (listener.cpuNs.get() - cpu0) / 1e9
       TableIO.deleteRecursively(out)
       val stealPct =
@@ -188,7 +192,7 @@ object Bench {
           100.0 * (steal1._2 - steal0._2) / (steal1._1 - steal0._1)
         else 0.0
       Rep(st.docs / wallSec, st.docs / math.max(cpuSec, 1e-9), stealPct,
-        clean = stealPct <= StealGatePct)
+        clean = stealPct <= StealGatePct && drained)
     }
 
     once(s"warm-$cores") // JIT/page-cache warmup, discarded
@@ -222,7 +226,7 @@ object Bench {
       val s = measureSkew(cpus)
       println(f"""{"skew_fanout":{"giant_docs":${s.giantDocs},"giant_pages_each":${s.giantPages},""" +
         f""""normal_docs":${s.normalDocs},"wall_off_sec":${s.wallOffSec}%.2f,"wall_on_sec":${s.wallOnSec}%.2f,""" +
-        f""""max_task_off_ms":${s.maxTaskOffMs},"max_task_on_ms":${s.maxTaskOnMs}}}""")
+        f""""max_task_off_ms":${s.maxTaskOffMs},"max_task_on_ms":${s.maxTaskOnMs},"listener_drained":${s.drained}}}""")
       return
     }
 
@@ -325,7 +329,7 @@ object Bench {
         f""""skew_fanout":{"giant_docs":${skew.giantDocs},"giant_pages_each":${skew.giantPages},""" +
         f""""normal_docs":${skew.normalDocs},"wall_off_sec":${skew.wallOffSec}%.2f,""" +
         f""""wall_on_sec":${skew.wallOnSec}%.2f,"max_task_off_ms":${skew.maxTaskOffMs},""" +
-        f""""max_task_on_ms":${skew.maxTaskOnMs}},""" +
+        f""""max_task_on_ms":${skew.maxTaskOnMs},"listener_drained":${skew.drained}},""" +
         f""""host_steal_pct":$stealPct%.2f,"steal_gate_pct":$StealGatePct,""" +
         f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region",""" +
         f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (up to 2x) until they hold >=1 clean rep, else graded_clean=false; best-of-clean graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag). skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}""")

@@ -87,13 +87,23 @@ object TesseractEngine {
         def run(): Unit = { timedOut.set(true); proc.destroyForcibly() }
       }
       watchdog.schedule(kill, TimeoutSec * 1000)
+      var settled = false // child known-exited (or deliberately abandoned)
       try {
         val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
-        val code = proc.waitFor()
+        // BOUNDED wait even after a kill: SIGKILL cannot reach a
+        // D-state child, so an unbounded waitFor could still hang
+        val done = proc.waitFor(TimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+        settled = done
         if (timedOut.get()) Left(s"tesseract timed out after ${TimeoutSec}s")
-        else if (code == 0) Right(out)
-        else Left(s"tesseract exited $code")
-      } finally kill.cancel()
+        else if (!done) { proc.destroyForcibly(); Left("tesseract did not exit") }
+        else if (proc.exitValue() == 0) Right(out)
+        else Left(s"tesseract exited ${proc.exitValue()}")
+      } finally {
+        // a throw mid-read (OOM on unbounded stdout, IO error) must not
+        // leak a live child whose only deadline we are about to cancel
+        if (!settled && proc.isAlive) proc.destroyForcibly()
+        kill.cancel()
+      }
     } catch { case scala.util.control.NonFatal(e) => Left(s"tesseract exec: ${e.getMessage}") }
 }
 

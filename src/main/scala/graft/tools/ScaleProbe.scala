@@ -34,8 +34,9 @@ object ScaleProbe {
     // denser experiment.)
     val maps = Seq("aeiou", "eioua", "iouae", "ouaei")
     // copy offset must exceed the base id range or copies collide
-    require(base.agg(max(col("doc_id"))).head().getLong(0) < 1000000L,
-      "ScaleProbe doc_id offset too small for this table")
+    val maxId = Option(base.agg(max(col("doc_id"))).head().getAs[java.lang.Long](0))
+    require(maxId.exists(_ < 1000000L),
+      s"ScaleProbe needs a non-empty documents table with doc_id < 1000000 (max=$maxId)")
     def scaled(k: Int): DataFrame =
       (0 until k).map { c =>
         base.select((col("doc_id") + lit(c * 1000000L)).as("doc_id"),
