@@ -97,6 +97,34 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(readSpans(killed) == readSpans(single))
   }
 
+  test("kill + resume with giant fan-out ON ≡ single run (skew path × resume interplay)") {
+    import spark.implicits._
+    // two giants hash into different buckets; a kill between chunks
+    // must re-extract only the uncommitted giant, through the SAME
+    // chunk fan-out, and reassemble identically
+    val giants = (0 until 2).map { g =>
+      val texts = (1 to 300).map(p => s"giant $g page $p")
+      InterleavedDoc(s"doc_giant$g",
+        Seq(RawSpan("pdf_bytes", InterleavedGen.b64(graft.pdf.PdfBuilder.simple(
+          texts.map(t => graft.pdf.PdfBuilder.tjLine(t)), flate = true)), "", 0)))
+    }
+    val normals = (0L until 30L).map(i => InterleavedGen.docWithGolden(i)._1)
+    val input = spark.createDataset(normals ++ giants).toDF()
+    val cfg = ExtractJob.Config(jobId = "resume-fan", numBuckets = 8,
+      chunkBuckets = 2, giantBytesThreshold = 2000, giantChunkPages = 64)
+
+    val killed = tmpDir("graft-killed-fan")
+    ExtractJob.run(spark, input, killed, cfg.copy(maxChunks = 2)) // die after 2/4 chunks
+    val s2 = ExtractJob.run(spark, input, killed, cfg.copy(attempt = 2)) // resume
+    assert(s2.committedBucketsBefore == 4 && s2.bucketsProcessed == 4)
+
+    val single = tmpDir("graft-single-fan")
+    ExtractJob.run(spark, input, single, cfg)
+    assert(readSpans(killed) == readSpans(single))
+    val g0 = readSpans(single)("doc_giant0")
+    assert(g0.map(_.order) == (0 until 300)) // reassembled, ordered, complete
+  }
+
   test("job extracts spans in offset order even when stored shuffled (InternalRow path)") {
     import spark.implicits._
     val table = tmpDir("graft-shuffled")
