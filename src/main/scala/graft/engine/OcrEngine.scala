@@ -31,8 +31,10 @@ final class StubEngine extends OcrEngine {
   * → grayscale → `rusty_tesseract::image_to_string` with default Args).
   * Re-expressed as a process exec — rusty_tesseract itself shells out to
   * the `tesseract` CLI; default Args ≡ `tesseract <image> stdout` (the
-  * grayscale step is left to tesseract's own Leptonica preprocessing:
-  * no image codec exists in this sandbox). Fail-soft contract: any
+  * grayscale step is left to tesseract's own Leptonica preprocessing —
+  * pre-graying via [[graft.pdf.ImageCodec]] would be redundant work on
+  * an input tesseract grayscales anyway, and OCR text is dropped from
+  * parity output either way, mod.rs:132-135). Fail-soft contract: any
   * miss (no binary on PATH, unreadable image, nonzero exit) returns
   * Left, routing through the same skip-and-log branch the reference
   * uses (engine/mod.rs:118-127). */
@@ -94,9 +96,14 @@ object TesseractEngine {
         // D-state child, so an unbounded waitFor could still hang
         val done = proc.waitFor(TimeoutSec, java.util.concurrent.TimeUnit.SECONDS)
         settled = done
-        if (timedOut.get()) Left(s"tesseract timed out after ${TimeoutSec}s")
+        // a clean exit wins any watchdog race: the timer can fire (and
+        // "kill" an already-exited child) between a successful read and
+        // this check — exit 0 with full output is valid OCR regardless
+        // of the timedOut flag (a child the watchdog actually killed
+        // mid-run cannot report exit 0)
+        if (done && proc.exitValue() == 0) Right(out)
+        else if (timedOut.get()) Left(s"tesseract timed out after ${TimeoutSec}s")
         else if (!done) { proc.destroyForcibly(); Left("tesseract did not exit") }
-        else if (proc.exitValue() == 0) Right(out)
         else Left(s"tesseract exited ${proc.exitValue()}")
       } finally {
         // a throw mid-read (OOM on unbounded stdout, IO error) must not

@@ -327,19 +327,21 @@ object ExtractJob {
       // COMPRESSED map-output size, and extracted text compresses so
       // well that it collapses the per-doc reassembly into one task —
       // re-creating the straggler the fan-out exists to remove. Keep
-      // the key-hash spread for this write (the scan-mode normal path
-      // has no exchange, so the setting is inert for it).
-      val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
-      val prevCoalesce = spark.conf.getOption(coalesceKey)
-      if (fanOut) spark.conf.set(coalesceKey, "false")
-      try {
-        val writer = extracted.write.mode("append")
-        (if (cfg.mode == "bucketed") writer.partitionBy("bucket") else writer)
-          .parquet(TableIO.dataDir(tableDir))
-      } finally if (fanOut) prevCoalesce match {
-        case Some(v) => spark.conf.set(coalesceKey, v)
-        case None => spark.conf.unset(coalesceKey)
+      // the key-hash spread for this write by disabling coalescing on
+      // a THROWAWAY CHILD SESSION (same SparkContext, own SQLConf —
+      // builder-time confs are inherited from the SparkConf): the
+      // caller's session is never mutated, so concurrent queries keep
+      // their AQE coalescing and two concurrent fan-out runs cannot
+      // race a save/restore pair. (The scan-mode normal path has no
+      // exchange, so nothing to scope when fan-out is off.)
+      val writeDf = if (!fanOut) extracted else {
+        val child = spark.newSession()
+        child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        org.apache.spark.sql.GraftColumnBridge.withSession(extracted, child)
       }
+      val writer = writeDf.write.mode("append")
+      (if (cfg.mode == "bucketed") writer.partitionBy("bucket") else writer)
+        .parquet(TableIO.dataDir(tableDir))
 
       val stats = acc.value
       val now = System.currentTimeMillis()

@@ -109,17 +109,22 @@ object Dedup {
     * [[minhashLshPairs]] remains for pairwise-similarity consumers. */
   def minhashLshStarPairs(docs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val banded = bandedSignatures(docs, shingleN, numHashes, bands)
-    // bucket canonical member via a window over (band, sig): ONE
-    // evaluation of the expensive banded-signature subtree and one
-    // shuffle — the groupBy+self-join form computed the shingle agg
-    // twice (once per join side). A pathological mega-bucket serializes
-    // its window partition into one task; at that point prefer the
-    // agg+join form per bucket — for real dup-cluster sizes the window
-    // wins outright.
-    val w = Window.partitionBy("band", "sig")
-    banded.withColumn("canon", min("doc_id").over(w))
+    // bucket canonical member via min aggregation + join back — the
+    // same shape as the simhash/embedding star siblings: the canon agg
+    // MAP-SIDE-COMBINES a mega-bucket's rows before its shuffle, and
+    // the member side shuffles on the same (band, sig) key, so both
+    // exchanges stay splittable however giant one duplicate cluster
+    // gets. (History: min("doc_id").over(Window.partitionBy(band, sig))
+    // evaluated the signature subtree once but serialized a mega-bucket
+    // into ONE unsplittable window task — the same scale-killer class
+    // as the round-2 jaccard window-df.) The price is a second
+    // evaluation of the per-row signature expression (canon side +
+    // member side; band×sig cardinality is corpus-scale, so unlike the
+    // simhash star the canon side cannot broadcast) — per-row compute
+    // parallelizes; an unsplittable task does not.
+    val canon = banded.groupBy("band", "sig").agg(min("doc_id").as("canon"))
+    banded.join(canon, Seq("band", "sig"))
       .where(col("doc_id") =!= col("canon"))
       .select(col("canon").as("a_id"), col("doc_id").as("b_id"))
       .distinct()

@@ -235,10 +235,19 @@ object Queries {
     * older than the watermark at its arrival is LATE and dropped —
     * exactly Structured Streaming's `withWatermark("ts","1 hour")`
     * semantics, replayed losslessly so the DuckDB oracle can verify
-    * the late-drop rule (~31% of sf0.01 rows drop). The sequential
-    * running-max window is inherent to REPLAYING a global watermark
-    * (it is the verification twin — the scale path is the streaming
-    * query itself, [[graft.streaming.ExtractStream.eventsHourly]]). */
+    * the late-drop rule (~31% of sf0.01 rows drop).
+    *
+    * ==== WARNING — verification twin ONLY, never compose into a
+    * production pipeline ====
+    * The `Window.orderBy(arr, event_id)` below is GLOBAL: replaying a
+    * global watermark is inherently sequential (every arrival's
+    * horizon depends on every prior arrival), so this plan runs the
+    * whole log through ONE task. That is acceptable only because this
+    * query exists to let DuckDB replay Structured Streaming's
+    * late-drop rule losslessly at oracle scale. The 10^12-row path for
+    * these semantics is the streaming query itself
+    * ([[graft.streaming.ExtractStream.eventsHourly]] with
+    * `withWatermark`), whose state is partitioned by group key. */
   def qEventsHourlyLate(s: SparkSession, dir: String): DataFrame = {
     val ev = rd(s, dir, "events")
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))

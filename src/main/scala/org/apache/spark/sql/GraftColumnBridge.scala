@@ -24,4 +24,15 @@ object GraftColumnBridge {
       rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.asInstanceOf[classic.SparkSession].internalCreateDataFrame(rdd, schema)
+
+  /** Re-root a DataFrame's logical plan onto another session over the
+    * SAME SparkContext (`Dataset.ofRows` is `private[sql]`). Used to
+    * scope a SQL-conf override — e.g. disabling AQE partition
+    * coalescing for one skew-sensitive write — to a throwaway child
+    * session (`spark.newSession()`) instead of mutating the caller's
+    * session-global conf, which would leak onto concurrent queries and
+    * race concurrent save/restore pairs. */
+  def withSession(df: DataFrame, session: SparkSession): DataFrame =
+    classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
+      df.queryExecution.logical)
 }

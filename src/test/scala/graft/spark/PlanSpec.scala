@@ -111,6 +111,18 @@ class PlanSpec extends AnyFunSuite {
     assert(sketches <= 4, s"sketch recomputed per block ($sketches):\n${plan.take(4000)}")
   }
 
+  test("minhash star: bucket canon is a hash aggregation + join (map-side combine), NOT a window over (band,sig)") {
+    val plan = physical(Queries.dedupMinhashStar(spark, sf))
+    // min(doc_id).over(Window.partitionBy(band, sig)) serialized a
+    // mega-bucket (giant duplicate cluster) into one unsplittable
+    // window task; the agg+join form (the simhash/embedding star
+    // siblings' shape) partial-aggregates the hot bucket map-side
+    assert(!plan.contains("Window"),
+      s"window canon scale-killer resurfaced:\n${plan.take(4000)}")
+    assert(plan.contains("partial_min"),
+      s"canon lost its map-side partial min aggregation:\n${plan.take(4000)}")
+  }
+
   test("jaccard: shingle df is a hash aggregation (map-side partials), NOT a window over sh") {
     val plan = physical(Queries.dedupJaccardCapped(spark, sf))
     // a window over partitionBy(sh) forces ALL rows of a hot shingle
