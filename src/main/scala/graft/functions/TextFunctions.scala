@@ -105,6 +105,15 @@ object TextFunctions {
     toColumn(ArrayMinAgg(toExpression(arr)).toAggregateExpression())
   }
 
+  /** Buffer-BOUNDED collect_list over bigint (native
+    * [[BoundedCollectLongs]]): at most `limit` elements held per group
+    * in any buffer. Pair with an exact `count` and drop groups over
+    * the bound — a truncated list is a memory bound, never an answer. */
+  def boundedCollectLongs(c: Column, limit: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(BoundedCollectLongs(toExpression(c), limit).toAggregateExpression())
+  }
+
   /** 32-bit SimHash from per-token md5 prefixes. For each token the
     * first 8 hex chars of md5(token) supply 32 bits; each bit votes
     * +1/-1; the sketch bit is 1 iff the vote sum is positive. Integer

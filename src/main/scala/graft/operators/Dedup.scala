@@ -143,9 +143,16 @@ object Dedup {
     * is 10^12 rows, the all-pairs scale-killer; capped, the per-shingle
     * fan-out is bounded by maxDf²/2. Additionally (both variants,
     * results unchanged) df=1 shingles are pruned from the self-join —
-    * a lone shingle can produce no pair. */
+    * a lone shingle can produce no pair.
+    *
+    * Pass `maxDfObs` (an [[org.apache.spark.sql.Observation]]) to get
+    * a `max_df` metric from the run — the UNCAPPED variant's
+    * hot-shingle exposure is otherwise invisible until the d²/2 pair
+    * unfold hits, so at any real scale run capped, or run uncapped
+    * WITH the observation and alert on max_df. */
   def ngramJaccardPairs(docs: DataFrame, shingleN: Int = 3,
-      minPermille: Int = 200, maxDf: Int = Int.MaxValue): DataFrame = {
+      minPermille: Int = 200, maxDf: Int = Int.MaxValue,
+      maxDfObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sh = docs
       .select(col("doc_id"),
         explode(array_distinct(TF.shingles(col("text"), shingleN))).as("sh"))
@@ -161,12 +168,28 @@ object Dedup {
     // drop it — the 10^12-doc scale-killer; (b) groupBy(sh).count
     // joined back onto the exploded rows fixed the skew but paid the
     // shingle explode once per consumer (4 evaluations, measured ~4x
-    // wall). Mega-bucket caveat: an uncapped hot shingle collects its
-    // member list into one row here — still linear in df, vs the d²/2
-    // join rows the self-join form emits for the same shingle; the
-    // capped variant bounds the list at maxDf by construction.
-    val buckets = sh.groupBy("sh").agg(
-      count(lit(1)).as("df"), sort_array(collect_list(col("doc_id"))).as("ms"))
+    // wall).
+    // Member-list memory: the CAPPED variant collects through the
+    // buffer-bounded native aggregate — a capped-out hot shingle holds
+    // at most maxDf elements in ANY buffer before its row is dropped
+    // (a kept row's df ≤ maxDf means its bounded list is complete, so
+    // output is unchanged). The UNCAPPED variant must collect the full
+    // list by contract (exact all-pairs output) — one row per shingle,
+    // linear in df vs the d²/2 join rows the self-join form emits —
+    // and surfaces its exposure through the max_df observation.
+    val collected =
+      if (maxDf == Int.MaxValue) collect_list(col("doc_id"))
+      else TF.boundedCollectLongs(col("doc_id"), maxDf)
+    val buckets0 = sh.groupBy("sh").agg(
+      count(lit(1)).as("df"), sort_array(collected).as("ms"))
+    // max-only metric: the buckets subtree has TWO consumers (sizes +
+    // intersections), so if the physical plan executes it twice a sum/
+    // count-style metric would double-count — max is re-execution-
+    // idempotent
+    val buckets = maxDfObs match {
+      case Some(obs) => buckets0.observe(obs, max(col("df")).as("max_df"))
+      case None => buckets0
+    }
     val kept = if (maxDf == Int.MaxValue) buckets else buckets.where(col("df") <= maxDf)
     val sizes = kept
       .select(explode(col("ms")).as("doc_id"))

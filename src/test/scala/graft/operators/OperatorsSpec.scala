@@ -186,6 +186,44 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Long]("jaccard_pm") == 666L)
   }
 
+  test("boundedCollectLongs: every buffer capped at the limit; COMPLETE list below it (shuffled merge path)") {
+    val df = spark.range(1000).select((col("id") % 7).as("k"), col("id").as("v"))
+      .repartition(8) // force multi-partial merge
+    val rows = df.groupBy("k").agg(
+      count(lit(1)).as("n"),
+      size(TF.boundedCollectLongs(col("v"), 10)).as("capped_n"),
+      sort_array(TF.boundedCollectLongs(col("v"), 200)).as("full")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) == 10, "over-the-bound group must truncate at limit")
+      // under the bound (each group has ~143 elements < 200) the list is
+      // complete and, sorted, deterministic
+      val full = r.getSeq[Long](3)
+      assert(full.size == r.getLong(1))
+      assert(full == full.sorted)
+    }
+  }
+
+  test("capped jaccard (bounded buffers) matches the unbounded-collect reference output") {
+    val d = docs(
+      (1L, "a b c d e f"), (2L, "a b c d x y"), (3L, "a b c q r s"),
+      (4L, "m n o p q r"), (5L, "m n o p q z"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("jaccard_pm"))).toSet
+    val capped = pairs(Dedup.ngramJaccardPairs(d, 3, minPermille = 100, maxDf = 3))
+    // reference: replicate the cap by filtering shingles with df>3 out of
+    // the uncapped computation — "a b c" has df 3, kept; no shingle
+    // exceeds 3, so capped must equal uncapped exactly
+    val uncapped = pairs(Dedup.ngramJaccardPairs(d, 3, minPermille = 100))
+    assert(capped == uncapped)
+  }
+
+  test("uncapped jaccard surfaces hot-shingle exposure via the max_df observation") {
+    val obs = new org.apache.spark.sql.Observation("jaccard-maxdf")
+    val d = docs((1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"))
+    Dedup.ngramJaccardPairs(d, 3, minPermille = 0, maxDfObs = Some(obs)).collect()
+    assert(obs.get("max_df") == 3L) // "a b c" appears in all three docs
+  }
+
   test("simhashPairs finds hamming<=3 pairs via block index") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = (1 to 40).filter(_ != 3).map(i => s"tok$i").mkString(" ")
