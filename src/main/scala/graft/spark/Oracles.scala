@@ -346,6 +346,25 @@ object Oracles {
         |  ON c.user_id = s.user_id AND c.tms >= s.tms
         |ORDER BY c.event_id""".stripMargin,
 
+    // multi-payload + null-payload AS-OF witness: k_val is NULL on
+    // every third signup — per-column forward fill would backfill it
+    // from an older right row and diverge from native ASOF JOIN
+    "q_asof_multi" ->
+      """WITH clicks AS (
+        |  SELECT event_id, user_id, epoch_ms(ts) AS tms FROM events
+        |  WHERE event_type = 'click'),
+        |sg0 AS (
+        |  SELECT user_id, epoch_ms(ts) AS tms, CAST(max(event_id) AS BIGINT) AS signup_id
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+        |sg AS (
+        |  SELECT user_id, tms, signup_id,
+        |   CASE WHEN signup_id % 3 = 0 THEN NULL ELSE signup_id % 97 END AS k_val
+        |  FROM sg0)
+        |SELECT c.event_id, c.user_id, c.tms, s.signup_id, s.k_val
+        |FROM clicks c ASOF LEFT JOIN sg s
+        |  ON c.user_id = s.user_id AND c.tms >= s.tms
+        |ORDER BY c.event_id""".stripMargin,
+
     // ---- dedup / similarity / text analysis
     "dedup_exact" ->
       s"""WITH $docsPlus

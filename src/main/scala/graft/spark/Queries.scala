@@ -368,6 +368,30 @@ object Queries {
       .orderBy("event_id")
   }
 
+  /** AS-OF join, MULTI-payload + null-payload witness: same shape as
+    * [[qAsof]] but the right side carries TWO payload columns, one of
+    * which (`k_val`) is deterministically NULL on every third signup.
+    * This is the oracle pin for [[graft.operators.AsOfJoin]]'s
+    * single-struct payload fill: with per-column fill, a left row
+    * whose latest right row has k_val NULL would backfill k_val from
+    * an OLDER right row (mixing values from different right rows) —
+    * visible here as a hash mismatch vs DuckDB's native ASOF JOIN,
+    * which [[qAsof]]'s single never-null payload could not detect. */
+  def qAsofMulti(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts").cast("timestamp")).as("tms"), col("event_type"))
+    val clicks = ev.where(col("event_type") === "click").drop("event_type")
+    val signups = ev.where(col("event_type") === "signup")
+      .groupBy("user_id", "tms").agg(max("event_id").as("signup_id"))
+      .withColumn("k_val",
+        when(col("signup_id") % 3 === 0, lit(null).cast("long"))
+          .otherwise(col("signup_id") % 97))
+    graft.operators.AsOfJoin.asOf(clicks, signups,
+        keys = Seq("user_id"), timeCol = "tms", payloadCols = Seq("signup_id", "k_val"))
+      .orderBy("event_id")
+  }
+
   /** Semi-structured extraction: JSON props column → typed field,
     * aggregated per event type. */
   def qEventsJson(s: SparkSession, dir: String): DataFrame =
@@ -799,6 +823,7 @@ object Queries {
     "q_above_group_avg" -> (qAboveGroupAvg _),
     "q_events_json" -> (qEventsJson _),
     "q_asof" -> (qAsof _),
+    "q_asof_multi" -> (qAsofMulti _),
     "dedup_exact" -> (dedupExact _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_star" -> (dedupMinhashStar _),
