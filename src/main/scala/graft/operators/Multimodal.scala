@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * stage (the Scala analog of `mapInPandas`: one partition = one
   * batch, decoder state amortized across the batch).
   *
-  * The sandbox has no image/audio codecs, so [[StubDecoder]] is a
-  * clearly-marked deterministic fake — a pure function of the payload
-  * bytes — while everything Spark-grade around it (schema, typed
-  * Dataset stage, partition batching, per-batch decoder reuse) is real
-  * and tested. Swap `StubDecoder` for a JNI/process-backed decoder in
-  * production; the stage contract does not change.
+  * IMAGE decode is REAL: the default [[SniffDecoder]] runs the JDK
+  * codec ([[graft.pdf.ImageCodec]], javax.imageio — PNG/JPEG/BMP/GIF/
+  * TIFF) on any payload whose magic bytes sniff as an image, emitting
+  * decoded dimensions and an 8×8 average-hash perceptual fingerprint
+  * of the actual pixels. Payloads that are NOT a recognizable image
+  * (audio, video, arbitrary binaries — no audio/video codec exists on
+  * this JVM) fall back to [[StubDecoder]], a clearly-marked
+  * deterministic fake, so the stage is total and a production
+  * deployment swaps only the fallback for a process/JNI decoder —
+  * the stage contract (schema, batching, per-batch decoder reuse)
+  * does not change.
   */
 object Multimodal {
 
@@ -34,9 +39,11 @@ object Multimodal {
     def decode(ref: String, bytes: Array[Byte]): MediaFeatures
   }
 
-  /** STUB: deterministic fake decode — md5-derived "dimensions" and
-    * perceptual-hash. Stands in for a real image decoder (none is
-    * available in this container); NOT a real codec. */
+  /** STUB fallback: deterministic fake decode — md5-derived
+    * "dimensions" and pseudo-hash, a pure function of the payload
+    * bytes. Used when the payload is NOT a decodable image (the
+    * [[SniffDecoder]] fallback for audio/video/binary columns — no
+    * audio/video codec exists on this JVM); NOT a real codec. */
   final class StubDecoder(docId: String) extends MediaDecoder {
     private val md = MessageDigest.getInstance("MD5") // reused per batch
     def decode(ref: String, bytes: Array[Byte]): MediaFeatures = {
@@ -66,11 +73,53 @@ object Multimodal {
     }
   }
 
+  /** REAL default decoder: sniff the payload's container magic and
+    * decode through the JDK codec — real dimensions, real pixels, an
+    * 8×8 average-hash fingerprint (resize → grayscale → threshold at
+    * the mean → 64 bits hex; the standard aHash). Non-image payloads
+    * fall back to the deterministic [[StubDecoder]] fake (fail-soft:
+    * the stage stays total over arbitrary bytes). */
+  final class SniffDecoder(docId: String) extends MediaDecoder {
+    private val stub = new StubDecoder(docId)
+    def decode(ref: String, bytes: Array[Byte]): MediaFeatures =
+      graft.pdf.ImageCodec.decodeToRgba(bytes) match {
+        case Some((w, h, rgba)) =>
+          MediaFeatures(docId, ref, bytes.length,
+            graft.pdf.ImageCodec.sniffFormat(bytes).getOrElse("img"),
+            w, h, averageHash(rgba, w, h))
+        case None => stub.decode(ref, bytes)
+      }
+  }
+
+  /** 8×8 average-hash of an RGBA buffer: nearest-neighbor resize to
+    * 8×8, integer grayscale (r+g+b)/3, one bit per cell (1 iff above
+    * the 64-cell mean), rendered as 16 hex chars. Deterministic pure
+    * pixel math — the perceptual-fingerprint baseline (aHash). */
+  def averageHash(rgba: Array[Byte], w: Int, h: Int): String = {
+    val small = graft.pdf.PdfImages.resizeRgba(rgba, w, h, 8, 8)
+    val gray = new Array[Int](64)
+    var i = 0
+    var total = 0L
+    while (i < 64) {
+      gray(i) = ((small(i * 4) & 0xff) + (small(i * 4 + 1) & 0xff) +
+        (small(i * 4 + 2) & 0xff)) / 3
+      total += gray(i)
+      i += 1
+    }
+    val mean = total / 64
+    var bits = 0L
+    i = 0
+    while (i < 64) { if (gray(i) > mean) bits |= (1L << i); i += 1 }
+    f"$bits%016x"
+  }
+
   /** Input: (doc_id string, media_ref string, payload binary).
     * Output: Dataset[MediaFeatures]. Decoder constructed once per
-    * partition — the batching that makes real codecs affordable. */
+    * partition — the batching that makes real codecs affordable.
+    * Default decoder = [[SniffDecoder]]: REAL image decode, stub
+    * fallback for non-image payloads. */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] =
-    extractFeaturesWith(spark, media, docId => new StubDecoder(docId))
+    extractFeaturesWith(spark, media, docId => new SniffDecoder(docId))
 
   /** [[extractFeatures]] with a pluggable decoder factory (e.g.
     * [[PngMetaDecoder]] for real PNG payloads). */

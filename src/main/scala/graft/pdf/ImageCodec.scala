@@ -54,10 +54,33 @@ object ImageCodec {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** Container sniff from magic bytes — the format label to pair with
+    * [[decodeToRgba]] (which sniffs the same way internally via
+    * ImageIO's reader lookup). None for unrecognized payloads. */
+  def sniffFormat(bytes: Array[Byte]): Option[String] = {
+    def at(i: Int) = if (i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') Some("png")
+    else if (at(0) == 0xff && at(1) == 0xd8) Some("jpeg")
+    else if (at(0) == 'B' && at(1) == 'M') Some("bmp")
+    else if (at(0) == 'G' && at(1) == 'I' && at(2) == 'F') Some("gif")
+    else if ((at(0) == 'I' && at(1) == 'I' && at(2) == 42) ||
+      (at(0) == 'M' && at(1) == 'M' && at(3) == 42)) Some("tiff")
+    else None
+  }
+
   /** Deterministic JPEG encoding (default JDK quality) of a packed
     * RGB buffer — fixture-side only, so DCTDecode fixtures carry REAL
     * JPEG bytes instead of pseudo-payloads. */
-  def encodeJpegRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+  def encodeJpegRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeRgb("jpg", w, h, rgb)
+
+  /** Deterministic BMP encoding of a packed RGB buffer (lossless —
+    * decodes back to the exact pixels; fixture-side, like
+    * [[encodeJpegRgb]]). */
+  def encodeBmpRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
+    encodeRgb("bmp", w, h, rgb)
+
+  private def encodeRgb(fmt: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == w * h * 3, "rgb buffer size")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var y = 0
@@ -72,7 +95,7 @@ object ImageCodec {
       y += 1
     }
     val out = new ByteArrayOutputStream()
-    ImageIO.write(img, "jpg", out)
+    ImageIO.write(img, fmt, out)
     out.toByteArray
   }
 }

@@ -221,9 +221,14 @@ object PdfImages {
   }
 
   /** Resize a PNG payload (decode → nearest-neighbor → re-encode);
-    * None for undecodable inputs (fail-soft, like every decode path). */
+    * None for undecodable inputs (fail-soft, like every decode path).
+    * The codec-free [[decodePng]] fast path covers this module's own
+    * filter-0 RGBA output (no AWT churn in the hot thumbnail loop);
+    * any OTHER valid PNG — Sub/Up/Average/Paeth-filtered rows,
+    * palette, 16-bit, grayscale — falls through to the JDK codec
+    * ([[ImageCodec.decodeToRgba]] reads them all). */
   def resizePng(png: Array[Byte], outW: Int, outH: Int): Option[Array[Byte]] =
-    decodePng(png).map { case (w, h, rgba) =>
+    decodePng(png).orElse(ImageCodec.decodeToRgba(png)).map { case (w, h, rgba) =>
       encodePng(outW, outH, resizeRgba(rgba, w, h, outW, outH))
     }
 

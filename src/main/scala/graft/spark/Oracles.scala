@@ -743,6 +743,24 @@ object Oracles {
          |FROM b ORDER BY doc_id, media_ref""".stripMargin
     },
 
+    // REAL decode pin: payloads are real PNG/BMP/JPEG bytes of the
+    // pixel formula gray(x,y,id) = (7x+13y+31·id) mod 256; the Spark
+    // side decodes them through javax.imageio, the twin recomputes
+    // dims + (lossless formats') decoded channel sum analytically.
+    // range() takes no lateral column refs in DuckDB — cross-join the
+    // max extent (12×14) and filter to each image's box instead
+    "mm_decode_real" ->
+      """WITH imgs AS (SELECT i AS id, CAST(8 + i % 5 AS INTEGER) AS width,
+        |  CAST(8 + (i*3) % 7 AS INTEGER) AS height,
+        |  CASE i % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'jpeg' END AS format
+        | FROM range(60) t(i)),
+        |px AS (SELECT id, CAST(3 * sum((xs.x * 7 + ys.y * 13 + id * 31) % 256) AS BIGINT) AS s
+        | FROM imgs, range(12) xs(x), range(14) ys(y)
+        | WHERE xs.x < width AND ys.y < height GROUP BY id)
+        |SELECT imgs.id, format, width, height,
+        | CASE WHEN format = 'jpeg' THEN CAST(-1 AS BIGINT) ELSE px.s END AS pix_sum
+        |FROM imgs JOIN px USING (id) ORDER BY id""".stripMargin,
+
     // real-payload multimodal features: every materialized image is
     // now a real PNG (DCT decodes via ImageIO), dims parsed from IHDR
     "mm_pdf_image_features" ->

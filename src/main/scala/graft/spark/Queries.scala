@@ -730,12 +730,77 @@ object Queries {
       .agg(count(lit(1)).as("docs"), sum(col("ok")).as("matched"))
   }
 
-  /** Multimodal plumbing: deterministic stub feature extraction over a
-    * synthetic binary media table (see operators.Multimodal). */
+  /** Multimodal plumbing over OPAQUE payloads: the default
+    * [[Multimodal.SniffDecoder]] finds no image magic in the synthetic
+    * binary payloads and falls back to the deterministic stub — the
+    * total-over-arbitrary-bytes path of the media stage (the REAL
+    * image-decode path of the same decoder is pinned hash-exact by
+    * [[mmDecodeReal]]). */
   def mmMediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.extractFeatures(s, Multimodal.syntheticMedia(s, nDocs = 200, perDoc = 3))
       .toDF()
       .orderBy("doc_id", "media_ref")
+
+  /** REAL image decode through the JDK codec, with a hash-exact
+    * oracle: payloads are REAL PNG (our ISO 15948 encoder), BMP and
+    * JPEG (ImageIO writers) bytes built deterministically from the
+    * pixel formula gray(x,y,id) = (7x + 13y + 31·id) mod 256; the
+    * decode stage sniffs the container and runs
+    * [[graft.pdf.ImageCodec.decodeToRgba]] (javax.imageio) per
+    * partition batch; the DuckDB twin recomputes format, decoded dims
+    * and — for the LOSSLESS formats — the decoded-pixel channel sum
+    * analytically from the same formula. JPEG is lossy by design:
+    * dims are exact, the pixel sum is emitted as -1. This pins the
+    * generic media-column decode as a real codec, not a stub. */
+  def mmDecodeReal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(60).repartition(8).map { id =>
+      val w = 8 + (id % 5).toInt
+      val h = 8 + ((id * 3) % 7).toInt
+      val rgb = new Array[Byte](w * h * 3)
+      var p = 0
+      while (p < w * h) {
+        val g = (((p % w) * 7 + (p / w) * 13 + id * 31) % 256).toInt
+        rgb(p * 3) = g.toByte; rgb(p * 3 + 1) = g.toByte; rgb(p * 3 + 2) = g.toByte
+        p += 1
+      }
+      val payload = (id % 3) match {
+        case 0 =>
+          val rgba = new Array[Byte](w * h * 4)
+          var i = 0
+          while (i < w * h) {
+            rgba(i * 4) = rgb(i * 3); rgba(i * 4 + 1) = rgb(i * 3 + 1)
+            rgba(i * 4 + 2) = rgb(i * 3 + 2); rgba(i * 4 + 3) = -1
+            i += 1
+          }
+          graft.pdf.PdfImages.encodePng(w, h, rgba)
+        case 1 => graft.pdf.ImageCodec.encodeBmpRgb(w, h, rgb)
+        case _ => graft.pdf.ImageCodec.encodeJpegRgb(w, h, rgb)
+      }
+      (id, payload)
+    }
+    .mapPartitions { it => // batched REAL decode (one codec per batch)
+      it.map { case (id, bytes) =>
+        val fmt = graft.pdf.ImageCodec.sniffFormat(bytes).getOrElse("unknown")
+        graft.pdf.ImageCodec.decodeToRgba(bytes) match {
+          case Some((w, h, rgba)) =>
+            val sum = if (fmt == "jpeg") -1L else {
+              var s0 = 0L; var i = 0
+              while (i < w * h) {
+                s0 += (rgba(i * 4) & 0xff) + (rgba(i * 4 + 1) & 0xff) +
+                  (rgba(i * 4 + 2) & 0xff)
+                i += 1
+              }
+              s0
+            }
+            (id, fmt, w, h, sum)
+          case None => (id, fmt, -1, -1, -1L)
+        }
+      }
+    }
+    .toDF("id", "format", "width", "height", "pix_sum")
+    .orderBy("id")
+  }
 
   /** End-to-end multimodal over REAL payloads: PDF image XObjects →
     * materialized PNG bytes (JPEG-DCT decoded via the JDK codec) →
@@ -851,6 +916,7 @@ object Queries {
     "extract_parity" -> (extractParity _),
     "stream_extract_parity" -> (streamExtractParity _),
     "mm_media_features" -> (mmMediaFeatures _),
+    "mm_decode_real" -> (mmDecodeReal _),
     "mm_pdf_image_features" -> (mmPdfImageFeatures _),
     "mm_thumbnails" -> (mmThumbnails _),
     "mm_frame_sample" -> (mmFrameSample _))

@@ -485,6 +485,30 @@ class OperatorsSpec extends AnyFunSuite {
 
   // ---- multimodal plumbing -------------------------------------------
 
+  test("SniffDecoder: REAL pixel decode for image payloads; deterministic stub fallback for non-images") {
+    val w = 10; val h = 6
+    val rgb = Array.tabulate(w * h * 3)(i => (((i / 3) * 5) % 256).toByte)
+    val rgba = new Array[Byte](w * h * 4)
+    (0 until w * h).foreach { i =>
+      rgba(i * 4) = rgb(i * 3); rgba(i * 4 + 1) = rgb(i * 3 + 1)
+      rgba(i * 4 + 2) = rgb(i * 3 + 2); rgba(i * 4 + 3) = -1
+    }
+    val png = graft.pdf.PdfImages.encodePng(w, h, rgba)
+    val bmp = graft.pdf.ImageCodec.encodeBmpRgb(w, h, rgb)
+    val junk = "definitely not an image payload".getBytes("UTF-8")
+    val media = Seq(("d1", "a.png", png), ("d1", "b.bmp", bmp), ("d1", "c.bin", junk))
+      .toDF("doc_id", "media_ref", "payload")
+    val feats = Multimodal.extractFeatures(spark, media)
+      .collect().map(f => f.media_ref -> f).toMap
+    assert(feats("a.png").format == "png" && feats("a.png").width == w && feats("a.png").height == h)
+    assert(feats("b.bmp").format == "bmp" && feats("b.bmp").width == w && feats("b.bmp").height == h)
+    // same pixels in two containers → same average-hash: the
+    // fingerprint is derived from DECODED pixels, not payload bytes
+    assert(feats("a.png").phash == feats("b.bmp").phash)
+    // non-image → exact stub features (fallback path unchanged)
+    assert(feats("c.bin") == new Multimodal.StubDecoder("d1").decode("c.bin", junk))
+  }
+
   test("multimodal stub features are deterministic and schema-typed") {
     val media = Multimodal.syntheticMedia(spark, nDocs = 5, perDoc = 2)
     val f1 = Multimodal.extractFeatures(spark, media).collect()
