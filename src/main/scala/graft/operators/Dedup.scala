@@ -388,6 +388,65 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("component"))
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR/SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the O(log n)-round upgrade path named in
+    * [[components]]'s scaladoc, now implemented. Per round:
+    *
+    *  - large-star: every node u hangs its strictly-LARGER neighbors
+    *    onto m(u) = min(Γ(u) ∪ {u});
+    *  - small-star: u hangs its not-larger neighbors and itself onto
+    *    m(u).
+    *
+    * Each operation is one symmetrize → groupBy-min (map-side partial
+    * min) → join — the same splittable relational shape as a
+    * [[components]] round — but the edge set CONTRACTS toward
+    * min-rooted stars, so the required round count is O(log n) in the
+    * component size instead of O(diameter): the difference between 40
+    * rounds and 4 on a 10^12-edge web graph with long chains. Output
+    * is deterministic for a fixed `rounds` (the DuckDB twin replays
+    * the identical schedule); once converged, the edge set IS the
+    * star forest and labels read directly off it.
+    *
+    * Unlike [[components]] (where per-round persistence is an optional
+    * production upgrade), lineage truncation between rounds is PART OF
+    * this operator: one round references its input edge set ~16 times
+    * (two symmetrizes, each consumed by an aggregation AND a join), so
+    * an unpersisted plan grows geometrically with `rounds` and stalls
+    * the optimizer long before execution. Each round therefore ends in
+    * a `localCheckpoint` — values are unchanged (the DuckDB twin
+    * replays the same schedule); swap for a reliable `checkpoint` on a
+    * real cluster, where executor loss must not drop the materialized
+    * edges.
+    *
+    * Input: (a_id, b_id) pairs. Output: (doc_id, component) for every
+    * doc appearing in any pair. */
+  def componentsStar(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+    def sym(e: DataFrame): DataFrame =
+      e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+    def mins(s: DataFrame): DataFrame =
+      s.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
+    var edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+    for (_ <- 0 until rounds) {
+      val s1 = sym(edges)
+      val large = s1.join(mins(s1), "u")
+        .where(col("v") > col("u") && col("m") =!= col("v"))
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+      val s2 = sym(large)
+      val m2 = mins(s2)
+      edges = s2.join(m2, "u").where(col("v") < col("u"))
+        .select(col("m"), col("v"))
+        .unionAll(m2.select(col("m"), col("u").as("v")))
+        .where(col("m") =!= col("v"))
+        .select(col("m").as("a"), col("v").as("b")).distinct()
+        .localCheckpoint()
+    }
+    edges.select(col("b").as("doc_id"), col("a").as("component"))
+      .unionAll(edges.select(col("a").as("doc_id"), col("a").as("component")))
+      .groupBy("doc_id").agg(min("component").as("component"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ tPct/100, exact
     * integer test over milliunit-quantized vectors, bucketed by
     * sign-LSH so the pair join is per-bucket, not all-pairs. Sign-LSH

@@ -70,6 +70,22 @@ object Oracles {
        | SELECT e.dst AS id, p.component FROM edges e JOIN $prev p ON p.id = e.src
        |) GROUP BY id)""".stripMargin
 
+  /** One large-star + small-star round over an edge CTE `$prev(a,b)` →
+    * `es$i(a,b)` (twin of Dedup.componentsStar's loop body). Every
+    * stage is MATERIALIZED: DuckDB inlines plain CTEs, and a star
+    * round references its input ~16× — the same geometric blowup the
+    * Spark side truncates with its per-round localCheckpoint. */
+  private def starRound(i: Int, prev: String): String =
+    s"""sym${i}l AS MATERIALIZED (SELECT a AS u, b AS v FROM $prev UNION ALL SELECT b, a FROM $prev),
+       |min${i}l AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM sym${i}l GROUP BY u),
+       |el$i AS MATERIALIZED (SELECT DISTINCT m.m AS a, s.v AS b
+       |  FROM sym${i}l s JOIN min${i}l m USING (u) WHERE s.v > s.u AND m.m <> s.v),
+       |sym${i}s AS MATERIALIZED (SELECT a AS u, b AS v FROM el$i UNION ALL SELECT b, a FROM el$i),
+       |min${i}s AS MATERIALIZED (SELECT u, least(u, min(v)) AS m FROM sym${i}s GROUP BY u),
+       |es$i AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+       |  SELECT m.m AS a, s.v AS b FROM sym${i}s s JOIN min${i}s m USING (u) WHERE s.v < s.u
+       |  UNION ALL SELECT m AS a, u AS b FROM min${i}s) WHERE a <> b)""".stripMargin
+
   /** Quality-bucket CTE chain over `src(doc_id, text)` → `$name(doc_id,
     * text, quality)` (twin of TextFunctions.qualityBucket). */
   private def qualityCte(src: String, name: String): String =
@@ -406,6 +422,24 @@ object Oracles {
          |${bspRound("l1", "l2")},
          |${bspRound("l2", "l3")}
          |SELECT id AS doc_id, component FROM l3 ORDER BY doc_id""".stripMargin,
+
+    "dedup_components_star" ->
+      // 3 alternating large-star/small-star rounds over the same star-
+      // pair edges (Kiveris et al. two-phase; converged here, so equal
+      // to dedup_components' fixpoint)
+      s"""WITH $docsPlus, $sh3,
+         |sigs AS (SELECT doc_id, $minhashMins FROM sh3 GROUP BY doc_id),
+         |banded AS ($bandedUnion),
+         |canon AS (SELECT band, sig, min(doc_id) AS canon FROM banded GROUP BY 1, 2),
+         |e0 AS MATERIALIZED (SELECT DISTINCT c.canon AS a, b.doc_id AS b
+         | FROM banded b JOIN canon c USING (band, sig) WHERE b.doc_id <> c.canon),
+         |${starRound(1, "e0")},
+         |${starRound(2, "es1")},
+         |${starRound(3, "es2")}
+         |SELECT doc_id, min(component) AS component FROM (
+         | SELECT b AS doc_id, a AS component FROM es3
+         | UNION ALL SELECT a, a FROM es3) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "pipeline_clean_corpus" ->
       s"""WITH $docsPlus,

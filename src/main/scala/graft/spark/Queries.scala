@@ -524,6 +524,19 @@ object Queries {
         iterations = 3)
       .orderBy("doc_id")
 
+  /** Connected components via ALTERNATING LARGE-STAR/SMALL-STAR rounds
+    * over the same MinHash-LSH star edges as [[dedupComponents]] — the
+    * O(log n)-round scale path (edge set contracts toward min-rooted
+    * stars each round, vs min-propagation's O(diameter) rounds over a
+    * constant-size edge set). 3 rounds converge on this testbed, so
+    * the output equals [[dedupComponents]]'s fixpoint; the DuckDB twin
+    * replays the identical round schedule. */
+  def dedupComponentsStar(s: SparkSession, dir: String): DataFrame =
+    Dedup.componentsStar(
+        Dedup.minhashLshStarPairs(docsPlus(s, dir), shingleN = 3, numHashes = 8, bands = 4),
+        rounds = 3)
+      .orderBy("doc_id")
+
   /** MinHash CLUSTER signatures: element-wise min of member signatures
     * per bucket — the signature-merge that lets re-clustering run over
     * cluster representatives instead of members (custom ArrayMinAgg
@@ -901,6 +914,7 @@ object Queries {
     "dedup_embedding_star" -> (dedupEmbeddingStar _),
     "dedup_cluster_sigs" -> (dedupClusterSigs _),
     "dedup_components" -> (dedupComponents _),
+    "dedup_components_star" -> (dedupComponentsStar _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),

@@ -352,6 +352,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("componentsStar: equals brute-force union-find on seeded random graphs (alt-star rounds)") {
+    for (seed <- Seq(7, 19, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Vector.fill(80)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+      // 6 alternating rounds cover log2(60) with margin
+      val got = Dedup.componentsStar(edges.toDF("a_id", "b_id"), rounds = 6)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("componentsStar: a 32-node path labels in 5 alt-star rounds (min-propagation would need 31)") {
+    // the worst case for per-hop min propagation: diameter = n-1; the
+    // contracting star rounds close it in O(log n)
+    val chain = (0L until 32L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("a_id", "b_id")
+    val got = Dedup.componentsStar(chain, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == (0L until 32L).map(v => (v, 0L)).toSet)
+  }
+
   test("native TokenSimHash64: single-token sketch IS the token's md5 bits (hand pin)") {
     // one token => every bit voted once => sketch == the token value;
     // md5("") = d41d8cd98f00b204e9800998ecf8427e, so lo = 0xd41d8cd9
