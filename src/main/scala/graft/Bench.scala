@@ -314,7 +314,12 @@ object Bench {
         f""""steal_pct":${r.stealPct}%.2f,"clean":${r.clean}}""").mkString("[", ",", "]")
 
     val qs = qTimes.map { case (k, sec) => f""""$k":$sec%.3f""" }.mkString("{", ",", "}")
-    println(
+    // one COMPACT stdout line (the driver captures a bounded output
+    // tail — round 3's committed artifact was truncated mid-line and
+    // unparseable because the reps arrays + protocol prose pushed the
+    // line past the capture window) + the FULL record, reps and
+    // protocol included, written to a committed file
+    val core =
       f"""{"metric":"extract_docs_per_sec_local32","value":${l32.best}%.1f,"unit":"docs/sec",""" +
         f""""queries":$qs,"sf":"$sfDir","extract":{"docs":$nDocs,""" +
         f""""docs_per_sec_2":${l2.best}%.1f,"docs_per_sec_8":${l8.best}%.1f,"docs_per_sec_32":${l32.best}%.1f,""" +
@@ -325,13 +330,18 @@ object Bench {
         f""""graded_pair":"2->8 (N vs 4N cores)","anomaly_32_inverted":$anomaly,""" +
         f""""graded_clean":${l2.hasClean && l8.hasClean},""" +
         f""""clean_reps":{"2":${l2.reps.count(_.clean)},"8":${l8.reps.count(_.clean)},"32":${l32.reps.count(_.clean)}},""" +
-        f""""reps":{"2":${repsJson(l2)},"8":${repsJson(l8)},"32":${repsJson(l32)}},""" +
         f""""skew_fanout":{"giant_docs":${skew.giantDocs},"giant_pages_each":${skew.giantPages},""" +
         f""""normal_docs":${skew.normalDocs},"wall_off_sec":${skew.wallOffSec}%.2f,""" +
         f""""wall_on_sec":${skew.wallOnSec}%.2f,"max_task_off_ms":${skew.maxTaskOffMs},""" +
         f""""max_task_on_ms":${skew.maxTaskOnMs},"listener_drained":${skew.drained}},""" +
-        f""""host_steal_pct":$stealPct%.2f,"steal_gate_pct":$StealGatePct,""" +
-        f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region",""" +
-        f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (up to 2x) until they hold >=1 clean rep, else graded_clean=false; best-of-clean graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag). skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}""")
+        f""""host_steal_pct":$stealPct%.2f,"steal_gate_pct":$StealGatePct"""
+    val fullPath = "/root/repo/BENCH_FULL.json"
+    val full = core +
+      f""","reps":{"2":${repsJson(l2)},"8":${repsJson(l8)},"32":${repsJson(l32)}},""" +
+      f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region",""" +
+      f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (up to 2x) until they hold >=1 clean rep, else graded_clean=false; best-of-clean graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag). skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}"""
+    Files.write(Paths.get(fullPath), full.getBytes("UTF-8"))
+    // stdout: close the extract object, then root-level full_record
+    println(core + f"""},"full_record":"$fullPath"}""")
   }
 }
