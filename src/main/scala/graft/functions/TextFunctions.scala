@@ -114,6 +114,15 @@ object TextFunctions {
     toColumn(BoundedCollectLongs(toExpression(c), limit).toAggregateExpression())
   }
 
+  /** k minimum DISTINCT bigints, ascending (native
+    * [[BottomKDistinctLongs]]) — the KMV cardinality sketch over a
+    * hash column: O(k) memory per group in every buffer, map-side
+    * combine, mergeable (union = merge, keep k smallest). */
+  def bottomKDistinct(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(BottomKDistinctLongs(toExpression(c), k).toAggregateExpression())
+  }
+
   /** 32-bit SimHash from per-token md5 prefixes. For each token the
     * first 8 hex chars of md5(token) supply 32 bits; each bit votes
     * +1/-1; the sketch bit is 1 iff the vote sum is positive. Integer

@@ -177,6 +177,54 @@ object Dedup {
     // list by contract (exact all-pairs output) — one row per shingle,
     // linear in df vs the d²/2 join rows the self-join form emits —
     // and surfaces its exposure through the max_df observation.
+    val kept = shingleMemberBuckets(sh, maxDf, maxDfObs)
+    val (inter, sizes) = pairIntersections(kept)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .withColumn("jaccard_pm",
+        floor(col("inter") * 1000L / (col("na") + col("nb") - col("inter"))).cast("long"))
+      .where(col("jaccard_pm") >= minPermille)
+      .select("a_id", "b_id", "jaccard_pm")
+  }
+
+  /** Exact n-gram CONTAINMENT pairs: containment of A in B is
+    * |A∩B| / |A| — the ASYMMETRIC near-dup signal symmetric Jaccard
+    * misses (a short document quoted wholesale inside a long one
+    * scores 1000 permille here but a low Jaccard, because the union is
+    * dominated by the long side). One output row per ordered pair
+    * (src contained in dst) at ≥ `minPermille`; same single
+    * shingle-aggregation plan and df-cap semantics as
+    * [[ngramJaccardPairs]] (the cap drops a shingle from BOTH sides,
+    * so containment stays exact over the surviving shingle sets). */
+  def ngramContainmentPairs(docs: DataFrame, shingleN: Int = 3,
+      minPermille: Int = 800, maxDf: Int = Int.MaxValue): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"),
+        explode(array_distinct(TF.shingles(col("text"), shingleN))).as("sh"))
+    val kept = shingleMemberBuckets(sh, maxDf, None)
+    val (inter, sizes) = pairIntersections(kept)
+    // each unordered intersection row unfolds into its two ordered
+    // containment directions (normalized by the SOURCE size)
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
+      .select(explode(array(
+        struct(col("a_id").as("src_id"), col("b_id").as("dst_id"),
+          floor(col("inter") * 1000L / col("na")).cast("long").as("containment_pm")),
+        struct(col("b_id").as("src_id"), col("a_id").as("dst_id"),
+          floor(col("inter") * 1000L / col("nb")).cast("long").as("containment_pm"))))
+        .as("r"))
+      .select(col("r.src_id").as("src_id"), col("r.dst_id").as("dst_id"),
+        col("r.containment_pm").as("containment_pm"))
+      .where(col("containment_pm") >= minPermille)
+  }
+
+  /** ONE hash aggregation per shingle carrying df + (bounded) member
+    * list — the shared subtree of the Jaccard/containment family; see
+    * [[ngramJaccardPairs]] for the plan rationale and history. */
+  private def shingleMemberBuckets(sh: DataFrame, maxDf: Int,
+      maxDfObs: Option[org.apache.spark.sql.Observation]): DataFrame = {
     val collected =
       if (maxDf == Int.MaxValue) collect_list(col("doc_id"))
       else TF.boundedCollectLongs(col("doc_id"), maxDf)
@@ -190,27 +238,25 @@ object Dedup {
       case Some(obs) => buckets0.observe(obs, max(col("df")).as("max_df"))
       case None => buckets0
     }
-    val kept = if (maxDf == Int.MaxValue) buckets else buckets.where(col("df") <= maxDf)
+    if (maxDf == Int.MaxValue) buckets else buckets.where(col("df") <= maxDf)
+  }
+
+  /** Pairwise shingle-intersection counts + per-doc surviving set
+    * sizes from the bucket aggregate. Pairs via two chained explodes
+    * of the member array (a < b keeps each unordered pair once) —
+    * GenerateExec is codegen'd, unlike the nested-transform HOF unfold
+    * (interpreted; measured ~2x slower at 5M pairs). */
+  private def pairIntersections(kept: DataFrame): (DataFrame, DataFrame) = {
     val sizes = kept
       .select(explode(col("ms")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // pairs via two chained explodes of the member array (a < b keeps
-    // each unordered pair once) — GenerateExec is codegen'd, unlike the
-    // nested-transform HOF unfold (interpreted; measured ~2x slower at
-    // 5M pairs)
     val inter = kept.where(col("df") >= 2)
       .select(col("ms"), explode(col("ms")).as("a"))
       .select(col("a"), explode(col("ms")).as("b"))
       .where(col("a") < col("b"))
       .groupBy(col("a").as("a_id"), col("b").as("b_id"))
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), "a_id")
-      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), "b_id")
-      .withColumn("jaccard_pm",
-        floor(col("inter") * 1000L / (col("na") + col("nb") - col("inter"))).cast("long"))
-      .where(col("jaccard_pm") >= minPermille)
-      .select("a_id", "b_id", "jaccard_pm")
+    (inter, sizes)
   }
 
   /** Per-doc 32-bit SimHash sketch plus near-dup pairs at Hamming

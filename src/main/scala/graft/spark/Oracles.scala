@@ -494,6 +494,23 @@ object Oracles {
          |WHERE floor(i * 1000 / (sa.n + sb.n - i)) >= 500
          |ORDER BY a_id, b_id""".stripMargin,
 
+    "dedup_containment" ->
+      s"""WITH $docsPlus, $sh3,
+         |shd AS (SELECT DISTINCT doc_id, sh FROM sh3),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY 1),
+         |inter AS (SELECT l.doc_id AS a_id, r.doc_id AS b_id, count(*) AS i
+         | FROM shd l JOIN shd r ON l.sh = r.sh AND l.doc_id < r.doc_id GROUP BY 1, 2),
+         |dirs AS (
+         | SELECT a_id AS src_id, b_id AS dst_id,
+         |  CAST(floor(i * 1000 / sa.n) AS BIGINT) AS containment_pm
+         | FROM inter JOIN sizes sa ON sa.doc_id = a_id
+         | UNION ALL
+         | SELECT b_id AS src_id, a_id AS dst_id,
+         |  CAST(floor(i * 1000 / sb.n) AS BIGINT) AS containment_pm
+         | FROM inter JOIN sizes sb ON sb.doc_id = b_id)
+         |SELECT src_id, dst_id, containment_pm FROM dirs
+         |WHERE containment_pm >= 800 ORDER BY src_id, dst_id""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH $docsPlus, ${simhashCte("docs_plus")},
          |blocks AS (
@@ -705,6 +722,29 @@ object Oracles {
         |    + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END)
         |   AS INTEGER) AS quality
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // KMV sketch twin: identical 52-bit md5-prefix hashes, identical
+    // bottom-64 set, identical integer estimate 63·2^52 // h_(64)
+    "text_distinct_kmv" -> {
+      val hex52 = (1 to 13).foldLeft("CAST(0 AS BIGINT)") { (acc, i) =>
+        s"($acc * 16 + (strpos('0123456789abcdef', substr(md5(t), $i, 1)) - 1))"
+      }
+      s"""WITH tok AS (SELECT doc_id % 8 AS bucket, unnest(string_split(text, ' ')) AS t
+         | FROM documents),
+         |hv AS (SELECT DISTINCT bucket, $hex52 AS hv FROM tok),
+         |cnt AS (SELECT bucket, count(*) AS m FROM hv GROUP BY 1),
+         |rk AS (SELECT bucket, hv, row_number() OVER (PARTITION BY bucket ORDER BY hv) AS rn
+         | FROM hv),
+         |kth AS (SELECT bucket, hv AS kth FROM rk WHERE rn = 64),
+         |ex AS (SELECT bucket, CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+         | FROM tok GROUP BY 1)
+         |SELECT c.bucket,
+         | CAST(CASE WHEN k.kth IS NULL THEN c.m
+         |      ELSE 283726776524341248 // k.kth END AS BIGINT) AS kmv_estimate,
+         | e.exact_distinct
+         |FROM cnt c LEFT JOIN kth k USING (bucket) JOIN ex e USING (bucket)
+         |ORDER BY c.bucket""".stripMargin
+    },
 
     "text_tfidf_top3" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),

@@ -445,6 +445,40 @@ object Queries {
     Dedup.ngramJaccardPairs(docsPlus(s, dir), shingleN = 3, minPermille = 500, maxDf = 10)
       .orderBy("a_id", "b_id")
 
+  /** Asymmetric CONTAINMENT pairs ≥ 0.8 over the near-duplicate
+    * testbed: the mutated copies (first token dropped) are ~fully
+    * contained in their originals — high containment, while the
+    * symmetric Jaccard of the same pairs can sit lower. One ordered
+    * row per direction. */
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(docsPlus(s, dir), shingleN = 3, minPermille = 800)
+      .orderBy("src_id", "dst_id")
+
+  /** KMV (bottom-k minimum values) DISTINCT-COUNT sketch vs the exact
+    * count, per doc_id-bucket: 64 smallest distinct 52-bit md5-prefix
+    * hashes of the tokens (native mergeable aggregate, O(k) memory in
+    * every buffer) → integer estimate floor(63·2^52 / h_(64)); the
+    * DuckDB twin recomputes the identical k values and estimate. The
+    * bounded-memory cardinality operator for 10^12-row groups — the
+    * exact column is here to make the accuracy visible, not part of
+    * the scale path. */
+  def textDistinctKmv(s: SparkSession, dir: String): DataFrame = {
+    val k = 64
+    val num = 63L * (1L << 52)
+    rd(s, dir, "documents")
+      .select((col("doc_id") % 8).as("bucket"), explode(split(col("text"), " ")).as("t"))
+      .select(col("bucket"), col("t"),
+        conv(substring(md5(col("t")), 1, 13), 16, 10).cast("long").as("hv"))
+      .groupBy("bucket")
+      .agg(TF.bottomKDistinct(col("hv"), k).as("kmv"),
+        countDistinct(col("t")).as("exact_distinct"))
+      .select(col("bucket"),
+        when(size(col("kmv")) < k, size(col("kmv")).cast("long"))
+          .otherwise(expr(s"$num div element_at(kmv, $k)")).as("kmv_estimate"),
+        col("exact_distinct"))
+      .orderBy("bucket")
+  }
+
   /** SimHash near-dup pairs (32-bit sketch, hamming ≤ 3, 8-bit block
     * index — no all-pairs join). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -907,6 +941,7 @@ object Queries {
     "dedup_minhash_star" -> (dedupMinhashStar _),
     "dedup_jaccard" -> (dedupJaccard _),
     "dedup_jaccard_capped" -> (dedupJaccardCapped _),
+    "dedup_containment" -> (dedupContainment _),
     "dedup_simhash" -> (dedupSimhash _),
     "dedup_simhash_star" -> (dedupSimhashStar _),
     "dedup_simhash64" -> (dedupSimhash64 _),
@@ -922,6 +957,7 @@ object Queries {
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "text_stats" -> (textStats _),
+    "text_distinct_kmv" -> (textDistinctKmv _),
     "text_tfidf_top3" -> (textTfidfTop3 _),
     "sample_stratified" -> (sampleStratified _),
     "text_tokens_fp" -> (textTokensFp _),

@@ -50,7 +50,10 @@ object ScaleProbe {
       "dedup_minhash_star" -> (d => Dedup.minhashLshStarPairs(d)),
       "dedup_jaccard_capped" -> (d => Dedup.ngramJaccardPairs(d, minPermille = 500, maxDf = 10)),
       "dedup_simhash_star" -> (d => Dedup.simhashStarPairs(d)),
-      "dedup_components" -> (d => Dedup.components(Dedup.minhashLshStarPairs(d))))
+      "dedup_components" -> (d => Dedup.components(Dedup.minhashLshStarPairs(d))),
+      "dedup_components_star" -> (d => Dedup.componentsStar(Dedup.minhashLshStarPairs(d))),
+      "dedup_containment_capped" ->
+        (d => Dedup.ngramContainmentPairs(d, minPermille = 800, maxDf = 10)))
 
     val results = ops.map { case (name, op) =>
       runPlan(op(scaled(1))) // warmup (codegen + JIT)

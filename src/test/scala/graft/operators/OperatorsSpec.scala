@@ -217,6 +217,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(capped == uncapped)
   }
 
+  test("ngramContainmentPairs: asymmetric permille containment, hand-computed") {
+    // A = "a b c d e f": shingles {abc,bcd,cde,def} (4)
+    // B = "x a b c d e f y": 6 shingles, superset of A's 4
+    // containment(A in B) = 4/4 = 1000; containment(B in A) = floor(4000/6) = 666
+    val pairs = Dedup.ngramContainmentPairs(
+      docs((1L, "a b c d e f"), (2L, "x a b c d e f y")), shingleN = 3, minPermille = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("containment_pm")).toMap
+    assert(pairs((1L, 2L)) == 1000L)
+    assert(pairs((2L, 1L)) == 666L)
+  }
+
+  test("bottomKDistinct: k smallest DISTINCT values ascending, across shuffled partials") {
+    val rnd = new scala.util.Random(5)
+    val values = Vector.fill(500)(rnd.nextInt(80).toLong) // heavy duplication
+    val got = values.toDF("v").repartition(8)
+      .agg(TF.bottomKDistinct($"v", 10).as("bk"))
+      .head().getSeq[Long](0).toList
+    assert(got == values.distinct.sorted.take(10).toList)
+    // fewer distinct than k: buffer IS the distinct set
+    val small = Seq(3L, 1L, 3L, 2L, 1L).toDF("v").repartition(3)
+      .agg(TF.bottomKDistinct($"v", 10).as("bk"))
+      .head().getSeq[Long](0).toList
+    assert(small == List(1L, 2L, 3L))
+  }
+
+  test("KMV estimate: within 25% of the exact distinct count on the documents tokens") {
+    val r = graft.spark.Queries.textDistinctKmv(spark, "/root/testdata/sf0.001").collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val est = row.getLong(1); val exact = row.getLong(2)
+      assert(est > 0 && exact > 0)
+      assert(math.abs(est - exact).toDouble / exact < 0.25,
+        s"bucket ${row.getLong(0)}: est=$est exact=$exact")
+    }
+  }
+
   test("uncapped jaccard surfaces hot-shingle exposure via the max_df observation") {
     val obs = new org.apache.spark.sql.Observation("jaccard-maxdf")
     val d = docs((1L, "a b c d"), (2L, "a b c e"), (3L, "a b c f"))
