@@ -134,6 +134,21 @@ class PlanSpec extends AnyFunSuite {
       s"df subtree lost its map-side partial aggregation:\n${plan.take(4000)}")
   }
 
+  test("containment: same scale shape as jaccard — hash-agg df subtree, no window") {
+    val plan = physical(Queries.dedupContainment(spark, sf))
+    assert(!plan.contains("Window"), s"window scale-killer in containment:\n${plan.take(4000)}")
+    assert(plan.contains("partial_count"),
+      s"df subtree lost its map-side partial aggregation:\n${plan.take(4000)}")
+  }
+
+  test("KMV sketch: bottom-k aggregate runs with map-side partials (mergeable sketch, O(k) buffers)") {
+    val plan = physical(Queries.textDistinctKmv(spark, sf))
+    assert(plan.contains("partial_bottom_k_distinct") ||
+      plan.contains("partial bottom_k_distinct") ||
+      (plan.contains("bottom_k_distinct") && plan.contains("Partial")),
+      s"bottom-k sketch lost its partial aggregation:\n${plan.take(4000)}")
+  }
+
   test("IVF: item→centroid assignment is a min_by aggregation (map-side combine), not an n×C window sort") {
     val plan = physical(Queries.simTopkIvf(spark, sf))
     assert(plan.contains("partial_min_by"),
