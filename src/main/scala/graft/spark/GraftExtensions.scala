@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayMinAgg, MinHashSigs, RollingFp, ShingleMd5s, TokenSimHash64, VectorDotQ}
+import graft.functions.{ArrayMinAgg, BottomKDistinctLongs, BoundedCollectLongs, MinHashSigs, RollingFp, ShingleMd5s, TokenSimHash64, VectorDotQ}
 
 /** SparkSessionExtensions installer for graft's native expressions —
   * the supported library integration point: set
@@ -43,5 +43,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_min_agg"),
       new ExpressionInfo(classOf[ArrayMinAgg].getName, "array_min_agg"),
       (exprs: Seq[Expression]) => ArrayMinAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_collect_longs"),
+      new ExpressionInfo(classOf[BoundedCollectLongs].getName, "bounded_collect_longs"),
+      (exprs: Seq[Expression]) => BoundedCollectLongs(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier("bottom_k_distinct"),
+      new ExpressionInfo(classOf[BottomKDistinctLongs].getName, "bottom_k_distinct"),
+      (exprs: Seq[Expression]) => BottomKDistinctLongs(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())))
   }
 }

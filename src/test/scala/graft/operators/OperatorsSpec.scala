@@ -345,6 +345,13 @@ class OperatorsSpec extends AnyFunSuite {
       assert(s2.sql(
         "SELECT array_min_agg(a) FROM VALUES (array('b', CAST(NULL AS STRING))), (array('c','a')) t(a)")
         .head().getSeq[String](0).toList == List("b", "a"))
+      // the round-4 aggregates are SQL-registered through the same extensions
+      assert(s2.sql(
+        "SELECT size(bounded_collect_longs(CAST(x AS BIGINT), 2)) FROM VALUES (3), (1), (2) t(x)")
+        .head().getInt(0) == 2)
+      assert(s2.sql(
+        "SELECT bottom_k_distinct(CAST(x AS BIGINT), 2) FROM VALUES (5), (1), (5), (3) t(x)")
+        .head().getSeq[Long](0).toList == List(1L, 3L))
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prev.foreach(SparkSession.setDefaultSession)
