@@ -410,26 +410,34 @@ object Dedup {
     * diameter labels exactly. At 10^12 edges use the same shape with
     * alternating large-star/small-star rounds (Kiveris et al., SoCC
     * 2014) to cut the round count to O(log n) — each round here IS the
-    * large-star primitive. Plan note: each round references the
+    * large-star primitive (the full alternation is implemented as
+    * [[componentsStar]]). Plan note: each round references the
     * previous labels twice (self ∪ propagated) — ReuseExchange
-    * collapses the duplicate subtrees within the one query, but a real
-    * deployment should persist/checkpoint labels between rounds so the
-    * lineage does not re-derive the edge generation per round.
+    * collapses the duplicate subtrees within the one query, so the
+    * default declarative form is right at moderate iteration counts
+    * and keeps the plan introspectable; set `checkpointRounds = true`
+    * for the production shape, which materializes edges once and
+    * labels per round (IDENTICAL values — only lineage changes) so a
+    * deep iteration count cannot re-derive the pair generation per
+    * round.
     *
     * Input: (a_id, b_id) pairs. Output: (doc_id, component) for every
     * doc appearing in any pair, component = min doc_id reachable
     * within `iterations` hops. */
-  def components(pairs: DataFrame, iterations: Int = 3): DataFrame = {
-    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
-      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+  def components(pairs: DataFrame, iterations: Int = 3,
+      checkpointRounds: Boolean = false): DataFrame = {
+    def ck(df: DataFrame): DataFrame =
+      if (checkpointRounds) df.localCheckpoint() else df
+    val edges = ck(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("component"))
     for (_ <- 0 until iterations) {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
-      labels = labels.unionAll(propagated)
-        .groupBy("id").agg(min("component").as("component"))
+      labels = ck(labels.unionAll(propagated)
+        .groupBy("id").agg(min("component").as("component")))
     }
     labels.select(col("id").as("doc_id"), col("component"))
   }

@@ -57,4 +57,30 @@ class OcrEngineSpec extends AnyFunSuite {
     // stdout on exit 0
     assert(TesseractEngine.exec(Seq("/bin/echo", "ocr text")) == Right("ocr text\n"))
   }
+
+  private def script(body: String): String = {
+    val p = java.nio.file.Files.createTempFile("fake-tess", ".sh")
+    java.nio.file.Files.write(p, s"#!/bin/sh\n$body\n".getBytes("UTF-8"))
+    p.toFile.setExecutable(true)
+    p.toString
+  }
+
+  test("exec: a child spamming >1MB of stderr cannot wedge the read (stderr-DISCARD pin)") {
+    // without Redirect.DISCARD the child blocks once the ~64KB stderr
+    // pipe fills and stdout never reaches EOF; with it this returns
+    // immediately — a regression here shows up as a 60s watchdog Left
+    val s = script(
+      """i=0
+        |while [ $i -lt 300 ]; do
+        |  head -c 4096 /dev/zero | tr '\0' 'e' 1>&2
+        |  i=$((i+1))
+        |done
+        |echo recognized""".stripMargin)
+    assert(TesseractEngine.exec(Seq(s)) == Right("recognized\n"))
+  }
+
+  test("exec: nonzero exit reports the code; stdout before the failure is not mistaken for OCR text") {
+    val s = script("echo partial\nexit 2")
+    assert(TesseractEngine.exec(Seq(s)) == Left("tesseract exited 2"))
+  }
 }

@@ -395,6 +395,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("components: checkpointRounds (production lineage truncation) yields IDENTICAL labels") {
+    val rnd = new scala.util.Random(31)
+    val edges = Vector.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).toDF("a_id", "b_id")
+    val plain = Dedup.components(edges, iterations = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ckpt = Dedup.components(edges, iterations = 5, checkpointRounds = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain == ckpt)
+  }
+
   test("componentsStar: equals brute-force union-find on seeded random graphs (alt-star rounds)") {
     for (seed <- Seq(7, 19, 23)) {
       val rnd = new scala.util.Random(seed)
