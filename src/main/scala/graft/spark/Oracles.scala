@@ -771,6 +771,40 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "text_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+        |ts AS (SELECT doc_id, max(c) AS max_tok, CAST(sum(c) AS BIGINT) AS n_tok,
+        |  count(*) AS n_dist
+        | FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2) GROUP BY 1),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |  range(0, greatest(len(string_split(text, ' ')) - 1, 0)),
+        |  i -> md5(array_to_string(string_split(text, ' ')[i+1:i+2], ' ')))) AS g
+        | FROM documents),
+        |gs AS (SELECT doc_id, max(c) AS max_g2, CAST(sum(c) AS BIGINT) AS n_g2
+        | FROM (SELECT doc_id, g, count(*) AS c FROM g GROUP BY 1, 2) GROUP BY 1)
+        |SELECT ts.doc_id,
+        | CAST(floor(max_tok * 1000 / n_tok) AS BIGINT) AS top_tok_pm,
+        | CAST(floor((n_tok - n_dist) * 1000 / n_tok) AS BIGINT) AS dup_tok_pm,
+        | CAST(coalesce(floor(max_g2 * 1000 / n_g2), 0) AS BIGINT) AS top_bigram_pm
+        |FROM ts LEFT JOIN gs ON ts.doc_id = gs.doc_id
+        |ORDER BY ts.doc_id""".stripMargin,
+
+    "text_redact_pii" ->
+      """WITH s AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |       || '@example.com or call +1-555-0'
+        |       || CAST(doc_id % 1000 AS VARCHAR) || ' now' AS t2
+        | FROM documents)
+        |SELECT doc_id,
+        | CAST(len(regexp_extract_all(t2,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,4}')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(t2,
+        |   '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS BIGINT) AS n_phones,
+        | md5(regexp_replace(regexp_replace(t2,
+        |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,4}', '<EMAIL>', 'g'),
+        |   '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_md5
+        |FROM s ORDER BY doc_id""".stripMargin,
+
     "text_tokens_fp" ->
       s"""SELECT doc_id,
          | CAST(len(regexp_extract_all(text, '${TextPatterns.Bpeish}')) AS BIGINT) AS bpe_tokens,

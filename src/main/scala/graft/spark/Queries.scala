@@ -690,6 +690,56 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** REPETITION signals (the Gopher-rules family, Rae et al. 2021,
+    * re-expressed integer-exact over token streams): per document the
+    * most-frequent-token share, the duplicate-token share and the
+    * most-frequent-bigram share, all in permille — the standard
+    * boilerplate/spam detectors a curation pipeline thresholds on.
+    * Shape at scale: two explode + hash-agg chains (map-side partials
+    * collapse a doc's repeated tokens before the shuffle), one join on
+    * doc_id. */
+  def textRepetition(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tstats = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_tok"),
+        sum(col("c")).as("n_tok"), count(lit(1)).as("n_dist"))
+    val g2 = docs.select(col("doc_id"), explode(TF.shingles(col("text"), 2)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max(col("c")).as("max_g2"), sum(col("c")).as("n_g2"))
+    tstats.join(g2, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        floor(col("max_tok") * 1000L / col("n_tok")).cast("long").as("top_tok_pm"),
+        floor((col("n_tok") - col("n_dist")) * 1000L / col("n_tok")).cast("long").as("dup_tok_pm"),
+        coalesce(floor(col("max_g2") * 1000L / col("n_g2")).cast("long"), lit(0L))
+          .as("top_bigram_pm"))
+      .orderBy("doc_id")
+  }
+
+  /** PII REDACTION: deterministic synthetic contact strings are spliced
+    * into each document (the testdata carries no PII), then email and
+    * phone patterns are counted and replaced — the scrubbing pass every
+    * training-data pipeline runs before anything leaves the raw zone.
+    * Regexes are kept to character classes + bounded quantifiers so the
+    * Java (Spark) and RE2 (DuckDB) engines agree exactly; emails are
+    * redacted BEFORE phones so digit runs inside addresses cannot
+    * double-match. Map-side only — no shuffle before the final order. */
+  def textRedactPii(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,4}"
+    val phone = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+    val spliced = concat(col("text"), lit(" contact user"),
+      col("doc_id").cast("string"), lit("@example.com or call +1-555-0"),
+      (col("doc_id") % 1000).cast("string"), lit(" now"))
+    rd(s, dir, "documents")
+      .select(col("doc_id"), spliced.as("t2"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t2"), lit(email), lit(0))).cast("long").as("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(phone), lit(0))).cast("long").as("n_phones"),
+        md5(regexp_replace(regexp_replace(col("t2"), email, "<EMAIL>"),
+          phone, "<PHONE>")).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   /** BPE-ish token counting + both fingerprint families: set-based md5
     * (order-invariant) and rolling hash (order-sensitive). */
   def textTokensFp(s: SparkSession, dir: String): DataFrame =
@@ -961,6 +1011,8 @@ object Queries {
     "text_tfidf_top3" -> (textTfidfTop3 _),
     "sample_stratified" -> (sampleStratified _),
     "text_tokens_fp" -> (textTokensFp _),
+    "text_repetition" -> (textRepetition _),
+    "text_redact_pii" -> (textRedactPii _),
     "text_langid" -> (textLangId _),
     "extract_spans" -> (extractSpans _),
     "extract_parity" -> (extractParity _),
