@@ -294,6 +294,23 @@ object Oracles {
         |SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS sessions, count(*) AS events
         |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // gaps-and-islands twin of session_window: break at gap >= 30min
+    // (strict-< merge: Spark's session windows are end-exclusive),
+    // session end = last event + gap
+    "q_events_session_windows" ->
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events),
+        |f AS (SELECT user_id, tms,
+        |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w >= 1800000
+        |       THEN 1 ELSE 0 END AS brk
+        | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+        |g AS (SELECT user_id, tms, sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
+        |SELECT user_id, CAST(min(tms) AS BIGINT) AS session_start_ms,
+        | CAST(max(tms) + 1800000 AS BIGINT) AS session_end_ms,
+        | count(*) AS events
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
+
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         | count(*) AS n,

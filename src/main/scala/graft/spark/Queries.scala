@@ -276,6 +276,25 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** Sessionization via Spark's native `session_window` (dynamic-gap
+    * merging windows — the same operator the streaming face uses in
+    * [[graft.streaming.ExtractStream.eventsSessions]]): one row per
+    * (user, session) with start/end/events. Merge rule pinned by the
+    * DuckDB gaps-and-islands twin: two events fuse iff their gap is
+    * STRICTLY below 30 minutes (window end is exclusive), and the
+    * session end is last-event + gap. Times emitted as epoch millis
+    * (exact integers in both engines). */
+  def qEventsSessionWindows(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"))
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("events"))
+      .orderBy("user_id", "session_start_ms")
+
   /** Hierarchical totals via ROLLUP (absent from the reference —
     * SURVEY.md §2.7 — present here for analytic completeness). */
   def qRollup(s: SparkSession, dir: String): DataFrame =
@@ -977,6 +996,7 @@ object Queries {
     "q_events_hourly" -> (qEventsHourly _),
     "q_events_hourly_late" -> (qEventsHourlyLate _),
     "q_events_sessions" -> (qEventsSessions _),
+    "q_events_session_windows" -> (qEventsSessionWindows _),
     "q_rollup" -> (qRollup _),
     "q_cube" -> (qCube _),
     "q_median" -> (qMedian _),

@@ -118,14 +118,42 @@ object ExtractStream {
     * (absent from the reference, which has no time semantics:
     * SURVEY.md §2.7). */
   def eventsHourly(spark: SparkSession, eventsDir: String): DataFrame = {
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", TimestampType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(eventsDir)
+    spark.readStream.schema(eventsSchema).parquet(eventsDir)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
   }
+
+  /** Event-time SESSIONIZATION: per-user dynamic-gap sessions via
+    * `session_window` — windows merge in the state store while events
+    * arrive (two events fuse iff their gap is STRICTLY under `gap`;
+    * end-exclusive), and the watermark finalizes a session once no
+    * mergeable event can still arrive. This is the streaming twin of
+    * the batch [[graft.spark.Queries.qEventsSessionWindows]] (same
+    * operator, oracle-pinned merge rule) — per-key state is one
+    * (start, end, count) per open session, so state is bounded by the
+    * number of OPEN sessions, not event history: the 10^12-event
+    * sessionization path. Append mode emits only watermark-sealed
+    * sessions; sessions still open when a bounded replay ends stay
+    * withheld (drive the watermark past them to flush — see the
+    * spec). */
+  def eventsSessions(spark: SparkSession, eventsDir: String,
+      gap: String = "30 minutes", delay: String = "1 hour",
+      maxFilesPerTrigger: Int = 64): DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(eventsDir)
+      .withWatermark("ts", delay)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("events"))
+      .select(col("user_id"),
+        unix_millis(col("session_window.start")).as("session_start_ms"),
+        unix_millis(col("session_window.end")).as("session_end_ms"),
+        col("events"))
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
 }

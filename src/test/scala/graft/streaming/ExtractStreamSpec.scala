@@ -158,4 +158,41 @@ class ExtractStreamSpec extends AnyFunSuite {
     val n = spark.sql("SELECT count(*) FROM evh").head().getLong(0)
     assert(n > 0, "no sealed windows emitted")
   }
+
+  test("streaming session_window sessions EQUAL the batch session-window query once flushed") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val src = tmp("sess-src")
+    // f1: the real events table; then two far-future sentinel batches
+    // (user -1) whose only job is to drive the watermark forward so
+    // every real session seals and appends (watermark advances at
+    // batch END; eviction happens the batch AFTER, hence two)
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    ev.coalesce(1).write.parquet(s"$src/f1")
+    val maxTs = ev.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    Thread.sleep(1100) // file source orders batches by mod time: real events FIRST
+    def sentinel(tag: String, plusHours: Int): Unit =
+      Seq((-1L, new java.sql.Timestamp(maxTs.getTime + plusHours * 3600000L), -1L,
+        "flush", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(s"$src/$tag")
+    sentinel("f2", 10)
+    Thread.sleep(50)
+    sentinel("f3", 20)
+    // glob: each f* subdir is one staged file-batch (file source does
+    // not recurse bare directories)
+    val q = ExtractStream.eventsSessions(spark, s"$src/f*", maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    // one file per micro-batch so the sentinels arrive as LATER batches
+    q.awaitTermination()
+    val got = spark.sql("SELECT * FROM sess WHERE user_id >= 0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val exp = graft.spark.Queries.qEventsSessionWindows(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == exp,
+      s"streaming sessions diverge from batch: missing=${(exp -- got).take(3)} extra=${(got -- exp).take(3)}")
+  }
 }
