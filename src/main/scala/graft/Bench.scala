@@ -335,7 +335,10 @@ object Bench {
         f""""wall_on_sec":${skew.wallOnSec}%.2f,"max_task_off_ms":${skew.maxTaskOffMs},""" +
         f""""max_task_on_ms":${skew.maxTaskOnMs},"listener_drained":${skew.drained}},""" +
         f""""host_steal_pct":$stealPct%.2f,"steal_gate_pct":$StealGatePct"""
-    val fullPath = "/root/repo/BENCH_FULL.json"
+    // cwd-relative (sbt runs from the repo root); overridable so a
+    // foreign checkout cannot lose a completed run at the write step
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      new java.io.File("BENCH_FULL.json").getAbsolutePath)
     val full = core +
       f""","reps":{"2":${repsJson(l2)},"8":${repsJson(l8)},"32":${repsJson(l32)}},""" +
       f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region",""" +

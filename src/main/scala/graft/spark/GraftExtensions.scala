@@ -15,6 +15,23 @@ import graft.functions.{ArrayMinAgg, BottomKDistinctLongs, BoundedCollectLongs, 
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  /** Validated integer-literal argument for the parameterized
+    * builders: a missing, non-foldable, null or non-positive arg must
+    * read as a clear resolution-time message, not a raw
+    * IndexOutOfBounds/NPE from `exprs(i).eval()`. */
+  private def intLit(fn: String, exprs: Seq[Expression], i: Int,
+      what: String, requirePositive: Boolean = true): Int = {
+    require(exprs.length > i,
+      s"$fn requires ${i + 1} arguments; $what (argument ${i + 1}) is missing")
+    val e = exprs(i)
+    require(e.foldable, s"$fn: $what must be an integer literal, got ${e.sql}")
+    val v = e.eval()
+    require(v != null, s"$fn: $what must not be null")
+    val n = v.asInstanceOf[Number].intValue()
+    require(!requirePositive || n > 0, s"$fn: $what must be positive, got $n")
+    n
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dot_q"),
@@ -28,13 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_md5s"),
       new ExpressionInfo(classOf[ShingleMd5s].getName, "shingle_md5s"),
       (exprs: Seq[Expression]) =>
-        ShingleMd5s(exprs.head, exprs(1).eval().asInstanceOf[Number].intValue())))
+        ShingleMd5s(exprs.head, intLit("shingle_md5s", exprs, 1, "the n-gram size"))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
       (exprs: Seq[Expression]) => MinHashSigs(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue(),
-        exprs(2).eval().asInstanceOf[Number].intValue())))
+        intLit("minhash_sigs", exprs, 1, "the shingle size"),
+        intLit("minhash_sigs", exprs, 2, "the hash count"))))
     ext.injectFunction((
       FunctionIdentifier("rolling_fp"),
       new ExpressionInfo(classOf[RollingFp].getName, "rolling_fp"),
@@ -47,11 +64,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bounded_collect_longs"),
       new ExpressionInfo(classOf[BoundedCollectLongs].getName, "bounded_collect_longs"),
       (exprs: Seq[Expression]) => BoundedCollectLongs(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+        intLit("bounded_collect_longs", exprs, 1, "the buffer limit"))))
     ext.injectFunction((
       FunctionIdentifier("bottom_k_distinct"),
       new ExpressionInfo(classOf[BottomKDistinctLongs].getName, "bottom_k_distinct"),
       (exprs: Seq[Expression]) => BottomKDistinctLongs(exprs.head,
-        exprs(1).eval().asInstanceOf[Number].intValue())))
+        intLit("bottom_k_distinct", exprs, 1, "k"))))
   }
 }

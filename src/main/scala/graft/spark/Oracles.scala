@@ -299,11 +299,12 @@ object Oracles {
     // session end = last event + gap
     "q_events_session_windows" ->
       """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms, event_id FROM events),
-        |f AS (SELECT user_id, tms,
+        |f AS (SELECT user_id, tms, event_id,
         |  CASE WHEN lag(tms) OVER w IS NULL OR tms - lag(tms) OVER w >= 1800000
         |       THEN 1 ELSE 0 END AS brk
         | FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
-        |g AS (SELECT user_id, tms, sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+        |g AS (SELECT user_id, tms, sum(brk) OVER (PARTITION BY user_id
+        |  ORDER BY tms, event_id
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid FROM f)
         |SELECT user_id, CAST(min(tms) AS BIGINT) AS session_start_ms,
         | CAST(max(tms) + 1800000 AS BIGINT) AS session_end_ms,

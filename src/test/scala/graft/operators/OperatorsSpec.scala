@@ -352,6 +352,16 @@ class OperatorsSpec extends AnyFunSuite {
       assert(s2.sql(
         "SELECT bottom_k_distinct(CAST(x AS BIGINT), 2) FROM VALUES (5), (1), (5), (3) t(x)")
         .head().getSeq[Long](0).toList == List(1L, 3L))
+      // malformed parameterized calls fail with a CLEAR message at
+      // resolution time, not a raw internal IndexOutOfBounds/NPE
+      val missing = intercept[Exception] {
+        s2.sql("SELECT bounded_collect_longs(CAST(x AS BIGINT)) FROM VALUES (1) t(x)").collect()
+      }
+      assert(missing.getMessage.contains("buffer limit"), missing.getMessage)
+      val nonLit = intercept[Exception] {
+        s2.sql("SELECT bottom_k_distinct(CAST(x AS BIGINT), x) FROM VALUES (1) t(x)").collect()
+      }
+      assert(nonLit.getMessage.contains("integer literal"), nonLit.getMessage)
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prev.foreach(SparkSession.setDefaultSession)
