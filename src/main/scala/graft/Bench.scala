@@ -279,9 +279,11 @@ object Bench {
       "q_events_hourly", "q_events_sessions", "dedup_exact", "dedup_minhash_lsh",
       "dedup_minhash_star", "dedup_jaccard", "dedup_jaccard_capped", "dedup_simhash",
       "dedup_simhash_star", "dedup_simhash64", "dedup_embedding", "dedup_embedding_star",
-      "dedup_components", "pipeline_clean_corpus", "sim_topk_brute", "sim_topk_lsh",
+      "dedup_components", "dedup_components_star", "dedup_containment",
+      "pipeline_clean_corpus", "sim_topk_brute", "sim_topk_lsh",
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans",
-      "text_stats", "text_langid", "pdfz_images")
+      "text_stats", "text_langid", "text_distinct_kmv", "text_repetition",
+      "q_events_session_windows", "pdfz_images")
     // SORT-PRESERVING action: executing the df's own physical plan keeps
     // each query's final global ORDER BY in the timed region (a plain
     // .count() re-plans and EliminateSorts drops the sort every real
