@@ -559,9 +559,12 @@ object Queries {
     * DuckDB twin replays the whole composition. */
   def pipelineCleanCorpus(s: SparkSession, dir: String): DataFrame = {
     val quality = docsPlus(s, dir).where(TF.qualityBucket(col("text")) >= 2)
+    // checkpointRounds: identical labels, but the star-pair generation
+    // materializes once instead of re-deriving per BSP round (measured
+    // 3.24 → 2.05 s on the components query alone at sf0.1)
     val comp = Dedup.components(
       Dedup.minhashLshStarPairs(quality, shingleN = 3, numHashes = 8, bands = 4),
-      iterations = 3)
+      iterations = 3, checkpointRounds = true)
     quality.join(comp, Seq("doc_id"), "left")
       .where(coalesce(col("component"), col("doc_id")) === col("doc_id"))
       .select(col("doc_id"))
@@ -574,7 +577,7 @@ object Queries {
   def dedupComponents(s: SparkSession, dir: String): DataFrame =
     Dedup.components(
         Dedup.minhashLshStarPairs(docsPlus(s, dir), shingleN = 3, numHashes = 8, bands = 4),
-        iterations = 3)
+        iterations = 3, checkpointRounds = true) // identical labels, edges derived once
       .orderBy("doc_id")
 
   /** Connected components via ALTERNATING LARGE-STAR/SMALL-STAR rounds
