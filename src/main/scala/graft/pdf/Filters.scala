@@ -219,7 +219,11 @@ object Filters {
     out.toByteArray
   }
 
-  /** Image filters we pass through as opaque payloads. */
+  /** Image filters passed through as opaque payloads at the STREAM
+    * layer (the image path decodes them itself: DCT via the JDK codec
+    * and CCITT G4 via the from-spec [[CcittFax]] decoder, see
+    * [[PdfImages.decode]]; JPX/JBIG2 remain genuinely opaque — the
+    * reference errors on them too, mod.rs:163-165). */
   val opaqueFilters: Set[String] = Set("DCTDecode", "DCT", "JPXDecode", "CCITTFaxDecode", "JBIG2Decode")
 
   /** Decode a stream's payload through its /Filter chain. `resolve`

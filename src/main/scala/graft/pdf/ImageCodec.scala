@@ -80,6 +80,57 @@ object ImageCodec {
   def encodeBmpRgb(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] =
     encodeRgb("bmp", w, h, rgb)
 
+  /** CCITT G4 (T.6) encode of a bilevel pattern via the JDK's TIFF
+    * writer, returning the RAW compressed strip bytes — fixture-side
+    * only (PDF `/CCITTFaxDecode` fixtures need real G4 payloads, and
+    * using the JDK as the encoder keeps our [[CcittFax]] decoder
+    * cross-validated against an independent codec). Single-strip by
+    * construction (small fixture sizes). */
+  def encodeCcittT6Bilevel(w: Int, h: Int, white: (Int, Int) => Boolean): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, if (white(x, y)) 0xffffff else 0); x += 1 }
+      y += 1
+    }
+    val wr = ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("CCITT T.6")
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    val b = bos.toByteArray
+    // minimal IFD walk: single strip (offset tag 273, count tag 279)
+    val be = b(0) == 'M'
+    def u16(o: Int) =
+      if (be) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    def u32(o: Int) =
+      if (be) ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      else ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    def scalar(entry: Int): Int = u16(entry + 2) match {
+      case 3 => u16(entry + 8)
+      case _ => u32(entry + 8)
+    }
+    val ifd = u32(4)
+    val n = u16(ifd)
+    var off = -1; var cnt = -1; var nStrips = 1
+    (0 until n).foreach { i =>
+      val e = ifd + 2 + i * 12
+      u16(e) match {
+        case 273 => nStrips = u32(e + 4); off = scalar(e)
+        case 279 => cnt = scalar(e)
+        case _ =>
+      }
+    }
+    require(nStrips == 1 && off >= 0 && cnt > 0, "expected one T.6 strip")
+    java.util.Arrays.copyOfRange(b, off, off + cnt)
+  }
+
   private def encodeRgb(fmt: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
     require(rgb.length == w * h * 3, "rgb buffer size")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)

@@ -235,6 +235,31 @@ object PdfBuilder {
     writeClassicXref(b)
   }
 
+  /** One page embedding a CCITT G4 (T.6) bilevel image XObject — the
+    * scanned-fax class the reference skips as "Unsupported filter"
+    * (mod.rs:163-165) and we decode from spec ([[CcittFax]]). Payload
+    * bytes come from the JDK's independent T.6 encoder. Pattern:
+    * white iff (x + 2y) % 4 != 0, 10×6. */
+  def withCcittImage(text: String = "fax doc"): Array[Byte] = {
+    val w = 10; val h = 6
+    val b = new Builder
+    b.raw("%PDF-1.7\n%âãÏÓ\n")
+    b.obj(1) { b.raw("<< /Type /Catalog /Pages 2 0 R >>") }
+    b.obj(2) { b.raw("<< /Type /Pages /Kids [4 0 R] /Count 1 /MediaBox [0 0 612 792] >>") }
+    b.obj(3) { b.raw("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") }
+    b.obj(4) {
+      b.raw("<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources " +
+        "<< /Font << /F1 3 0 R >> /XObject << /Im0 6 0 R >> >> >>")
+    }
+    val content = (tjLine(text) + " q 100 0 0 60 72 500 cm /Im0 Do Q").getBytes(ISO_8859_1)
+    b.streamObj(5, "", content)
+    val g4 = ImageCodec.encodeCcittT6Bilevel(w, h, (x, y) => (x + 2 * y) % 4 != 0)
+    b.streamObj(6, s"/Type /XObject /Subtype /Image /Width $w /Height $h " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /CCITTFaxDecode " +
+      s"/DecodeParms << /K -1 /Columns $w /Rows $h >>", g4)
+    writeClassicXref(b)
+  }
+
   /** Truncated-xref document for the fail-soft path. */
   def corrupt(): Array[Byte] = {
     val good = simple(Seq(tjLine("doomed")))

@@ -68,6 +68,43 @@ object PdfImages {
         }
       case "" =>
         rgbaFromRaw(s.raw, w, h, cs).map(rgba => (w, h, "png", encodePng(w, h, rgba)))
+      case "CCITTFaxDecode" =>
+        // EXTENSION (the reference's "Unsupported filter" errors here,
+        // mod.rs:163-165): decode scanned-fax bilevel images with the
+        // from-spec T.6 decoder — K < 0 (pure 2-D) only, the variant
+        // scanner pipelines emit; K >= 0 (G3 1-D/mixed) stays fail-soft
+        val parms = doc.dictGet(s.dict, "DecodeParms") match {
+          case d: PDict => d
+          case PArr(items) if items.nonEmpty =>
+            doc.resolve(items.head) match { case d: PDict => d; case _ => PDict(Map.empty) }
+          case _ => PDict(Map.empty)
+        }
+        def pInt(key: String, dflt: Long): Long =
+          doc.dictGet(parms, key).asInt.getOrElse(dflt)
+        val k = pInt("K", 0)
+        if (k >= 0) Left(s"unsupported CCITT K=$k (only pure T.6 K<0)")
+        else {
+          val cols = pInt("Columns", 1728).toInt
+          val rws = pInt("Rows", h.toLong).toInt
+          val blackIs1 = doc.dictGet(parms, "BlackIs1") match {
+            case PBool(v) => v
+            case _ => false
+          }
+          try {
+            val gray = CcittFax.decodeG4(s.raw, cols, rws, blackIs1)
+            val out = new Array[Byte](cols * rws * 4)
+            var i = 0
+            while (i < cols * rws) {
+              val g = gray(i)
+              out(i * 4) = g; out(i * 4 + 1) = g; out(i * 4 + 2) = g
+              out(i * 4 + 3) = -1
+              i += 1
+            }
+            Right((cols, rws, "png", encodePng(cols, rws, out)))
+          } catch {
+            case e: CcittFax.CcittException => Left(e.getMessage)
+          }
+        }
       case other => Left(s"unsupported filter $other") // mod.rs:165
     }
   }

@@ -1,0 +1,149 @@
+package graft.pdf
+
+import java.awt.image.BufferedImage
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CCITT G4 decoder cross-validated against an INDEPENDENT codec: the
+  * JDK's TIFF writer compresses bilevel images with CCITT T.6, a
+  * minimal IFD parser pulls the raw strips back out, and
+  * [[CcittFax.decodeG4]] must reproduce the exact pixels. A wrong
+  * entry anywhere in the run-length tables or mode logic shows up as
+  * a pixel diff (the 2600-wide sweep exercises the long makeup
+  * codes). */
+class CcittFaxSpec extends AnyFunSuite {
+
+  System.setProperty("java.awt.headless", "true")
+
+  /** (width, height, strips as (bytes, rowsInStrip)). */
+  private def t6Strips(img: BufferedImage): (Int, Int, Vector[(Array[Byte], Int)]) = {
+    val wr = ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionType("CCITT T.6")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new IIOImage(img, null, null), p)
+    ios.close(); wr.dispose()
+    val b = bos.toByteArray
+    val be = b(0) == 'M' // MM = big-endian
+    def u16(o: Int) =
+      if (be) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+      else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    def u32(o: Int) =
+      if (be) ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      else ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
+    val ifd = u32(4)
+    val n = u16(ifd)
+    var width = -1; var height = -1; var rowsPerStrip = Int.MaxValue
+    var offs = Vector.empty[Int]; var counts = Vector.empty[Int]
+    var compression = -1; var fillOrder = 1
+    def values(entry: Int): Vector[Int] = {
+      val typ = u16(entry + 2); val cnt = u32(entry + 4)
+      val sz = typ match { case 1 => 1; case 3 => 2; case 4 => 4; case _ => fail(s"tiff type $typ") }
+      val base = if (cnt * sz <= 4) entry + 8 else u32(entry + 8)
+      (0 until cnt).toVector.map { i =>
+        sz match { case 1 => b(base + i) & 0xff; case 2 => u16(base + i * 2); case 4 => u32(base + i * 4) }
+      }
+    }
+    (0 until n).foreach { i =>
+      val e = ifd + 2 + i * 12
+      u16(e) match {
+        case 256 => width = values(e).head
+        case 257 => height = values(e).head
+        case 259 => compression = values(e).head
+        case 266 => fillOrder = values(e).head
+        case 273 => offs = values(e)
+        case 278 => rowsPerStrip = values(e).head
+        case 279 => counts = values(e)
+        case _ =>
+      }
+    }
+    assert(compression == 4, s"expected T.6 compression, got $compression")
+    assert(fillOrder == 1, "MSB fill order expected")
+    val strips = offs.zip(counts).zipWithIndex.map { case ((o, c), i) =>
+      val rows = math.min(rowsPerStrip, height - i * rowsPerStrip)
+      (java.util.Arrays.copyOfRange(b, o, o + c), rows)
+    }
+    (width, height, strips)
+  }
+
+  /** Decode the TIFF's T.6 strips with OUR decoder and compare every
+    * pixel against the source image. */
+  private def crossCheck(img: BufferedImage): Unit = {
+    val (w, h, strips) = t6Strips(img)
+    assert(w == img.getWidth && h == img.getHeight)
+    var y0 = 0
+    strips.foreach { case (bytes, rows) =>
+      val gray = CcittFax.decodeG4(bytes, w, rows)
+      (0 until rows).foreach { dy =>
+        (0 until w).foreach { x =>
+          val mine = (gray(dy * w + x) & 0xff) == 0xff // white
+          val src = (img.getRGB(x, y0 + dy) & 0xffffff) == 0xffffff
+          assert(mine == src, s"pixel ($x, ${y0 + dy}) mismatch")
+        }
+      }
+      y0 += rows
+    }
+  }
+
+  private def bilevel(w: Int, h: Int)(white: (Int, Int) => Boolean): BufferedImage = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, if (white(x, y)) 0xffffff else 0)))
+    img
+  }
+
+  test("G4 decode matches the JDK codec: structured patterns (all modes)") {
+    crossCheck(bilevel(16, 8)((x, y) => (x / 3 + y) % 2 == 0)) // diagonal stripes: V modes
+    crossCheck(bilevel(40, 12)((_, _) => true)) // all white
+    crossCheck(bilevel(40, 12)((_, _) => false)) // all black
+    crossCheck(bilevel(33, 9)((x, y) => x == y * 3)) // isolated pixels: H modes
+    crossCheck(bilevel(64, 16)((x, y) => (x ^ y) % 5 < 2)) // busy texture: pass modes
+  }
+
+  test("G4 decode matches the JDK codec: seeded random bitmaps") {
+    for (seed <- Seq(1, 2, 3)) {
+      val rnd = new scala.util.Random(seed)
+      crossCheck(bilevel(57 + seed * 13, 21)((_, _) => rnd.nextInt(3) > 0))
+    }
+  }
+
+  test("G4 decode matches the JDK codec: 2600-wide run sweep (long makeup codes)") {
+    // rows of random-length runs spanning the full makeup range, plus
+    // near-full-width runs that force 2560-class makeups
+    val w = 2600
+    val rnd = new scala.util.Random(7)
+    val rows = Vector(
+      Vector(2590, 10), // 2560-makeup white run
+      Vector(3, 2565, 32), // 2560-class black run
+      Vector.fill(40)(1 + rnd.nextInt(130)), // mixed short/medium runs
+      Vector(1300, 1300), // exact halves
+      Vector.fill(8)(325)) // repeated medium runs
+    val img = new BufferedImage(w, rows.length, BufferedImage.TYPE_BYTE_BINARY)
+    rows.zipWithIndex.foreach { case (runs, y) =>
+      var x = 0; var white = true
+      runs.foreach { r =>
+        (0 until r).foreach { i =>
+          if (x + i < w) img.setRGB(x + i, y, if (white) 0xffffff else 0)
+        }
+        x += r; white = !white
+      }
+      while (x < w) { img.setRGB(x, y, if (white) 0xffffff else 0); x += 1 }
+    }
+    crossCheck(img)
+  }
+
+  test("hand pin: tiny known bitstream decodes deterministically") {
+    // decode-twice determinism + fail-soft on garbage
+    val img = bilevel(8, 4)((x, _) => x < 4)
+    val (_, _, strips) = t6Strips(img)
+    val a = CcittFax.decodeG4(strips.head._1, 8, strips.head._2)
+    val b = CcittFax.decodeG4(strips.head._1, 8, strips.head._2)
+    assert(a.toSeq == b.toSeq)
+    intercept[CcittFax.CcittException] {
+      CcittFax.decodeG4(Array[Byte](0, 0, 0, 0), 16, 4)
+    }
+  }
+}

@@ -200,4 +200,21 @@ class PdfImagesSpec extends AnyFunSuite {
       assert((rgba(i * 4) & 0xff, rgba(i * 4 + 1) & 0xff, rgba(i * 4 + 2) & 0xff) == (0, 0, 255))
     }
   }
+
+  test("CCITTFaxDecode (G4): real from-spec decode of a scanned-fax XObject (reference errors here)") {
+    val ims = PdfImages.documentImages("faxdoc", PdfBuilder.withCcittImage())
+    assert(ims.map(_.name) == Vector("faxdoc_1_0.png"))
+    val im = ims.head
+    assert(im.format == "png" && im.width == 10 && im.height == 6)
+    val (w, h, rgba) = PdfImages.decodePng(im.bytes).get
+    assert(w == 10 && h == 6)
+    (0 until h).foreach { y =>
+      (0 until w).foreach { x =>
+        val g = rgba((y * w + x) * 4) & 0xff
+        val expectWhite = (x + 2 * y) % 4 != 0
+        assert((g == 0xff) == expectWhite, s"pixel ($x,$y)")
+        assert(g == 0xff || g == 0, "bilevel output")
+      }
+    }
+  }
 }
