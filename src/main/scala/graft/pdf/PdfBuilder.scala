@@ -240,8 +240,13 @@ object PdfBuilder {
     * (mod.rs:163-165) and we decode from spec ([[CcittFax]]). Payload
     * bytes come from the JDK's independent T.6 encoder. Pattern:
     * white iff (x + 2y) % 4 != 0, 10×6. */
-  def withCcittImage(text: String = "fax doc"): Array[Byte] = {
-    val w = 10; val h = 6
+  def withCcittImage(text: String = "fax doc"): Array[Byte] =
+    withCcittImagePattern(10, 6, (x, y) => (x + 2 * y) % 4 != 0, text)
+
+  /** [[withCcittImage]] with caller-supplied dims/pattern — the
+    * parameterized fixture behind the `pdfz_images_fax` oracle query. */
+  def withCcittImagePattern(w: Int, h: Int, white: (Int, Int) => Boolean,
+      text: String = "fax doc"): Array[Byte] = {
     val b = new Builder
     b.raw("%PDF-1.7\n%âãÏÓ\n")
     b.obj(1) { b.raw("<< /Type /Catalog /Pages 2 0 R >>") }
@@ -253,7 +258,7 @@ object PdfBuilder {
     }
     val content = (tjLine(text) + " q 100 0 0 60 72 500 cm /Im0 Do Q").getBytes(ISO_8859_1)
     b.streamObj(5, "", content)
-    val g4 = ImageCodec.encodeCcittT6Bilevel(w, h, (x, y) => (x + 2 * y) % 4 != 0)
+    val g4 = ImageCodec.encodeCcittT6Bilevel(w, h, white)
     b.streamObj(6, s"/Type /XObject /Subtype /Image /Width $w /Height $h " +
       "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /CCITTFaxDecode " +
       s"/DecodeParms << /K -1 /Columns $w /Rows $h >>", g4)

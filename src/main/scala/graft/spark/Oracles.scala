@@ -218,6 +218,20 @@ object Oracles {
         |WHERE i % 10 BETWEEN 4 AND 8 AND i % 4 = 1
         |ORDER BY doc_id, media_ref""".stripMargin,
 
+    // CCITT G4 pin: dims + black-pixel count of the deterministic fax
+    // pattern, recomputed analytically (max extent 12x8 cross-joined,
+    // filtered per image — range() takes no lateral column refs)
+    "pdfz_images_fax" ->
+      """WITH imgs AS (SELECT i AS id, CAST(8 + i % 5 AS INTEGER) AS w,
+        |  CAST(6 + i % 3 AS INTEGER) AS h FROM range(20) t(i)),
+        |px AS (SELECT id,
+        |  CAST(sum(CASE WHEN (xs.x + 2*ys.y + id) % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS black
+        | FROM imgs, range(12) xs(x), range(8) ys(y)
+        | WHERE xs.x < w AND ys.y < h GROUP BY id)
+        |SELECT imgs.id, printf('fax%04d_1_0.png', imgs.id) AS media_ref,
+        | w AS width, h AS height, px.black AS black_px
+        |FROM imgs JOIN px USING (id) ORDER BY imgs.id""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

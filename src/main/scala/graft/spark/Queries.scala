@@ -143,6 +143,32 @@ object Queries {
       .orderBy("doc_id", "media_ref")
   }
 
+  /** CCITT G4 fax decode, ORACLE-pinned: 20 deterministic scanned-fax
+    * PDFs (pattern white iff (x + 2y + id) mod 4 ≠ 0, per-id dims) are
+    * built in-query, their `/CCITTFaxDecode` XObjects decoded by the
+    * from-spec [[graft.pdf.CcittFax]] T.6 decoder (payload bytes come
+    * from the JDK's INDEPENDENT T.6 encoder), and the DuckDB twin
+    * recomputes dims + the black-pixel count analytically from the
+    * same formula — a wrong run-table entry or mode bug flips the
+    * count. The reference errors "Unsupported filter" on this entire
+    * image class (mod.rs:163-165). */
+  def pdfzImagesFax(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(20).repartition(4).flatMap { id =>
+      val w = 8 + (id % 5).toInt
+      val h = 6 + (id % 3).toInt
+      val pdf = graft.pdf.PdfBuilder.withCcittImagePattern(w, h,
+        (x, y) => (x + 2 * y + id) % 4 != 0)
+      graft.pdf.PdfImages.documentImages(f"fax$id%04d", pdf).map { im =>
+        val (pw, ph, rgba) = graft.pdf.PdfImages.decodePng(im.bytes).get
+        val black = (0 until pw * ph).count(i => (rgba(i * 4) & 0xff) == 0)
+        (id, im.name, im.width, im.height, black.toLong)
+      }
+    }
+    .toDF("id", "media_ref", "width", "height", "black_px")
+    .orderBy("id")
+  }
+
   /** S8 analog: point lookup of one document's content (`GET
     * /content/:id`) — partition-prunable scan, no shuffle. */
   def pdfzPointLookup(s: SparkSession, dir: String): DataFrame = {
@@ -992,6 +1018,7 @@ object Queries {
     "pdfz_dispatch" -> (pdfzDispatch _),
     "pdfz_point_lookup" -> (pdfzPointLookup _),
     "pdfz_images" -> (pdfzImages _),
+    "pdfz_images_fax" -> (pdfzImagesFax _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenue _),
