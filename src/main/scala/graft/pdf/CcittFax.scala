@@ -47,6 +47,7 @@ object CcittFax {
       v
     }
     def skip(n: Int): Unit = pos += n
+    def alignToByte(): Unit = pos = (pos + 7) & ~7
   }
 
   // ---- T.4 modified-Huffman run-length tables --------------------------
@@ -153,6 +154,105 @@ object CcittFax {
     total
   }
 
+  /** One 2-D-coded line (the T.6 line coder, also T.4's 2-D lines)
+    * against reference transitions `ref`; transitions land in `cur`,
+    * returns their count. */
+  private def decode2DLine(br: BitReader, ref: Array[Int], cur: Array[Int],
+      columns: Int, row: Int): Int = {
+    var nCur = 0
+    var a0 = -1
+    var white = true
+    while (a0 < columns) {
+      // b1: first ref transition > a0 changing AWAY from our color
+      // (white run -> need a white->black change = even index)
+      var i = 0
+      while (ref(i) <= a0) i += 1
+      if ((i % 2 == 0) != white) i += 1
+      val b1 = if (i < ref.length) ref(i) else columns
+      val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
+
+      val p7 = br.peek(7)
+      if ((p7 >> 6) == 1) { // 1xxxxxx: V0
+        br.skip(1)
+        cur(nCur) = b1; nCur += 1
+        a0 = b1; white = !white
+      } else if ((p7 >> 4) == 3) { // 011: VR1
+        br.skip(3)
+        cur(nCur) = math.min(b1 + 1, columns); nCur += 1
+        a0 = b1 + 1; white = !white
+      } else if ((p7 >> 4) == 2) { // 010: VL1
+        br.skip(3)
+        cur(nCur) = math.max(b1 - 1, 0); nCur += 1
+        a0 = b1 - 1; white = !white
+      } else if ((p7 >> 4) == 1) { // 001: horizontal
+        br.skip(3)
+        val s = math.max(a0, 0)
+        val r1 = readRun(br, white)
+        val r2 = readRun(br, !white)
+        cur(nCur) = math.min(s + r1, columns); nCur += 1
+        cur(nCur) = math.min(s + r1 + r2, columns); nCur += 1
+        a0 = s + r1 + r2 // color unchanged: two full runs consumed
+      } else if ((p7 >> 3) == 1) { // 0001: pass
+        br.skip(4)
+        a0 = b2 // run continues through b2, no transition recorded
+      } else if ((p7 >> 1) == 3) { // 000011: VR2
+        br.skip(6)
+        cur(nCur) = math.min(b1 + 2, columns); nCur += 1
+        a0 = b1 + 2; white = !white
+      } else if ((p7 >> 1) == 2) { // 000010: VL2
+        br.skip(6)
+        cur(nCur) = math.max(b1 - 2, 0); nCur += 1
+        a0 = b1 - 2; white = !white
+      } else if (p7 == 3) { // 0000011: VR3
+        br.skip(7)
+        cur(nCur) = math.min(b1 + 3, columns); nCur += 1
+        a0 = b1 + 3; white = !white
+      } else if (p7 == 2) { // 0000010: VL3
+        br.skip(7)
+        cur(nCur) = math.max(b1 - 3, 0); nCur += 1
+        a0 = b1 - 3; white = !white
+      } else {
+        // 0000000x: EOFB/EOL region mid-line = truncated data
+        throw new CcittException(s"CCITT: unexpected EOL/EOFB at row $row")
+      }
+    }
+    nCur
+  }
+
+  /** One 1-D MH-coded line (alternating white/black run lengths,
+    * starting white); transitions land in `cur`, returns their count. */
+  private def decode1DLine(br: BitReader, cur: Array[Int], columns: Int): Int = {
+    var nCur = 0
+    var x = 0
+    var white = true
+    while (x < columns) {
+      x += readRun(br, white)
+      cur(nCur) = math.min(x, columns); nCur += 1
+      white = !white
+    }
+    nCur
+  }
+
+  private def renderRow(out: Array[Byte], row: Int, columns: Int,
+      cur: Array[Int], nCur: Int, whiteByte: Byte, blackByte: Byte): Unit = {
+    var x = 0
+    var c = whiteByte
+    var t = 0
+    while (x < columns) {
+      val next = if (t < nCur) math.min(cur(t), columns) else columns
+      java.util.Arrays.fill(out, row * columns + x, row * columns + next, c)
+      x = next
+      c = if (c == whiteByte) blackByte else whiteByte
+      t += 1
+    }
+  }
+
+  private def withSentinels(cur: Array[Int], nCur: Int, columns: Int): Array[Int] = {
+    val ref = java.util.Arrays.copyOf(cur, nCur + 4)
+    java.util.Arrays.fill(ref, nCur, nCur + 4, columns)
+    ref
+  }
+
   /** Decode a K<0 (pure T.6) stream to one gray byte per pixel:
     * CCITT-black → 0x00, white → 0xff (flip with `blackIs1 = true`,
     * the /DecodeParms bit-convention toggle). */
@@ -168,80 +268,60 @@ object CcittFax {
     // starts white), padded with `columns` sentinels
     var ref = Array(columns, columns, columns, columns)
     val cur = new Array[Int](columns + 4)
-
     var row = 0
     while (row < rows) {
-      var nCur = 0
-      var a0 = -1
-      var white = true
-      while (a0 < columns) {
-        // b1: first ref transition > a0 changing AWAY from our color
-        // (white run -> need a white->black change = even index)
-        var i = 0
-        while (ref(i) <= a0) i += 1
-        if ((i % 2 == 0) != white) i += 1
-        val b1 = if (i < ref.length) ref(i) else columns
-        val b2 = if (i + 1 < ref.length) ref(i + 1) else columns
+      val nCur = decode2DLine(br, ref, cur, columns, row)
+      renderRow(out, row, columns, cur, nCur, whiteByte, blackByte)
+      ref = withSentinels(cur, nCur, columns)
+      row += 1
+    }
+    out
+  }
 
-        val p7 = br.peek(7)
-        if ((p7 >> 6) == 1) { // 1xxxxxx: V0
-          br.skip(1)
-          cur(nCur) = b1; nCur += 1
-          a0 = b1; white = !white
-        } else if ((p7 >> 4) == 3) { // 011: VR1
-          br.skip(3)
-          cur(nCur) = math.min(b1 + 1, columns); nCur += 1
-          a0 = b1 + 1; white = !white
-        } else if ((p7 >> 4) == 2) { // 010: VL1
-          br.skip(3)
-          cur(nCur) = math.max(b1 - 1, 0); nCur += 1
-          a0 = b1 - 1; white = !white
-        } else if ((p7 >> 4) == 1) { // 001: horizontal
-          br.skip(3)
-          val s = math.max(a0, 0)
-          val r1 = readRun(br, white)
-          val r2 = readRun(br, !white)
-          cur(nCur) = math.min(s + r1, columns); nCur += 1
-          cur(nCur) = math.min(s + r1 + r2, columns); nCur += 1
-          a0 = s + r1 + r2 // color unchanged: two full runs consumed
-        } else if ((p7 >> 3) == 1) { // 0001: pass
-          br.skip(4)
-          a0 = b2 // run continues through b2, no transition recorded
-        } else if ((p7 >> 1) == 3) { // 000011: VR2
-          br.skip(6)
-          cur(nCur) = math.min(b1 + 2, columns); nCur += 1
-          a0 = b1 + 2; white = !white
-        } else if ((p7 >> 1) == 2) { // 000010: VL2
-          br.skip(6)
-          cur(nCur) = math.max(b1 - 2, 0); nCur += 1
-          a0 = b1 - 2; white = !white
-        } else if (p7 == 3) { // 0000011: VR3
-          br.skip(7)
-          cur(nCur) = math.min(b1 + 3, columns); nCur += 1
-          a0 = b1 + 3; white = !white
-        } else if (p7 == 2) { // 0000010: VL3
-          br.skip(7)
-          cur(nCur) = math.max(b1 - 3, 0); nCur += 1
-          a0 = b1 - 3; white = !white
-        } else {
-          // 0000000x: EOFB/EOL region mid-image = truncated data
-          throw new CcittException(s"CCITT: unexpected EOL/EOFB at row $row")
-        }
+  /** Decode a K>=0 Group 3 stream (ITU-T T.4): `twoD = false` is pure
+    * 1-D MH (PDF `K = 0`); `twoD = true` is the mixed mode (PDF
+    * `K > 0`, ≡ TIFF compression 3 with the 2-D T4Option): every line
+    * is preceded by an EOL whose trailing tag bit says whether the
+    * line is 1-D or 2-D-coded against the previous line. EOL markers
+    * and fill zeros are tolerated (and for 1-D, optional — PDF's
+    * default `/EndOfLine false` emits none); `byteAlign` ≡ PDF
+    * `/EncodedByteAlign` (and TIFF "CCITT RLE" row alignment). */
+  def decodeG3(data: Array[Byte], columns: Int, rows: Int,
+      blackIs1: Boolean = false, twoD: Boolean = false,
+      byteAlign: Boolean = false): Array[Byte] = {
+    require(columns > 0 && rows > 0, "CCITT dims")
+    val br = new BitReader(data)
+    val out = new Array[Byte](columns * rows)
+    val blackByte: Byte = if (blackIs1) -1 else 0
+    val whiteByte: Byte = if (blackIs1) 0 else -1
+    var ref = Array(columns, columns, columns, columns)
+    val cur = new Array[Int](columns + 4)
+    var row = 0
+    while (row < rows) {
+      if (byteAlign) br.alignToByte()
+      // consume fill zeros + EOL(s); remember the tag bit after the
+      // last EOL in 2-D mode (1 = 1-D line, 0 = 2-D line)
+      var oneD = !twoD
+      var sawEol = false
+      var scanning = true
+      while (scanning) {
+        if (br.bitsLeft >= 12 && br.peek(12) == 1) {
+          br.skip(12); sawEol = true
+          if (twoD) {
+            if (br.bitsLeft < 1) throw new CcittException("CCITT: EOL tag truncated")
+            oneD = br.read() == 1
+          }
+        } else if (br.bitsLeft >= 12 && br.peek(12) == 0) {
+          br.skip(1) // fill zero before an EOL
+        } else scanning = false
       }
-      // render the row from its transitions
-      var x = 0
-      var c = whiteByte
-      var t = 0
-      while (x < columns) {
-        val next = if (t < nCur) math.min(cur(t), columns) else columns
-        java.util.Arrays.fill(out, row * columns + x, row * columns + next, c)
-        x = next
-        c = if (c == whiteByte) blackByte else whiteByte
-        t += 1
-      }
-      // current row becomes the reference, with sentinels
-      ref = java.util.Arrays.copyOf(cur, nCur + 4)
-      java.util.Arrays.fill(ref, nCur, nCur + 4, columns)
+      if (twoD && !sawEol)
+        throw new CcittException(s"CCITT: missing EOL before 2-D-mode row $row")
+      val nCur =
+        if (oneD) decode1DLine(br, cur, columns)
+        else decode2DLine(br, ref, cur, columns, row)
+      renderRow(out, row, columns, cur, nCur, whiteByte, blackByte)
+      ref = withSentinels(cur, nCur, columns)
       row += 1
     }
     out

@@ -86,7 +86,16 @@ object ImageCodec {
     * using the JDK as the encoder keeps our [[CcittFax]] decoder
     * cross-validated against an independent codec). Single-strip by
     * construction (small fixture sizes). */
-  def encodeCcittT6Bilevel(w: Int, h: Int, white: (Int, Int) => Boolean): Array[Byte] = {
+  def encodeCcittT6Bilevel(w: Int, h: Int, white: (Int, Int) => Boolean): Array[Byte] =
+    encodeCcittBilevel("CCITT T.6", w, h, white)
+
+  /** CCITT 1-D MH (TIFF "CCITT RLE": byte-aligned rows, no EOLs — the
+    * PDF `/K 0` + `/EncodedByteAlign true` payload shape). */
+  def encodeCcittRleBilevel(w: Int, h: Int, white: (Int, Int) => Boolean): Array[Byte] =
+    encodeCcittBilevel("CCITT RLE", w, h, white)
+
+  private def encodeCcittBilevel(typ: String, w: Int, h: Int,
+      white: (Int, Int) => Boolean): Array[Byte] = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_BINARY)
     var y = 0
     while (y < h) {
@@ -97,7 +106,7 @@ object ImageCodec {
     val wr = ImageIO.getImageWritersByFormatName("tiff").next()
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionType("CCITT T.6")
+    p.setCompressionType(typ)
     val bos = new ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     wr.setOutput(ios)

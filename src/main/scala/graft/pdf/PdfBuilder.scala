@@ -244,9 +244,11 @@ object PdfBuilder {
     withCcittImagePattern(10, 6, (x, y) => (x + 2 * y) % 4 != 0, text)
 
   /** [[withCcittImage]] with caller-supplied dims/pattern — the
-    * parameterized fixture behind the `pdfz_images_fax` oracle query. */
+    * parameterized fixture behind the `pdfz_images_fax` oracle query.
+    * `k = -1` embeds a pure-T.6 payload; `k = 0` a byte-aligned 1-D MH
+    * payload (both from the JDK's independent CCITT encoders). */
   def withCcittImagePattern(w: Int, h: Int, white: (Int, Int) => Boolean,
-      text: String = "fax doc"): Array[Byte] = {
+      text: String = "fax doc", k: Int = -1): Array[Byte] = {
     val b = new Builder
     b.raw("%PDF-1.7\n%âãÏÓ\n")
     b.obj(1) { b.raw("<< /Type /Catalog /Pages 2 0 R >>") }
@@ -258,10 +260,14 @@ object PdfBuilder {
     }
     val content = (tjLine(text) + " q 100 0 0 60 72 500 cm /Im0 Do Q").getBytes(ISO_8859_1)
     b.streamObj(5, "", content)
-    val g4 = ImageCodec.encodeCcittT6Bilevel(w, h, white)
+    require(k == -1 || k == 0, "fixture supports K=-1 (T.6) and K=0 (1-D)")
+    val payload =
+      if (k < 0) ImageCodec.encodeCcittT6Bilevel(w, h, white)
+      else ImageCodec.encodeCcittRleBilevel(w, h, white)
+    val align = if (k == 0) " /EncodedByteAlign true" else ""
     b.streamObj(6, s"/Type /XObject /Subtype /Image /Width $w /Height $h " +
       "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /CCITTFaxDecode " +
-      s"/DecodeParms << /K -1 /Columns $w /Rows $h >>", g4)
+      s"/DecodeParms << /K $k /Columns $w /Rows $h$align >>", payload)
     writeClassicXref(b)
   }
 

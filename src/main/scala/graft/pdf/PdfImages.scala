@@ -71,8 +71,9 @@ object PdfImages {
       case "CCITTFaxDecode" =>
         // EXTENSION (the reference's "Unsupported filter" errors here,
         // mod.rs:163-165): decode scanned-fax bilevel images with the
-        // from-spec T.6 decoder — K < 0 (pure 2-D) only, the variant
-        // scanner pipelines emit; K >= 0 (G3 1-D/mixed) stays fail-soft
+        // from-spec CCITT decoders — K < 0 = pure T.6 (G4), K = 0 =
+        // pure 1-D MH, K > 0 = T.4 mixed (EOL + per-line tag); all
+        // three cross-validated against the JDK TIFF codec
         val parms = doc.dictGet(s.dict, "DecodeParms") match {
           case d: PDict => d
           case PArr(items) if items.nonEmpty =>
@@ -81,29 +82,28 @@ object PdfImages {
         }
         def pInt(key: String, dflt: Long): Long =
           doc.dictGet(parms, key).asInt.getOrElse(dflt)
+        def pBool(key: String): Boolean =
+          doc.dictGet(parms, key) match { case PBool(v) => v; case _ => false }
         val k = pInt("K", 0)
-        if (k >= 0) Left(s"unsupported CCITT K=$k (only pure T.6 K<0)")
-        else {
-          val cols = pInt("Columns", 1728).toInt
-          val rws = pInt("Rows", h.toLong).toInt
-          val blackIs1 = doc.dictGet(parms, "BlackIs1") match {
-            case PBool(v) => v
-            case _ => false
+        val cols = pInt("Columns", 1728).toInt
+        val rws = pInt("Rows", h.toLong).toInt
+        val blackIs1 = pBool("BlackIs1")
+        try {
+          val gray =
+            if (k < 0) CcittFax.decodeG4(s.raw, cols, rws, blackIs1)
+            else CcittFax.decodeG3(s.raw, cols, rws, blackIs1,
+              twoD = k > 0, byteAlign = pBool("EncodedByteAlign"))
+          val out = new Array[Byte](cols * rws * 4)
+          var i = 0
+          while (i < cols * rws) {
+            val g = gray(i)
+            out(i * 4) = g; out(i * 4 + 1) = g; out(i * 4 + 2) = g
+            out(i * 4 + 3) = -1
+            i += 1
           }
-          try {
-            val gray = CcittFax.decodeG4(s.raw, cols, rws, blackIs1)
-            val out = new Array[Byte](cols * rws * 4)
-            var i = 0
-            while (i < cols * rws) {
-              val g = gray(i)
-              out(i * 4) = g; out(i * 4 + 1) = g; out(i * 4 + 2) = g
-              out(i * 4 + 3) = -1
-              i += 1
-            }
-            Right((cols, rws, "png", encodePng(cols, rws, out)))
-          } catch {
-            case e: CcittFax.CcittException => Left(e.getMessage)
-          }
+          Right((cols, rws, "png", encodePng(cols, rws, out)))
+        } catch {
+          case e: CcittFax.CcittException => Left(e.getMessage)
         }
       case other => Left(s"unsupported filter $other") // mod.rs:165
     }

@@ -16,11 +16,15 @@ class CcittFaxSpec extends AnyFunSuite {
   System.setProperty("java.awt.headless", "true")
 
   /** (width, height, strips as (bytes, rowsInStrip)). */
-  private def t6Strips(img: BufferedImage): (Int, Int, Vector[(Array[Byte], Int)]) = {
+  private def t6Strips(img: BufferedImage): (Int, Int, Vector[(Array[Byte], Int)]) =
+    ccittStrips(img, "CCITT T.6", 4)
+
+  private def ccittStrips(img: BufferedImage, typ: String,
+      expectCompression: Int): (Int, Int, Vector[(Array[Byte], Int)]) = {
     val wr = ImageIO.getImageWritersByFormatName("tiff").next()
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
-    p.setCompressionType("CCITT T.6")
+    p.setCompressionType(typ)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = ImageIO.createImageOutputStream(bos)
     wr.setOutput(ios)
@@ -60,7 +64,7 @@ class CcittFaxSpec extends AnyFunSuite {
         case _ =>
       }
     }
-    assert(compression == 4, s"expected T.6 compression, got $compression")
+    assert(compression == expectCompression, s"expected $expectCompression, got $compression")
     assert(fillOrder == 1, "MSB fill order expected")
     val strips = offs.zip(counts).zipWithIndex.map { case ((o, c), i) =>
       val rows = math.min(rowsPerStrip, height - i * rowsPerStrip)
@@ -133,6 +137,44 @@ class CcittFaxSpec extends AnyFunSuite {
       while (x < w) { img.setRGB(x, y, if (white) 0xffffff else 0); x += 1 }
     }
     crossCheck(img)
+  }
+
+  private def crossCheckG3(img: BufferedImage, typ: String, comp: Int,
+      twoD: Boolean, byteAlign: Boolean): Unit = {
+    val (w, h, strips) = ccittStrips(img, typ, comp)
+    assert(w == img.getWidth && h == img.getHeight)
+    var y0 = 0
+    strips.foreach { case (bytes, rows) =>
+      val gray = CcittFax.decodeG3(bytes, w, rows, twoD = twoD, byteAlign = byteAlign)
+      (0 until rows).foreach { dy =>
+        (0 until w).foreach { x =>
+          val mine = (gray(dy * w + x) & 0xff) == 0xff
+          val src = (img.getRGB(x, y0 + dy) & 0xffffff) == 0xffffff
+          assert(mine == src, s"pixel ($x, ${y0 + dy}) mismatch ($typ)")
+        }
+      }
+      y0 += rows
+    }
+  }
+
+  test("G3 1-D decode matches the JDK codec (CCITT RLE: byte-aligned MH rows, K=0 shape)") {
+    crossCheckG3(bilevel(16, 8)((x, y) => (x / 3 + y) % 2 == 0), "CCITT RLE", 2,
+      twoD = false, byteAlign = true)
+    crossCheckG3(bilevel(40, 10)((_, _) => false), "CCITT RLE", 2,
+      twoD = false, byteAlign = true)
+    val rnd = new scala.util.Random(9)
+    crossCheckG3(bilevel(73, 19)((_, _) => rnd.nextInt(3) > 0), "CCITT RLE", 2,
+      twoD = false, byteAlign = true)
+  }
+
+  test("G3 2-D mixed decode matches the JDK codec (CCITT T.4 with EOL+tag lines, K>0 shape)") {
+    crossCheckG3(bilevel(16, 8)((x, y) => (x / 3 + y) % 2 == 0), "CCITT T.4", 3,
+      twoD = true, byteAlign = false)
+    crossCheckG3(bilevel(64, 16)((x, y) => (x ^ y) % 5 < 2), "CCITT T.4", 3,
+      twoD = true, byteAlign = false)
+    val rnd = new scala.util.Random(11)
+    crossCheckG3(bilevel(91, 23)((_, _) => rnd.nextInt(4) > 1), "CCITT T.4", 3,
+      twoD = true, byteAlign = false)
   }
 
   test("hand pin: tiny known bitstream decodes deterministically") {

@@ -217,4 +217,14 @@ class PdfImagesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("CCITTFaxDecode K=0 (1-D MH, byte-aligned): same pixels as the G4 fixture") {
+    val g4 = PdfImages.documentImages("fx", PdfBuilder.withCcittImagePattern(
+      10, 6, (x, y) => (x + 2 * y) % 4 != 0, k = -1)).head
+    val g3 = PdfImages.documentImages("fx", PdfBuilder.withCcittImagePattern(
+      10, 6, (x, y) => (x + 2 * y) % 4 != 0, k = 0)).head
+    assert(g3.width == 10 && g3.height == 6)
+    assert(PdfImages.decodePng(g3.bytes).get._3.toSeq ==
+      PdfImages.decodePng(g4.bytes).get._3.toSeq)
+  }
 }
