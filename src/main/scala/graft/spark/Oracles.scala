@@ -218,6 +218,24 @@ object Oracles {
         |WHERE i % 10 BETWEEN 4 AND 8 AND i % 4 = 1
         |ORDER BY doc_id, media_ref""".stripMargin,
 
+    // boilerplate pin: the classifier's rules are deterministic, so
+    // the expected pieces of the templated HTML are closed-form — the
+    // link-dense div (density 4/7 > 0.5) and nav/head/script content
+    // MUST be absent, &amp; decoded, pieces at exact positions
+    "html_boilerplate" ->
+      """WITH d AS (SELECT i AS id FROM range(40) t(i)),
+        |p AS (
+        | SELECT id, 0 AS pos, 'text' AS kind,
+        |  'Doc ' || CAST(id AS VARCHAR) || ' & title' AS content FROM d
+        | UNION ALL SELECT id, 1, 'text',
+        |  'alpha' || CAST(id AS VARCHAR) || ' beta' FROM d
+        | UNION ALL SELECT id, 2, 'media',
+        |  'img' || CAST(id AS VARCHAR) || '.png' FROM d
+        | UNION ALL SELECT id, 3, 'text',
+        |  'gamma ' || CAST(id % 7 AS VARCHAR) FROM d)
+        |SELECT id, CAST(pos AS INTEGER) AS pos, kind, content FROM p
+        |ORDER BY id, pos""".stripMargin,
+
     // CCITT G4 pin: dims + black-pixel count of the deterministic fax
     // pattern, recomputed analytically (max extent 12x8 cross-joined,
     // filtered per image — range() takes no lateral column refs)

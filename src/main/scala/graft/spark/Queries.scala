@@ -169,6 +169,38 @@ object Queries {
     .orderBy("id")
   }
 
+  /** HTML boilerplate strip, ORACLE-pinned (north_rule "HTML
+    * boilerplate strip, DOM heuristics"): deterministic HTML documents
+    * exercising the classifier's branches — nav/head/script stripping,
+    * entity decoding, block segmentation, the >0.5 link-density drop,
+    * and media-span extraction in document order — are built in-query
+    * and run through [[graft.html.Boilerplate.extract]]; the DuckDB
+    * twin constructs the EXPECTED pieces from the same template (the
+    * rules are deterministic, so the expected output is closed-form).
+    * Every id's link-dense div must vanish and the remaining pieces
+    * must land at exact positions or the hash flips. */
+  def htmlBoilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(40).repartition(4).flatMap { id =>
+      val html =
+        s"""<html><head><title>skip me</title></head><body>
+           |<nav>Site <a href="/">navigation</a> junk</nav>
+           |<h1>Doc $id &amp; title</h1>
+           |<p>alpha$id beta</p>
+           |<div><a href="/a">l1</a> <a href="/b">l2</a> yes</div>
+           |<img src="img$id.png">
+           |<script>var x = "<p>not content</p>";</script>
+           |<p>gamma ${id % 7}</p>
+           |</body></html>""".stripMargin
+      graft.html.Boilerplate.extract(html).zipWithIndex.map {
+        case (graft.html.Boilerplate.TextPiece(t), i) => (id, i, "text", t)
+        case (graft.html.Boilerplate.MediaPiece(src), i) => (id, i, "media", src)
+      }
+    }
+    .toDF("id", "pos", "kind", "content")
+    .orderBy("id", "pos")
+  }
+
   /** S8 analog: point lookup of one document's content (`GET
     * /content/:id`) — partition-prunable scan, no shuffle. */
   def pdfzPointLookup(s: SparkSession, dir: String): DataFrame = {
@@ -1019,6 +1051,7 @@ object Queries {
     "pdfz_point_lookup" -> (pdfzPointLookup _),
     "pdfz_images" -> (pdfzImages _),
     "pdfz_images_fax" -> (pdfzImagesFax _),
+    "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenue _),
