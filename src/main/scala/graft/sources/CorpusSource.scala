@@ -26,6 +26,15 @@ object CorpusSource {
   def jsonl(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(ExtractStream.inputSchema).json(path)
 
+  /** ORC — the other columnar interchange format warehouses hand over
+    * (Spark ships the reader; nested span structs round-trip like
+    * parquet). */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(ExtractStream.inputSchema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
   /** CSV with columns (doc_id, spans_json) where spans_json is the
     * span array serialized as JSON (quoted/escaped by the CSV layer). */
   def csvJsonSpans(spark: SparkSession, path: String): DataFrame = {

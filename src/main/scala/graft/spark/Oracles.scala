@@ -438,6 +438,19 @@ object Oracles {
          | min(doc_id) AS keep_id, count(*) AS dup_count
          |FROM docs_plus GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
 
+    "dedup_incremental" ->
+      s"""WITH $docsPlus,
+         |exfp AS (
+         | SELECT DISTINCT md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+         | FROM documents WHERE doc_id < 250),
+         |inc AS (
+         | SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' ')) AS fp
+         | FROM docs_plus WHERE doc_id >= 250)
+         |SELECT min(doc_id) AS doc_id, fp FROM inc
+         |WHERE fp NOT IN (SELECT fp FROM exfp)
+         |GROUP BY fp ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""WITH $docsPlus, $sh3,
          |sigs AS (SELECT doc_id, $minhashMins FROM sh3 GROUP BY doc_id),

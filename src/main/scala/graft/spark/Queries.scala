@@ -556,6 +556,27 @@ object Queries {
       .orderBy("bucket")
   }
 
+  /** INCREMENTAL exact dedup — the daily-increment shape: a NEW batch
+    * deduplicates against the already-ingested corpus without pairwise
+    * rescans. The existing side contributes only its DISTINCT
+    * fingerprint projection (at 10^12 docs this is the fp index a real
+    * pipeline maintains incrementally, not a corpus scan per batch);
+    * the incoming batch anti-joins on fp, then keep-min dedups within
+    * itself. Here: docs < 250 are "already ingested", the docsPlus
+    * testbed rows ≥ 250 (mutated near-dup copies included) arrive as
+    * the new batch. */
+  def dedupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val existingFp = rd(s, dir, "documents")
+      .where(col("doc_id") < 250)
+      .select(TF.fingerprint(col("text")).as("fp")).distinct()
+    val incoming = docsPlus(s, dir).where(col("doc_id") >= 250)
+      .select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+    incoming.join(existingFp, Seq("fp"), "left_anti")
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs (32-bit sketch, hamming ≤ 3, 8-bit block
     * index — no all-pairs join). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -1070,6 +1091,7 @@ object Queries {
     "q_asof" -> (qAsof _),
     "q_asof_multi" -> (qAsofMulti _),
     "dedup_exact" -> (dedupExact _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_star" -> (dedupMinhashStar _),
     "dedup_jaccard" -> (dedupJaccard _),

@@ -34,17 +34,20 @@ class CorpusSourceSpec extends AnyFunSuite {
     val n = 40
     val docs = spark.range(0, n, 1, 2)
       .map(i => graft.fixtures.InterleavedGen.docWithGolden(i)._1).toDF()
-    val pq = tmp("pq"); val jl = tmp("jl"); val cv = tmp("cv")
+    val pq = tmp("pq"); val jl = tmp("jl"); val cv = tmp("cv"); val oc = tmp("oc")
     docs.write.mode("overwrite").parquet(pq)
     CorpusSource.writeJsonl(docs, jl)
     CorpusSource.writeCsvJsonSpans(docs, cv)
+    CorpusSource.writeOrc(docs, oc)
 
     val viaParquet = extractAll(CorpusSource.parquet(spark, pq))
     val viaJsonl = extractAll(CorpusSource.jsonl(spark, jl))
     val viaCsv = extractAll(CorpusSource.csvJsonSpans(spark, cv))
+    val viaOrc = extractAll(CorpusSource.orc(spark, oc))
     assert(viaParquet.size == n)
     assert(viaJsonl == viaParquet, "jsonl round-trip diverged")
     assert(viaCsv == viaParquet, "csv round-trip diverged")
+    assert(viaOrc == viaParquet, "orc round-trip diverged")
     // and all equal the goldens
     val exp = InterleavedTable.goldens(spark, n).collect().map(d => d.doc_id -> d.spans).toMap
     assert(viaParquet == exp)
