@@ -487,7 +487,7 @@ object Oracles {
          |SELECT id AS doc_id, component FROM l3 ORDER BY doc_id""".stripMargin,
 
     "dedup_components_star" ->
-      // 3 alternating large-star/small-star rounds over the same star-
+      // 2 alternating large-star/small-star rounds over the same star-
       // pair edges (Kiveris et al. two-phase; converged here, so equal
       // to dedup_components' fixpoint)
       s"""WITH $docsPlus, $sh3,
@@ -497,11 +497,10 @@ object Oracles {
          |e0 AS MATERIALIZED (SELECT DISTINCT c.canon AS a, b.doc_id AS b
          | FROM banded b JOIN canon c USING (band, sig) WHERE b.doc_id <> c.canon),
          |${starRound(1, "e0")},
-         |${starRound(2, "es1")},
-         |${starRound(3, "es2")}
+         |${starRound(2, "es1")}
          |SELECT doc_id, min(component) AS component FROM (
-         | SELECT b AS doc_id, a AS component FROM es3
-         | UNION ALL SELECT a, a FROM es3) GROUP BY doc_id
+         | SELECT b AS doc_id, a AS component FROM es2
+         | UNION ALL SELECT a, a FROM es2) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
     "pipeline_clean_corpus" ->

@@ -663,13 +663,16 @@ object Queries {
     * over the same MinHash-LSH star edges as [[dedupComponents]] — the
     * O(log n)-round scale path (edge set contracts toward min-rooted
     * stars each round, vs min-propagation's O(diameter) rounds over a
-    * constant-size edge set). 3 rounds converge on this testbed, so
-    * the output equals [[dedupComponents]]'s fixpoint; the DuckDB twin
-    * replays the identical round schedule. */
+    * constant-size edge set). 2 rounds already converge on this
+    * testbed (star-pair graphs are near-stars by construction; even 1
+    * round matches the fixpoint — measured), so the query runs 2 and
+    * its output equals [[dedupComponents]]'s fixpoint; the DuckDB twin
+    * replays the identical schedule. The operator's default stays 3 —
+    * the round count is the scale knob for high-diameter graphs. */
   def dedupComponentsStar(s: SparkSession, dir: String): DataFrame =
     Dedup.componentsStar(
         Dedup.minhashLshStarPairs(docsPlus(s, dir), shingleN = 3, numHashes = 8, bands = 4),
-        rounds = 3)
+        rounds = 2)
       .orderBy("doc_id")
 
   /** MinHash CLUSTER signatures: element-wise min of member signatures
