@@ -125,28 +125,36 @@ object CcittFax {
     "000000011100" -> 2368, "000000011101" -> 2432, "000000011110" -> 2496,
     "000000011111" -> 2560)
 
-  private def toMap(codes: Seq[(String, Int)]): Map[(Int, Int), Int] =
-    codes.map { case (s, run) => (s.length, Integer.parseInt(s, 2)) -> run }.toMap
-
-  private val whiteMap = toMap(whiteCodes ++ commonMakeup)
-  private val blackMap = toMap(blackCodes ++ commonMakeup)
-  private val maxCodeLen = 13
+  /** Prefix-decode tables: the next 13 bits (max code length) index
+    * directly to `(len << 16 | run) + 1`, 0 = invalid — the codes are
+    * prefix-free, so every 13-bit window containing a valid code as a
+    * prefix resolves uniquely. One array read per decoded code instead
+    * of per-length map probes: the hot path of a scanned corpus is
+    * millions of runs per document batch. */
+  private def buildTable(codes: Seq[(String, Int)]): Array[Int] = {
+    val t = new Array[Int](1 << 13)
+    codes.foreach { case (s, run) =>
+      val len = s.length
+      val prefix = Integer.parseInt(s, 2) << (13 - len)
+      var i = 0
+      while (i < (1 << (13 - len))) { t(prefix | i) = ((len << 16) | run) + 1; i += 1 }
+    }
+    t
+  }
+  private val whiteTable = buildTable(whiteCodes ++ commonMakeup)
+  private val blackTable = buildTable(blackCodes ++ commonMakeup)
 
   /** One MH-coded TOTAL run length (makeups + final terminating). */
   private def readRun(br: BitReader, white: Boolean): Int = {
-    val map = if (white) whiteMap else blackMap
+    val table = if (white) whiteTable else blackTable
     var total = 0
     var terminating = false
     while (!terminating) {
-      var len = if (white) 4 else 2 // shortest codes per color
-      var run = -1
-      while (run < 0 && len <= maxCodeLen) {
-        map.get((len, br.peek(len))) match {
-          case Some(r) => run = r
-          case None => len += 1
-        }
-      }
-      if (run < 0) throw new CcittException(s"CCITT: bad ${if (white) "white" else "black"} run code")
+      val e = table(br.peek(13))
+      if (e == 0)
+        throw new CcittException(s"CCITT: bad ${if (white) "white" else "black"} run code")
+      val len = (e - 1) >>> 16
+      val run = (e - 1) & 0xffff
       br.skip(len)
       total += run
       terminating = run < 64

@@ -112,32 +112,62 @@ object ImageCodec {
     wr.setOutput(ios)
     wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
     ios.close(); wr.dispose()
-    val b = bos.toByteArray
-    // minimal IFD walk: single strip (offset tag 273, count tag 279)
-    val be = b(0) == 'M'
+    val strips = tiffStrips(bos.toByteArray).strips
+    require(strips.length == 1, s"expected one CCITT strip, got ${strips.length}")
+    strips.head._1
+  }
+
+  /** Parsed single-IFD TIFF: dims, compression scheme, fill order and
+    * strips as (bytes, rowsInStrip). */
+  final case class TiffStrips(width: Int, height: Int, compression: Int,
+      fillOrder: Int, strips: Vector[(Array[Byte], Int)])
+
+  /** Minimal first-IFD TIFF walk (both byte orders, BYTE/SHORT/LONG
+    * entry types, inline or pointed values, multi-strip) — shared by
+    * the CCITT fixture encoder above and the cross-validation spec so
+    * there is exactly ONE hand-rolled strip extractor to keep correct. */
+  private[pdf] def tiffStrips(b: Array[Byte]): TiffStrips = {
+    val be = b(0) == 'M' // MM = big-endian
     def u16(o: Int) =
       if (be) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
       else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
     def u32(o: Int) =
       if (be) ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
       else ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
-    def scalar(entry: Int): Int = u16(entry + 2) match {
-      case 3 => u16(entry + 8)
-      case _ => u32(entry + 8)
-    }
     val ifd = u32(4)
     val n = u16(ifd)
-    var off = -1; var cnt = -1; var nStrips = 1
+    var width = -1; var height = -1; var rowsPerStrip = Int.MaxValue
+    var offs = Vector.empty[Int]; var counts = Vector.empty[Int]
+    var compression = -1; var fillOrder = 1
+    def values(entry: Int): Vector[Int] = {
+      val typ = u16(entry + 2); val cnt = u32(entry + 4)
+      val sz = typ match {
+        case 1 => 1; case 3 => 2; case 4 => 4
+        case other => throw new IllegalArgumentException(s"unsupported TIFF entry type $other")
+      }
+      val base = if (cnt * sz <= 4) entry + 8 else u32(entry + 8)
+      (0 until cnt).toVector.map { i =>
+        sz match { case 1 => b(base + i) & 0xff; case 2 => u16(base + i * 2); case 4 => u32(base + i * 4) }
+      }
+    }
     (0 until n).foreach { i =>
       val e = ifd + 2 + i * 12
       u16(e) match {
-        case 273 => nStrips = u32(e + 4); off = scalar(e)
-        case 279 => cnt = scalar(e)
+        case 256 => width = values(e).head
+        case 257 => height = values(e).head
+        case 259 => compression = values(e).head
+        case 266 => fillOrder = values(e).head
+        case 273 => offs = values(e)
+        case 278 => rowsPerStrip = values(e).head
+        case 279 => counts = values(e)
         case _ =>
       }
     }
-    require(nStrips == 1 && off >= 0 && cnt > 0, "expected one T.6 strip")
-    java.util.Arrays.copyOfRange(b, off, off + cnt)
+    val strips = offs.zip(counts).zipWithIndex.map { case ((o, c), i) =>
+      val rows = math.min(rowsPerStrip, height - i * rowsPerStrip)
+      (java.util.Arrays.copyOfRange(b, o, o + c), rows)
+    }
+    TiffStrips(width, height, compression, fillOrder, strips)
   }
 
   private def encodeRgb(fmt: String, w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {

@@ -85,25 +85,29 @@ object PdfImages {
         def pBool(key: String): Boolean =
           doc.dictGet(parms, key) match { case PBool(v) => v; case _ => false }
         val k = pInt("K", 0)
-        val cols = pInt("Columns", 1728).toInt
-        val rws = pInt("Rows", h.toLong).toInt
+        val cols = pInt("Columns", 1728)
+        val rws = pInt("Rows", h.toLong)
         val blackIs1 = pBool("BlackIs1")
-        try {
+        // dims are attacker-controlled dictionary values: bound BEFORE
+        // any allocation (cols*rws*4 RGBA bytes) — 2^26 px covers A2 at
+        // 1200 dpi with margin, and the long-typed product cannot
+        // overflow Int silently
+        if (cols <= 0 || rws <= 0 || cols * rws > (1L << 26))
+          Left(s"CCITT dims out of range: ${cols}x$rws")
+        else try {
           val gray =
-            if (k < 0) CcittFax.decodeG4(s.raw, cols, rws, blackIs1)
-            else CcittFax.decodeG3(s.raw, cols, rws, blackIs1,
+            if (k < 0) CcittFax.decodeG4(s.raw, cols.toInt, rws.toInt, blackIs1)
+            else CcittFax.decodeG3(s.raw, cols.toInt, rws.toInt, blackIs1,
               twoD = k > 0, byteAlign = pBool("EncodedByteAlign"))
-          val out = new Array[Byte](cols * rws * 4)
-          var i = 0
-          while (i < cols * rws) {
-            val g = gray(i)
-            out(i * 4) = g; out(i * 4 + 1) = g; out(i * 4 + 2) = g
-            out(i * 4 + 3) = -1
-            i += 1
-          }
-          Right((cols, rws, "png", encodePng(cols, rws, out)))
+          // per-image fail-soft means catching EVERYTHING non-fatal: a
+          // hostile stream can surface as array-bounds/illegal-argument
+          // errors from deep in the bit decoder, and one bad image must
+          // never take down the document's other images
+          rgbaFromRaw(gray, cols.toInt, rws.toInt, "DeviceGray")
+            .map(rgba => (cols.toInt, rws.toInt, "png", encodePng(cols.toInt, rws.toInt, rgba)))
         } catch {
-          case e: CcittFax.CcittException => Left(e.getMessage)
+          case scala.util.control.NonFatal(e) =>
+            Left(s"CCITT decode failed: ${e.getMessage}")
         }
       case other => Left(s"unsupported filter $other") // mod.rs:165
     }

@@ -30,47 +30,12 @@ class CcittFaxSpec extends AnyFunSuite {
     wr.setOutput(ios)
     wr.write(null, new IIOImage(img, null, null), p)
     ios.close(); wr.dispose()
-    val b = bos.toByteArray
-    val be = b(0) == 'M' // MM = big-endian
-    def u16(o: Int) =
-      if (be) ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
-      else ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
-    def u32(o: Int) =
-      if (be) ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
-      else ((b(o + 3) & 0xff) << 24) | ((b(o + 2) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o) & 0xff)
-    val ifd = u32(4)
-    val n = u16(ifd)
-    var width = -1; var height = -1; var rowsPerStrip = Int.MaxValue
-    var offs = Vector.empty[Int]; var counts = Vector.empty[Int]
-    var compression = -1; var fillOrder = 1
-    def values(entry: Int): Vector[Int] = {
-      val typ = u16(entry + 2); val cnt = u32(entry + 4)
-      val sz = typ match { case 1 => 1; case 3 => 2; case 4 => 4; case _ => fail(s"tiff type $typ") }
-      val base = if (cnt * sz <= 4) entry + 8 else u32(entry + 8)
-      (0 until cnt).toVector.map { i =>
-        sz match { case 1 => b(base + i) & 0xff; case 2 => u16(base + i * 2); case 4 => u32(base + i * 4) }
-      }
-    }
-    (0 until n).foreach { i =>
-      val e = ifd + 2 + i * 12
-      u16(e) match {
-        case 256 => width = values(e).head
-        case 257 => height = values(e).head
-        case 259 => compression = values(e).head
-        case 266 => fillOrder = values(e).head
-        case 273 => offs = values(e)
-        case 278 => rowsPerStrip = values(e).head
-        case 279 => counts = values(e)
-        case _ =>
-      }
-    }
-    assert(compression == expectCompression, s"expected $expectCompression, got $compression")
-    assert(fillOrder == 1, "MSB fill order expected")
-    val strips = offs.zip(counts).zipWithIndex.map { case ((o, c), i) =>
-      val rows = math.min(rowsPerStrip, height - i * rowsPerStrip)
-      (java.util.Arrays.copyOfRange(b, o, o + c), rows)
-    }
-    (width, height, strips)
+    // ONE shared strip walker (ImageCodec.tiffStrips) for fixture
+    // encoder and spec — no second hand-rolled IFD parser to drift
+    val t = ImageCodec.tiffStrips(bos.toByteArray)
+    assert(t.compression == expectCompression, s"expected $expectCompression, got ${t.compression}")
+    assert(t.fillOrder == 1, "MSB fill order expected")
+    (t.width, t.height, t.strips)
   }
 
   /** Decode the TIFF's T.6 strips with OUR decoder and compare every
