@@ -329,13 +329,14 @@ object ExtractJob {
       // re-creating the straggler the fan-out exists to remove. Keep
       // the key-hash spread for this write by disabling coalescing on
       // a THROWAWAY CHILD SESSION (same SparkContext, own SQLConf —
-      // builder-time confs are inherited from the SparkConf): the
+      // cloneSession carries the caller's RUNTIME conf overrides too,
+      // e.g. session timezone, not just builder-time SparkConf): the
       // caller's session is never mutated, so concurrent queries keep
       // their AQE coalescing and two concurrent fan-out runs cannot
       // race a save/restore pair. (The scan-mode normal path has no
       // exchange, so nothing to scope when fan-out is off.)
       val writeDf = if (!fanOut) extracted else {
-        val child = spark.newSession()
+        val child = org.apache.spark.sql.GraftColumnBridge.cloneSession(spark)
         child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         org.apache.spark.sql.GraftColumnBridge.withSession(extracted, child)
       }

@@ -27,6 +27,25 @@ import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
   */
 object Dedup {
 
+  /** Default per-round lineage-truncation strategy for the iterative
+    * operators ([[components]] with `checkpointRounds = true`,
+    * [[componentsStar]]): reliable `checkpoint()` when the session has
+    * a checkpoint directory configured
+    * (`sparkContext.setCheckpointDir` — the cluster deployment path,
+    * where materialized blocks must survive executor loss), else
+    * `localCheckpoint()` (single-machine / test path: executor-local
+    * blocks, no DFS round-trip). Both are EAGER, so round k
+    * materializes before round k+1's plan is built and the plan cannot
+    * grow geometrically. Callers with bespoke needs
+    * (write-out-and-re-read, a different checkpoint flavor) pass
+    * their own `truncate` function instead — but it MUST truncate the
+    * LOGICAL plan (as both checkpoints do): a bare `persist()` caches
+    * execution yet leaves the geometric plan in place, and the
+    * optimizer stalls on it long before any task runs. */
+  def defaultTruncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+    else df.localCheckpoint()
+
   /** Exact dedup by content fingerprint. One row per duplicate group
     * with the kept (minimum) doc_id and group size. */
   def exactGroups(docs: DataFrame): DataFrame =
@@ -420,19 +439,20 @@ object Dedup {
     * labels per round — IDENTICAL values, measured 1.6× faster at
     * sf0.1) so a deep iteration count cannot re-derive the pair
     * generation per round. Truncation is EAGER (construction runs the
-    * rounds) and uses `localCheckpoint`, whose blocks are
-    * executor-local: right for single-machine runs and bounding plan
-    * growth, but a multi-executor deployment must swap in reliable
-    * `checkpoint()`/persist-to-storage — executor loss discards local
-    * checkpoint blocks and fails the truncated job.
+    * rounds); HOW each round persists is the injectable `truncate`
+    * strategy, defaulting to [[defaultTruncate]] — reliable
+    * `checkpoint()` when the session has a checkpoint dir (the
+    * multi-executor path, where executor loss must not discard a
+    * round), `localCheckpoint()` otherwise.
     *
     * Input: (a_id, b_id) pairs. Output: (doc_id, component) for every
     * doc appearing in any pair, component = min doc_id reachable
     * within `iterations` hops. */
   def components(pairs: DataFrame, iterations: Int = 3,
-      checkpointRounds: Boolean = false): DataFrame = {
+      checkpointRounds: Boolean = false,
+      truncate: DataFrame => DataFrame = defaultTruncate): DataFrame = {
     def ck(df: DataFrame): DataFrame =
-      if (checkpointRounds) df.localCheckpoint() else df
+      if (checkpointRounds) truncate(df) else df
     val edges = ck(pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionAll(pairs.select(col("b_id").as("src"), col("a_id").as("dst"))))
     var labels = edges.select(col("src").as("id")).distinct()
@@ -473,15 +493,19 @@ object Dedup {
     * (two symmetrizes, each consumed by an aggregation AND a join), so
     * an unpersisted plan grows geometrically with `rounds` and stalls
     * the optimizer long before execution. Each round therefore ends in
-    * a `localCheckpoint` — values are unchanged (the DuckDB twin
-    * replays the same schedule) but construction executes the rounds
-    * EAGERLY; swap for a reliable `checkpoint` on a real cluster,
-    * where executor loss must not drop the materialized edges
-    * (localCheckpoint blocks are executor-local and unrecoverable).
+    * an EAGER truncation — values are unchanged (the DuckDB twin
+    * replays the same schedule), construction executes the rounds
+    * eagerly. The strategy is the injectable `truncate` parameter,
+    * defaulting to [[defaultTruncate]]: reliable `checkpoint()` when
+    * the session has a checkpoint dir set (the multi-executor
+    * deployment, where executor loss must not drop a round's
+    * materialized edges — localCheckpoint blocks are executor-local
+    * and unrecoverable), `localCheckpoint()` otherwise.
     *
     * Input: (a_id, b_id) pairs. Output: (doc_id, component) for every
     * doc appearing in any pair. */
-  def componentsStar(pairs: DataFrame, rounds: Int = 3): DataFrame = {
+  def componentsStar(pairs: DataFrame, rounds: Int = 3,
+      truncate: DataFrame => DataFrame = defaultTruncate): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
@@ -500,7 +524,7 @@ object Dedup {
         .unionAll(m2.select(col("m"), col("u").as("v")))
         .where(col("m") =!= col("v"))
         .select(col("m").as("a"), col("v").as("b")).distinct()
-        .localCheckpoint()
+      edges = truncate(edges)
     }
     edges.select(col("b").as("doc_id"), col("a").as("component"))
       .unionAll(edges.select(col("a").as("doc_id"), col("a").as("component")))

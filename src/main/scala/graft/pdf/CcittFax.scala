@@ -171,6 +171,12 @@ object CcittFax {
     var a0 = -1
     var white = true
     while (a0 < columns) {
+      // zero-length runs (legal codes: white 0 / black 0) and VL modes
+      // can append transitions without advancing a0 — a crafted stream
+      // of them must hit this declared failure, not overflow `cur`
+      // (sized columns+4) with a raw ArrayIndexOutOfBoundsException
+      if (nCur + 2 > cur.length)
+        throw new CcittException(s"CCITT: transition overflow at row $row")
       // b1: first ref transition > a0 changing AWAY from our color
       // (white run -> need a white->black change = even index)
       var i = 0
@@ -234,6 +240,10 @@ object CcittFax {
     var x = 0
     var white = true
     while (x < columns) {
+      // zero-length runs are legal codes but append without advancing
+      // x; bound them to the buffer (columns+4) with a declared error
+      if (nCur >= cur.length)
+        throw new CcittException("CCITT: transition overflow in 1-D line")
       x += readRun(br, white)
       cur(nCur) = math.min(x, columns); nCur += 1
       white = !white

@@ -88,11 +88,13 @@ object PdfImages {
         val cols = pInt("Columns", 1728)
         val rws = pInt("Rows", h.toLong)
         val blackIs1 = pBool("BlackIs1")
-        // dims are attacker-controlled dictionary values: bound BEFORE
-        // any allocation (cols*rws*4 RGBA bytes) — 2^26 px covers A2 at
-        // 1200 dpi with margin, and the long-typed product cannot
-        // overflow Int silently
-        if (cols <= 0 || rws <= 0 || cols * rws > (1L << 26))
+        // dims are attacker-controlled dictionary values: bound EACH
+        // axis BEFORE multiplying (a Long×Long product of huge values
+        // could wrap past 2^63 and sneak under the area cap), then
+        // bound the area before any allocation (cols*rws*4 RGBA
+        // bytes) — 2^26 px covers A2 at 1200 dpi with margin
+        if (cols <= 0 || rws <= 0 || cols > (1L << 20) || rws > (1L << 20) ||
+            cols * rws > (1L << 26))
           Left(s"CCITT dims out of range: ${cols}x$rws")
         else try {
           val gray =

@@ -503,6 +503,25 @@ object Oracles {
          | UNION ALL SELECT a, a FROM es2) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    "dedup_components_star_chain" ->
+      // high-diameter witness: chains of ≤32 consecutive doc_ids;
+      // 5 alternating rounds must close a diameter-31 path (the round
+      // count BINDS here — per-hop propagation would need 31)
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |chain AS (SELECT a.doc_id AS a, a.doc_id + 1 AS b
+         |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 32 <> 31),
+         |es0 AS MATERIALIZED (SELECT a, b FROM chain),
+         |${starRound(1, "es0")},
+         |${starRound(2, "es1")},
+         |${starRound(3, "es2")},
+         |${starRound(4, "es3")},
+         |${starRound(5, "es4")}
+         |SELECT doc_id, min(component) AS component FROM (
+         | SELECT b AS doc_id, a AS component FROM es5
+         | UNION ALL SELECT a, a FROM es5) GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
     "pipeline_clean_corpus" ->
       s"""WITH $docsPlus,
          |${qualityCte("docs_plus", "qual")},

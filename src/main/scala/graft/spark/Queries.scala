@@ -675,6 +675,24 @@ object Queries {
         rounds = 2)
       .orderBy("doc_id")
 
+  /** Connected components on a HIGH-DIAMETER graph — chains of up to
+    * 32 consecutive doc_ids — where [[Dedup.componentsStar]]'s
+    * O(log n) round count actually BINDS: 5 alternating rounds label
+    * a diameter-31 chain that per-hop min-propagation needs 31 BSP
+    * rounds for (the near-star graphs of [[dedupComponentsStar]]
+    * converge in 1). Edge construction is a projection + semi-join
+    * existence check — no window, no global sort, scales as a plain
+    * equi-join; the DuckDB twin replays the identical 5-round
+    * schedule. */
+  def dedupComponentsStarChain(s: SparkSession, dir: String): DataFrame = {
+    val ids = rd(s, dir, "documents").select(col("doc_id"))
+    val cand = ids.where(col("doc_id") % 32 =!= 31)
+      .select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
+    val chain = cand.join(ids.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+      .select("a_id", "b_id")
+    Dedup.componentsStar(chain, rounds = 5).orderBy("doc_id")
+  }
+
   /** MinHash CLUSTER signatures: element-wise min of member signatures
     * per bucket — the signature-merge that lets re-clustering run over
     * cluster representatives instead of members (custom ArrayMinAgg
@@ -1108,6 +1126,7 @@ object Queries {
     "dedup_cluster_sigs" -> (dedupClusterSigs _),
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
+    "dedup_components_star_chain" -> (dedupComponentsStarChain _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),

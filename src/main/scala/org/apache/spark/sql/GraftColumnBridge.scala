@@ -35,4 +35,15 @@ object GraftColumnBridge {
   def withSession(df: DataFrame, session: SparkSession): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession],
       df.queryExecution.logical)
+
+  /** Child session that INHERITS the parent's runtime SQLConf state
+    * (`cloneSession` is public on `classic.SparkSession` but hidden
+    * behind the `sql.SparkSession` facade). Unlike `newSession()` —
+    * which starts from builder-time SparkConf only, silently dropping
+    * any `spark.conf.set(...)` the caller made (session timezone,
+    * shuffle partitions, …) — a clone carries those overrides, so a
+    * scoped conf tweak on the child is exactly `parent state + the
+    * tweak`, not `defaults + the tweak`. */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
 }

@@ -172,6 +172,32 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.bucketsProcessed == 0 && again.docs == 0 && again.committedBucketsBefore == 8)
   }
 
+  test("fan-out child session inherits the caller's RUNTIME conf (cloneSession contract)") {
+    // newSession() starts from builder-time SparkConf only; the fan-out
+    // write path must instead clone, so a caller-set runtime conf
+    // (session timezone here) applies to the scoped write too
+    val key = "spark.sql.session.timeZone"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "Pacific/Apia")
+    try {
+      val child = org.apache.spark.sql.GraftColumnBridge.cloneSession(spark)
+      assert(child.conf.get(key) == "Pacific/Apia",
+        "clone must carry parent's runtime conf")
+      child.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // child tweak must NOT leak back to the parent
+      assert(spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true") == "true")
+      // and the fan-out job itself still produces golden-equal output
+      val table = tmpDir("graft-clone")
+      val input = corpusDf(12)
+      ExtractJob.run(spark, input, table,
+        ExtractJob.Config(numBuckets = 4, giantBytesThreshold = 2000, giantChunkPages = 32))
+      val got = readSpans(table)
+      assert(got.size == 12)
+    } finally {
+      spark.conf.set(key, prev)
+    }
+  }
+
   test("corrupt docs: counted failed, partition still commits, good docs kept") {
     import spark.implicits._
     val mixed = spark.range(0, 10, 1, 2).map { i =>

@@ -448,6 +448,54 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == (0L until 32L).map(v => (v, 0L)).toSet)
   }
 
+  test("componentsStar/components: reliable checkpoint() when a checkpoint dir is set (cluster seam)") {
+    // defaultTruncate must switch from executor-local localCheckpoint
+    // to reliable checkpoint() the moment the session has a checkpoint
+    // dir — the multi-executor deployment path, where executor loss
+    // must not discard a round's materialized edges. Labels must be
+    // identical either way, and the dir must actually receive blocks.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test expects no pre-set checkpoint dir")
+    val chain = (0L until 32L).sliding(2).map(s => (s.head, s.last)).toSeq
+      .toDF("a_id", "b_id")
+    val local = Dedup.componentsStar(chain, rounds = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    sc.setCheckpointDir(dir.getAbsolutePath)
+    try {
+      val reliable = Dedup.componentsStar(chain, rounds = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(reliable == local)
+      assert(reliable == (0L until 32L).map(v => (v, 0L)).toSet)
+      val chain8 = (0L until 8L).sliding(2).map(s => (s.head, s.last)).toSeq
+        .toDF("a_id", "b_id")
+      val bsp = Dedup.components(chain8, iterations = 7, checkpointRounds = true)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(bsp == (0L until 8L).map(v => (v, 0L)).toSet)
+      def countFiles(f: java.io.File): Int =
+        if (f.isDirectory) f.listFiles().map(countFiles).sum else 1
+      assert(countFiles(dir) > 0, "reliable checkpoint wrote no blocks to the dir")
+      // explicit-strategy seam: a caller-supplied truncate overrides the
+      // default (forcing executor-local even though a reliable dir is
+      // set). NOTE the strategy must actually truncate the LOGICAL plan
+      // (checkpoint/localCheckpoint); a bare persist() leaves the
+      // geometrically-growing plan in place and stalls the optimizer.
+      val custom = Dedup.componentsStar(chain, rounds = 5,
+        truncate = _.localCheckpoint())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(custom == local)
+    } finally {
+      // SparkContext has no unsetCheckpointDir; restore via the conf field
+      val f = sc.getClass.getDeclaredField("checkpointDir")
+      f.setAccessible(true)
+      f.set(sc, None)
+      def rm(x: java.io.File): Unit = {
+        if (x.isDirectory) x.listFiles().foreach(rm); x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("native TokenSimHash64: single-token sketch IS the token's md5 bits (hand pin)") {
     // one token => every bit voted once => sketch == the token value;
     // md5("") = d41d8cd98f00b204e9800998ecf8427e, so lo = 0xd41d8cd9

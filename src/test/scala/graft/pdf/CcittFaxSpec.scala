@@ -153,4 +153,28 @@ class CcittFaxSpec extends AnyFunSuite {
       CcittFax.decodeG4(Array[Byte](0, 0, 0, 0), 16, 4)
     }
   }
+
+  test("zero-length-run flood raises CcittException, not ArrayIndexOutOfBounds") {
+    // white-0 ("00110101") and black-0 ("0000110111") are legal
+    // terminating codes that append a transition WITHOUT advancing x;
+    // a crafted alternating flood must hit the declared bounds error,
+    // not overflow the transition buffer (sized columns+4) raw
+    val bits = new StringBuilder
+    for (_ <- 0 until 40) bits.append("00110101").append("0000110111")
+    val padded = bits.toString.padTo((bits.length + 7) / 8 * 8, '0')
+    val data = padded.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    val e = intercept[CcittFax.CcittException] {
+      CcittFax.decodeG3(data, columns = 8, rows = 2)
+    }
+    assert(e.getMessage.contains("transition overflow"))
+    // same flood through the 2-D horizontal mode (001 + two runs)
+    val bits2 = new StringBuilder
+    for (_ <- 0 until 40) bits2.append("001").append("00110101").append("0000110111")
+    val padded2 = bits2.toString.padTo((bits2.length + 7) / 8 * 8, '0')
+    val data2 = padded2.grouped(8).map(s => Integer.parseInt(s, 2).toByte).toArray
+    val e2 = intercept[CcittFax.CcittException] {
+      CcittFax.decodeG4(data2, columns = 8, rows = 2)
+    }
+    assert(e2.getMessage.contains("transition overflow"))
+  }
 }
