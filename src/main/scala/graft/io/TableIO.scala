@@ -22,6 +22,122 @@ object TableIO {
 
   def dataDir(tableDir: String): String = s"$tableDir/data"
   def lineageDir(tableDir: String): String = s"$tableDir/lineage"
+  def metadataDir(tableDir: String): String = s"$tableDir/metadata"
+
+  /** A committed table version: the pinned set of data files visible at
+    * this snapshot (paths relative to the table root) — the emulation
+    * of an Iceberg snapshot's manifest list. */
+  final case class Snapshot(version: Int, parentVersion: Int,
+      committedAt: Long, dataFiles: Seq[String])
+
+  /** Optimistic-concurrency failure: another writer committed the same
+    * successor version first (≡ Iceberg's CommitFailedException; the
+    * caller refreshes and retries or aborts). */
+  final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
+  /** Highest committed version, or None for an unversioned table. */
+  def currentVersion(tableDir: String): Option[Int] = {
+    val dir = Paths.get(metadataDir(tableDir))
+    if (!Files.isDirectory(dir)) return None
+    val vs = scala.collection.mutable.ArrayBuffer.empty[Int]
+    Files.list(dir).forEach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("v") && n.endsWith(".json"))
+        n.stripPrefix("v").stripSuffix(".json").toIntOption.foreach(vs += _)
+    }
+    if (vs.isEmpty) None else Some(vs.max)
+  }
+
+  /** Data files currently on disk (relative to the table root),
+    * excluding in-flight commit protocol output (`_temporary`, hidden
+    * files, `_SUCCESS`) — what the next snapshot pins. */
+  private def listDataFiles(tableDir: String): Seq[String] = {
+    val root = Paths.get(tableDir)
+    val dd = Paths.get(dataDir(tableDir))
+    if (!Files.isDirectory(dd)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    Files.walk(dd).forEach { p =>
+      val n = p.getFileName.toString
+      val rel = root.relativize(p).toString
+      if (Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith(".") &&
+          !rel.contains("_temporary"))
+        out += rel
+    }
+    out.sorted.toSeq
+  }
+
+  /** Commit the CURRENT on-disk data-file set as the next table
+    * version, with compare-and-swap semantics: the new version number
+    * is `expectedParent + 1` (default: whatever [[currentVersion]]
+    * says), and if any other writer has already committed that version
+    * the commit FAILS with [[CommitConflictException]] — never
+    * silently clobbers. Atomicity: the version file is hard-LINKED
+    * into place (`link(2)` fails with EEXIST if the target appeared
+    * concurrently), because `rename(2)` onto an existing path replaces
+    * it silently and cannot detect the race. This is the optimistic
+    * concurrency protocol of an Iceberg catalog's swap-current-
+    * metadata call, expressed on a filesystem. */
+  def commitSnapshot(tableDir: String,
+      expectedParent: Option[Int] = None): Int = {
+    val parent = expectedParent.orElse(currentVersion(tableDir)).getOrElse(0)
+    val version = parent + 1
+    val dir = Paths.get(metadataDir(tableDir))
+    Files.createDirectories(dir)
+    val files = listDataFiles(tableDir)
+    val body =
+      s"""{"version":$version,"parent_version":$parent,""" +
+        s""""committed_at":${System.currentTimeMillis()},""" +
+        s""""data_files":[${files.map(js).mkString(",")}]}"""
+    val tmp = dir.resolve(s".tmp-v$version-${java.util.UUID.randomUUID()}")
+    val fin = dir.resolve(s"v$version.json")
+    Files.write(tmp, body.getBytes("UTF-8"))
+    try {
+      try Files.createLink(fin, tmp)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new CommitConflictException(
+            s"table version v$version already committed by a concurrent writer " +
+              s"(expected parent v$parent is stale — refresh and retry)")
+      }
+    } finally Files.deleteIfExists(tmp)
+    version
+  }
+
+  /** Read back one committed snapshot's metadata. */
+  def readSnapshot(tableDir: String, version: Int): Snapshot = {
+    val p = Paths.get(metadataDir(tableDir)).resolve(s"v$version.json")
+    val body = new String(Files.readAllBytes(p), "UTF-8")
+    def intField(k: String): Long =
+      s""""$k":(-?\\d+)""".r.findFirstMatchIn(body)
+        .getOrElse(throw new IllegalStateException(s"bad snapshot v$version: no $k"))
+        .group(1).toLong
+    val files = """"data_files":\[(.*)\]""".r.findFirstMatchIn(body)
+      .map(_.group(1)).getOrElse("")
+    val names =
+      if (files.isEmpty) Seq.empty
+      else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
+        .replace("\\\\", "\\").replace("\\\"", "\""))
+    Snapshot(intField("version").toInt, intField("parent_version").toInt,
+      intField("committed_at"), names)
+  }
+
+  /** SNAPSHOT-ISOLATION / time-travel read: exactly the data files
+    * pinned by `version`, regardless of what later jobs appended —
+    * `spark.read.parquet(pinned files…)` with `basePath` so
+    * partition-directory columns (`bucket=N`) still materialize. A
+    * reader holding a version is thus isolated from concurrent
+    * appends, the Iceberg read contract the plain `dataDir` read
+    * cannot give. Empty snapshots return an empty, schema-less frame
+    * only if the caller never wrote — callers always snapshot AFTER a
+    * chunk commit, so pinned files exist. */
+  def readAt(spark: SparkSession, tableDir: String, version: Int): DataFrame = {
+    val snap = readSnapshot(tableDir, version)
+    val paths = snap.dataFiles.map(f => s"$tableDir/$f")
+    if (paths.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.option("basePath", dataDir(tableDir)).parquet(paths: _*)
+  }
 
   /** Append lineage rows as one immutable manifest (atomic rename). */
   def commitLineage(tableDir: String, commitId: String, rows: Seq[LineageRow]): Unit = {

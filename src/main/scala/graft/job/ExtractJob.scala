@@ -352,6 +352,17 @@ object ExtractJob {
           "committed", cfg.attempt, now)
       }
       TableIO.commitLineage(tableDir, f"${cfg.jobId}-a${cfg.attempt}-c$chunkIdx%04d", rows)
+      // versioned snapshot per chunk: pins the data-file set visible
+      // after this commit, so concurrent/later readers can time-travel
+      // (TableIO.readAt) with snapshot isolation from later appends.
+      // Single-writer per job ⇒ the CAS cannot conflict here; two
+      // JOBS appending concurrently would, and the loser retries with
+      // a refreshed parent (bounded by chunk count, not data volume).
+      var committedVersion = false
+      while (!committedVersion) {
+        try { TableIO.commitSnapshot(tableDir); committedVersion = true }
+        catch { case _: TableIO.CommitConflictException => () }
+      }
       chunk.foreach { b => totals = totals + stats.getOrElse(b, BucketStats()) }
       bucketsDone += chunk.size
     }

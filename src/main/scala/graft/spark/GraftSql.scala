@@ -1,0 +1,69 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import graft.operators.{Dedup, Similarity}
+
+/** Pure-SQL surface for the COMPOSED operators.
+  *
+  * The eight native scalar/aggregate expressions are already
+  * SQL-callable (registered by [[graft.spark.GraftExtensions]]); the
+  * composed multi-stage operators (star pairs, containment, connected
+  * components, ANN top-k) were Scala-only. This registers them as
+  * TVF-style TEMPORARY VIEWS over caller-named source views, so a SQL
+  * console user reaches every composed operator with plain
+  * `SELECT * FROM graft_minhash_star_pairs` — the recipes in
+  * README.md §SQL show the round-trip.
+  *
+  * Laziness contract: pair/sketch views are LAZY (each query
+  * re-derives from the current content of the source view — normal
+  * view semantics). The components views are EAGER at registration
+  * (`CREATE TABLE AS` semantics): iterative-checkpoint construction
+  * executes its rounds while building the frame, so registering the
+  * view runs the rounds then; the registered view reads the
+  * materialized result. Both behaviors are named here and in README.
+  *
+  * Knobs are the library defaults; a SQL user needing different
+  * shingle/band/threshold knobs re-registers via this API — the knobs
+  * are deliberately NOT persisted into SQL state, so the view names
+  * always mean "the committed default configuration".
+  */
+object GraftSql {
+
+  /** Register the dedup-operator views over `docsView(doc_id, text)`.
+    * Views created (all prefixed, default `graft_`):
+    * exact_groups, minhash_pairs, minhash_star_pairs,
+    * jaccard_capped_pairs, containment_pairs, simhash_star_pairs,
+    * components, components_star. */
+  def registerDedupViews(spark: SparkSession, docsView: String,
+      prefix: String = "graft_"): Unit = {
+    val docs = spark.table(docsView)
+    Dedup.exactGroups(docs).createOrReplaceTempView(s"${prefix}exact_groups")
+    Dedup.minhashLshPairs(docs).createOrReplaceTempView(s"${prefix}minhash_pairs")
+    val star = Dedup.minhashLshStarPairs(docs)
+    star.createOrReplaceTempView(s"${prefix}minhash_star_pairs")
+    Dedup.ngramJaccardPairs(docs, minPermille = 500, maxDf = 64)
+      .createOrReplaceTempView(s"${prefix}jaccard_capped_pairs")
+    Dedup.ngramContainmentPairs(docs, minPermille = 800, maxDf = 64)
+      .createOrReplaceTempView(s"${prefix}containment_pairs")
+    Dedup.simhashStarPairs(docs).createOrReplaceTempView(s"${prefix}simhash_star_pairs")
+    // EAGER (see scaladoc): rounds execute now, the view reads results
+    Dedup.components(star).createOrReplaceTempView(s"${prefix}components")
+    Dedup.componentsStar(star).createOrReplaceTempView(s"${prefix}components_star")
+  }
+
+  /** Register the ANN views over `embView(vec_id, embedding)`:
+    * `<prefix>topk_brute` and `<prefix>topk_lsh` score every vector of
+    * `queriesWhere` (SQL predicate over `embView` columns selecting
+    * the query side, e.g. "vec_id < 8") against the full table. */
+  def registerSimilarityViews(spark: SparkSession, embView: String,
+      queriesWhere: String, k: Int = 5, prefix: String = "graft_"): Unit = {
+    val emb = spark.table(embView)
+    val queries = emb.where(queriesWhere)
+    Similarity.bruteForceTopK(queries, emb, k)
+      .createOrReplaceTempView(s"${prefix}topk_brute")
+    Similarity.lshTopK(queries, emb, k)
+      .createOrReplaceTempView(s"${prefix}topk_lsh")
+    Similarity.ivfTopK(queries, emb, k)
+      .createOrReplaceTempView(s"${prefix}topk_ivf")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.spark
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Round-trip of the pure-SQL surface: every composed operator view
+  * registered by [[GraftSql]] must return exactly what the Scala API
+  * returns — a SQL-console user and a library user see one engine. */
+class GraftSqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private lazy val docs = {
+    val base = Seq(
+      "the quick brown fox jumps over the lazy dog tonight",
+      "pack my box with five dozen liquor jugs right now",
+      "how vexingly quick daft zebras jump around here")
+    val rows = base.zipWithIndex.flatMap { case (t, i) =>
+      Seq((i * 10L, t), (i * 10L + 1L, t + " extra"), (i * 10L + 2L, t))
+    }
+    rows.toDF("doc_id", "text")
+  }
+
+  test("dedup views round-trip: SQL SELECT ≡ Scala operator output") {
+    docs.createOrReplaceTempView("docs_sql")
+    GraftSql.registerDedupViews(spark, "docs_sql")
+    def rows(sql: String) = spark.sql(sql).collect().map(_.toSeq).toSet
+
+    assert(rows("SELECT * FROM graft_exact_groups") ==
+      Dedup.exactGroups(docs).collect().map(_.toSeq).toSet)
+    assert(rows("SELECT * FROM graft_minhash_star_pairs") ==
+      Dedup.minhashLshStarPairs(docs).collect().map(_.toSeq).toSet)
+    assert(rows("SELECT * FROM graft_containment_pairs") ==
+      Dedup.ngramContainmentPairs(docs, minPermille = 800, maxDf = 64)
+        .collect().map(_.toSeq).toSet)
+    assert(rows("SELECT * FROM graft_components_star") ==
+      Dedup.componentsStar(Dedup.minhashLshStarPairs(docs))
+        .collect().map(_.toSeq).toSet)
+    // views COMPOSE with plain SQL (join a view against the source)
+    val joined = spark.sql(
+      """SELECT c.component, count(*) AS n
+        |FROM graft_components c JOIN docs_sql d ON d.doc_id = c.doc_id
+        |GROUP BY c.component ORDER BY component""".stripMargin).collect()
+    assert(joined.nonEmpty && joined.map(_.getLong(1)).sum ==
+      Dedup.components(Dedup.minhashLshStarPairs(docs)).count())
+  }
+
+  test("similarity views round-trip and compose in SQL") {
+    val rnd = new scala.util.Random(11)
+    val emb = Seq.tabulate(40)(i => (i.toLong, Seq.fill(16)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("emb_sql")
+    GraftSql.registerSimilarityViews(spark, "emb_sql", "vec_id < 4", k = 3)
+    val viaSql = spark.sql("SELECT * FROM graft_topk_brute").collect().map(_.toSeq).toSet
+    val direct = Similarity.bruteForceTopK(emb.where("vec_id < 4"), emb, 3)
+      .collect().map(_.toSeq).toSet
+    assert(viaSql == direct)
+    val lsh = spark.sql(
+      "SELECT query_id, count(*) AS n FROM graft_topk_lsh GROUP BY query_id").collect()
+    assert(lsh.forall(_.getLong(1) <= 3))
+  }
+}

@@ -65,6 +65,53 @@ class ExtractStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming extraction honors PER-ROW option columns identically to the batch job") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.fixtures.InterleavedGen
+    def pdfDoc(id: String, pages: Int) = {
+      val pdf = graft.pdf.PdfBuilder.simple(
+        (1 to pages).map(p => graft.pdf.PdfBuilder.tjLine(s"$id page $p")))
+      (id, Seq(RawSpan("pdf_bytes", InterleavedGen.b64(pdf), "", 0)))
+    }
+    val rows = Seq(
+      pdfDoc("ranged", 10) match { case (id, sp) => (id, sp, Some(3), Some(2), None: Option[String]) },
+      pdfDoc("full", 4) match { case (id, sp) => (id, sp, None, None, None) },
+      pdfDoc("badengine", 2) match { case (id, sp) => (id, sp, None, None, Some("nope")) })
+    val input = rows.toDF("doc_id", "spans", "start_page", "page_count", "engine")
+    val src = tmp("opt-src"); val out = tmp("opt-out"); val ck = tmp("opt-ck")
+    input.coalesce(1).write.parquet(s"$src/f1")
+    val stream = spark.readStream.schema(input.schema).parquet(s"$src/f*")
+    val q = ExtractStream.extract(spark, stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).as[ExtractedDoc]
+      .collect().map(d => d.doc_id -> d.spans.sortBy(_.order)).toMap
+    // same pins as the batch test: start_page=3 with the reference's
+    // off-by-one → pages 2..3; defaults untouched; bad engine fail-soft
+    assert(got("ranged").map(_.text) == Seq("ranged page 2", "ranged page 3"))
+    assert(got("full").map(_.text) == (1 to 4).map(p => s"full page $p"))
+    assert(!got.contains("badengine"))
+    // and a per-row NULL falls back to the job-level opts
+    val src2 = tmp("opt2-src"); val out2 = tmp("opt2-out"); val ck2 = tmp("opt2-ck")
+    Seq(pdfDoc("nullrow", 6) match { case (id, sp) =>
+      (id, sp, None: Option[Int], None: Option[Int], None: Option[String]) })
+      .toDF("doc_id", "spans", "start_page", "page_count", "engine")
+      .coalesce(1).write.parquet(s"$src2/f1")
+    val stream2 = spark.readStream.schema(input.schema).parquet(s"$src2/f*")
+    val q2 = ExtractStream.extract(spark, stream2,
+        ExtractOptions(startPage = 2, pageCount = 3))
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ck2)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got2 = spark.read.parquet(out2).as[ExtractedDoc]
+      .collect().map(d => d.doc_id -> d.spans.sortBy(_.order)).toMap
+    assert(got2("nullrow").map(_.text) == Seq(1, 2, 3).map(p => s"nullrow page $p"))
+  }
+
   test("restart with same checkpoint is exactly-once: new files only, no duplicates") {
     import spark.implicits._
     val corpus = tmp("corpus2"); val out = tmp("out2"); val ck = tmp("ck2")
