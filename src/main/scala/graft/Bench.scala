@@ -54,6 +54,16 @@ object Bench {
   final case class Level(reps: Vector[Rep]) {
     def kept: Vector[Rep] = { val c = reps.filter(_.clean); if (c.nonEmpty) c else reps }
     def hasClean: Boolean = reps.exists(_.clean)
+    /** Rep-coherence gate (round-4 lesson: a window whose four "clean"
+      * reps spread 3.7× in CPU-time throughput was stamped clean — the
+      * per-rep steal%% gate cannot see contamination that hides from
+      * /proc/stat, but cpu_dps spread CAN): clean reps must agree
+      * within [[CoherenceBand]] on cpu_dps, else the window is
+      * re-measured / graded dirty. */
+    def coherent: Boolean = {
+      val c = reps.filter(_.clean).map(_.cpuDps)
+      c.isEmpty || c.max / c.min <= CoherenceBand
+    }
     def best: Double = kept.map(_.wallDps).max
     def median: Double = {
       val s = kept.map(_.wallDps).sorted
@@ -77,6 +87,12 @@ object Bench {
     * discarded and retried (the whole-window 3.4% of round 1 hid a
     * burst that halved the graded number). */
   private val StealGatePct = 1.5
+
+  /** Max allowed max/min ratio of clean reps' cpu_dps within one graded
+    * window (30% band). Genuine runs agree far tighter (CPU-time
+    * throughput is wall-contamination-immune); a spread beyond this is
+    * invisible-contamination evidence. */
+  private val CoherenceBand = 1.3
 
   /** Max single-task wall time (ms) via listener — the straggler metric
     * for the giant-doc fan-out experiment. */
@@ -243,17 +259,24 @@ object Bench {
     // --- extraction throughput: graded pair 2→8; 8→32 diagnostic
     def level(n: Int): Level =
       measureLevel(n, corpusDir, targetReps = if (n <= 2) 2 else 4, maxAttempts = 8)
-    // a GRADED level must contain at least one clean rep — best-of-dirty
-    // is recorded but flagged, never silently graded (round-2 lesson:
-    // the committed record's graded number came from all-dirty windows)
-    def gradedLevel(n: Int): Level = {
-      var l = level(n)
+    // a GRADED level must contain at least one clean rep AND its clean
+    // reps must be cpu_dps-coherent — best-of-dirty/incoherent is
+    // recorded but flagged, never silently graded (round-2 lesson: an
+    // all-dirty window was graded; round-4 lesson: a 3.7×-spread window
+    // passed the steal gate). An incoherent window is REPLACED by a
+    // fresh one (appending cannot restore coherence: the outlier
+    // stays); every rep of every window is still recorded.
+    def gradedLevel(n: Int): (Level, Level) = {
+      var window = level(n)
+      var all = window.reps
       var extra = 0
-      while (!l.hasClean && extra < 2) { l = Level(l.reps ++ level(n).reps); extra += 1 }
-      l
+      while (!(window.hasClean && window.coherent) && extra < 2) {
+        window = level(n); all = all ++ window.reps; extra += 1
+      }
+      (Level(all), window)
     }
-    val l2 = gradedLevel(2)
-    val l8 = gradedLevel(8)
+    val (l2all, l2) = gradedLevel(2)
+    val (l8all, l8) = gradedLevel(8)
     var l32 = level(32)
     var anomaly = false
     if (l32.best < l8.best) {
@@ -279,7 +302,8 @@ object Bench {
       "q_events_hourly", "q_events_sessions", "dedup_exact", "dedup_minhash_lsh",
       "dedup_minhash_star", "dedup_jaccard", "dedup_jaccard_capped", "dedup_simhash",
       "dedup_simhash_star", "dedup_simhash64", "dedup_embedding", "dedup_embedding_star",
-      "dedup_components", "dedup_components_star", "dedup_containment",
+      "dedup_components", "dedup_components_star", "dedup_components_star_chain",
+      "dedup_containment",
       "pipeline_clean_corpus", "sim_topk_brute", "sim_topk_lsh",
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans",
       "text_stats", "text_langid", "text_distinct_kmv", "text_repetition",
@@ -330,7 +354,8 @@ object Bench {
         f""""cpu_docs_per_core_sec_2":${l2.cpuDps}%.1f,"cpu_docs_per_core_sec_8":${l8.cpuDps}%.1f,"cpu_docs_per_core_sec_32":${l32.cpuDps}%.1f,""" +
         f""""cpu_efficiency_8_32":$cpuEff832%.3f,""" +
         f""""graded_pair":"2->8 (N vs 4N cores)","anomaly_32_inverted":$anomaly,""" +
-        f""""graded_clean":${l2.hasClean && l8.hasClean},""" +
+        f""""graded_clean":${l2.hasClean && l8.hasClean && l2.coherent && l8.coherent},""" +
+        f""""coherence":{"band_max_over_min":$CoherenceBand,"2":${l2.coherent},"8":${l8.coherent},"32":${l32.coherent}},""" +
         f""""clean_reps":{"2":${l2.reps.count(_.clean)},"8":${l8.reps.count(_.clean)},"32":${l32.reps.count(_.clean)}},""" +
         f""""skew_fanout":{"giant_docs":${skew.giantDocs},"giant_pages_each":${skew.giantPages},""" +
         f""""normal_docs":${skew.normalDocs},"wall_off_sec":${skew.wallOffSec}%.2f,""" +
@@ -338,13 +363,25 @@ object Bench {
         f""""max_task_on_ms":${skew.maxTaskOnMs},"listener_drained":${skew.drained}},""" +
         f""""host_steal_pct":$stealPct%.2f,"steal_gate_pct":$StealGatePct"""
     // cwd-relative (sbt runs from the repo root); overridable so a
-    // foreign checkout cannot lose a completed run at the write step
-    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
-      new java.io.File("BENCH_FULL.json").getAbsolutePath)
+    // foreign checkout cannot lose a completed run at the write step.
+    // VERSIONED: a completed record is never overwritten — if the
+    // default path already holds one (e.g. the committed round record),
+    // this run writes a timestamped sibling instead (round-4 lesson:
+    // a verification run clobbered the working-tree record).
+    val fullPath = sys.env.get("SPARK_GRAFT_BENCH_FULL").getOrElse {
+      val base = new java.io.File("BENCH_FULL.json")
+      if (!base.exists()) base.getAbsolutePath
+      else {
+        val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
+          .format(java.time.LocalDateTime.now())
+        new java.io.File(s"BENCH_FULL-$ts.json").getAbsolutePath
+      }
+    }
     val full = core +
-      f""","reps":{"2":${repsJson(l2)},"8":${repsJson(l8)},"32":${repsJson(l32)}},""" +
+      f""","reps":{"2":${repsJson(l2all)},"8":${repsJson(l8all)},"32":${repsJson(l32)}},""" +
+      f""""graded_window_reps":{"2":${repsJson(l2)},"8":${repsJson(l8)}},""" +
       f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region",""" +
-      f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (up to 2x) until they hold >=1 clean rep, else graded_clean=false; best-of-clean graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag). skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}"""
+      f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (fresh window, up to 2x) until they hold >=1 clean rep AND clean reps agree within the cpu_dps coherence band, else graded_clean=false; best-of-clean in the final window graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag). skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}"""
     Files.write(Paths.get(fullPath), full.getBytes("UTF-8"))
     // stdout: close the extract object, then root-level full_record
     println(core + f"""},"full_record":"$fullPath"}""")

