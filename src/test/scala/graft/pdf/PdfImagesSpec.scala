@@ -227,4 +227,19 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(PdfImages.decodePng(g3.bytes).get._3.toSeq ==
       PdfImages.decodePng(g4.bytes).get._3.toSeq)
   }
+
+  test("JPXDecode is permanently opaque BY DECISION: fail-soft, never silently wrong") {
+    // Scope decision, pinned (the fax/JBIG2 extensions closed every
+    // other scanned-page filter): a full JPEG 2000 wavelet codestream
+    // decoder is out of scope; the reference errors on this filter too
+    // (mod.rs:163-165). The document must still parse and the JPX
+    // image must yield NO output — fail-soft, not a wrong decode.
+    val jb = PdfBuilder.withJbig2ImagePattern(6, 4, (_, _) => true)
+    assert(PdfImages.documentImages("jb", jb).size == 1)
+    // same-length filter-name swap keeps every xref offset valid
+    val s = new String(jb, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/Filter /JBIG2Decode", "/Filter /JPXDecode  ")
+    val jpx = s.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfImages.documentImages("jpx", jpx).isEmpty)
+  }
 }
