@@ -40,11 +40,12 @@ object TableIO {
     val dir = Paths.get(metadataDir(tableDir))
     if (!Files.isDirectory(dir)) return None
     val vs = scala.collection.mutable.ArrayBuffer.empty[Int]
-    Files.list(dir).forEach { p =>
+    val st = Files.list(dir)
+    try st.forEach { p =>
       val n = p.getFileName.toString
       if (n.startsWith("v") && n.endsWith(".json"))
         n.stripPrefix("v").stripSuffix(".json").toIntOption.foreach(vs += _)
-    }
+    } finally st.close()
     if (vs.isEmpty) None else Some(vs.max)
   }
 
@@ -56,13 +57,14 @@ object TableIO {
     val dd = Paths.get(dataDir(tableDir))
     if (!Files.isDirectory(dd)) return Seq.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    Files.walk(dd).forEach { p =>
+    val st = Files.walk(dd)
+    try st.forEach { p =>
       val n = p.getFileName.toString
       val rel = root.relativize(p).toString
       if (Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith(".") &&
           !rel.contains("_temporary"))
         out += rel
-    }
+    } finally st.close()
     out.sorted.toSeq
   }
 
@@ -76,7 +78,18 @@ object TableIO {
     * concurrently), because `rename(2)` onto an existing path replaces
     * it silently and cannot detect the race. This is the optimistic
     * concurrency protocol of an Iceberg catalog's swap-current-
-    * metadata call, expressed on a filesystem. */
+    * metadata call, expressed on a filesystem.
+    *
+    * CONTRACT vs real Iceberg (the emulation's honest limit): the
+    * pinned file set is a directory LISTING at commit time, not the
+    * writer's own manifest, so while a DIFFERENT job's multi-file
+    * write is mid-rename (inside its output-committer job commit), a
+    * listing can capture a torn subset of that job's chunk. Snapshot
+    * isolation therefore holds for readers against any LATER append
+    * (a pinned set never changes), and for writers serialized at the
+    * table level — overlapping mid-commit writers need the real
+    * catalog, where each writer commits its own file list. Version
+    * numbering stays linear under concurrency either way (the CAS). */
   def commitSnapshot(tableDir: String,
       expectedParent: Option[Int] = None): Int = {
     val parent = expectedParent.orElse(currentVersion(tableDir)).getOrElse(0)

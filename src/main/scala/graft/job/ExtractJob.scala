@@ -110,7 +110,11 @@ object ExtractJob {
   /** Per-document option columns (the reference's NewFileProcessQueue
     * carries options PER FILE, worker.rs:4-11). If the input table has
     * any of these columns they override the job-level defaults row by
-    * row; missing columns fall back to cfg.opts. */
+    * row; missing columns fall back to cfg.opts, as do null cells —
+    * EXCEPT `model`, where a null cell in a present column means
+    * "no model" (None is a meaningful option value of its own, so a
+    * present model column governs absolutely). The streaming face
+    * (`ExtractStream.extract`) implements the identical contract. */
   val OptionColumns: Seq[String] = Seq("start_page", "page_count", "engine", "model")
   /** One page-range chunk of a giant document (startPage < 0 marks an
     * unparseable/empty doc recorded fail-soft). */
@@ -356,8 +360,11 @@ object ExtractJob {
       // after this commit, so concurrent/later readers can time-travel
       // (TableIO.readAt) with snapshot isolation from later appends.
       // Single-writer per job ⇒ the CAS cannot conflict here; two
-      // JOBS appending concurrently would, and the loser retries with
-      // a refreshed parent (bounded by chunk count, not data volume).
+      // JOBS racing the same VERSION NUMBER are serialized by the CAS
+      // and the loser retries with a refreshed parent — but a snapshot
+      // taken while another job is MID-write can pin a torn subset of
+      // that job's files (see TableIO.commitSnapshot's contract note);
+      // overlapping writers to one table need the real catalog.
       var committedVersion = false
       while (!committedVersion) {
         try { TableIO.commitSnapshot(tableDir); committedVersion = true }

@@ -217,10 +217,13 @@ object Jbig2 {
     Vector((-3, -1), (-2, -1), (-1, -1), (0, -1), (1, -1),
       (-4, 0), (-3, 0), (-2, 0), (-1, 0)))
 
-  /** Nominal AT positions per template (§6.2.5.3). */
+  /** Nominal AT positions per template (§6.2.5.3): A1 extends row -1
+    * one past the template's fixed pixels — (3,-1) for templates 0
+    * and 1 (whose fixed row -1 ends at x+2), (2,-1) for templates 2
+    * and 3 (fixed row -1 ends at x+1). */
   def nominalAt(template: Int): Vector[(Int, Int)] = template match {
     case 0 => Vector((3, -1), (-3, -1), (2, -2), (-2, -2))
-    case 3 => Vector((2, -1))
+    case 1 => Vector((3, -1))
     case _ => Vector((2, -1))
   }
 
@@ -230,6 +233,10 @@ object Jbig2 {
   private def fullTemplate(template: Int, at: Vector[(Int, Int)]): Vector[(Int, Int)] = {
     val need = if (template == 0) 4 else 1
     require(at.length == need, s"template $template needs $need AT pixels, got ${at.length}")
+    // NOTE: an AT pixel MAY collide with a fixed pixel in a foreign
+    // stream (legal, just a redundant context bit); the sorted walk
+    // keeps that deterministic on both coder sides. Our own
+    // [[nominalAt]] never collides.
     (TemplateBase(template) ++ at).sortBy(p => (p._2, p._1))
   }
 
@@ -342,16 +349,25 @@ object Jbig2 {
       val count =
         if ((rts >>> 5) == 7) {
           val c = (u32(q) & 0x1fffffffL).toInt
+          // attacker-controlled 29-bit count: bound it BEFORE any
+          // arithmetic (count*refSize would wrap Int) — a count beyond
+          // the remaining stream bytes is nonsense anyway
+          if (c < 0 || c > b.length)
+            throw new Jbig2Exception(s"JBIG2: absurd referred-segment count $c")
           q += 4 + (c + 8) / 8 // 4-byte count + retain-bit bytes
           c
         } else { q += 1; rts >>> 5 }
-      // referred segment numbers, sized by THIS segment's number
+      // referred segment numbers, sized by THIS segment's number;
+      // Long arithmetic: count*refSize can exceed Int for big streams
       val refSize = if (number <= 256) 1 else if (number <= 65536) 2 else 4
-      q += count * refSize
+      val qAfterRefs = q.toLong + count.toLong * refSize
+      // bound BEFORE the pageAssoc/dataLen reads: q may already sit
+      // past the end after a hostile count walk
+      if (qAfterRefs + (if (pageAssoc4) 4 else 1) + 4 > b.length)
+        throw new Jbig2Exception("JBIG2: truncated segment header")
+      q = qAfterRefs.toInt
       val pageAssoc = if (pageAssoc4) { val v = u32(q); q += 4; v }
       else { val v = u8(q).toLong; q += 1; v }
-      if (q + 4 > b.length)
-        throw new Jbig2Exception("JBIG2: truncated segment header")
       val dataLen = u32(q); q += 4
       if (dataLen == 0xffffffffL)
         throw new Jbig2Exception("JBIG2: unknown segment data length unsupported")

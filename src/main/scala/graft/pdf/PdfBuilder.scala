@@ -277,10 +277,13 @@ object PdfBuilder {
     * query. `mmr = true` codes the region with the JDK's independent
     * T.6 encoder (MMR generic region); `mmr = false` with the
     * from-spec MQ arithmetic coder ([[Jbig2.encodeGeneric]],
-    * template/TPGDON as given). `black(x, y)` = JBIG2 1-bits. */
+    * template/TPGDON as given). `black(x, y)` = JBIG2 1-bits.
+    * `declaredW`/`declaredH` override the image DICT's /Width /Height
+    * (default: the bitmap dims) — the PDF-spec-governing dims a
+    * conformant reader clips/pads the JBIG2 page output to. */
   def withJbig2ImagePattern(w: Int, h: Int, black: (Int, Int) => Boolean,
       text: String = "jbig2 doc", mmr: Boolean = false, template: Int = 0,
-      tpgdon: Boolean = false): Array[Byte] = {
+      tpgdon: Boolean = false, declaredW: Int = -1, declaredH: Int = -1): Array[Byte] = {
     val b = new Builder
     b.raw("%PDF-1.7\n%âãÏÓ\n")
     b.obj(1) { b.raw("<< /Type /Catalog /Pages 2 0 R >>") }
@@ -295,7 +298,9 @@ object PdfBuilder {
     val px = new Array[Byte](w * h)
     for (y <- 0 until h; x <- 0 until w) if (black(x, y)) px(y * w + x) = 1
     val payload = Jbig2.buildEmbedded(Jbig2.Bitmap(w, h, px), mmr, template, tpgdon)
-    b.streamObj(6, s"/Type /XObject /Subtype /Image /Width $w /Height $h " +
+    val dw = if (declaredW > 0) declaredW else w
+    val dh = if (declaredH > 0) declaredH else h
+    b.streamObj(6, s"/Type /XObject /Subtype /Image /Width $dw /Height $dh " +
       "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode", payload)
     writeClassicXref(b)
   }

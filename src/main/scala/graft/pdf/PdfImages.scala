@@ -127,10 +127,30 @@ object PdfImages {
             Filters.decode(gs.dict, gs.raw, doc.resolve).getOrElse(gs.raw)
           case _ => Array.emptyByteArray
         }
-        try {
-          val (gw, gh, gray) = Jbig2.decodeEmbedded(globals, s.raw)
-          rgbaFromRaw(gray, gw, gh, "DeviceGray")
-            .map(rgba => (gw, gh, "png", encodePng(gw, gh, rgba)))
+        // dict dims drive the output allocation: bound like CCITT
+        if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+            w.toLong * h > (1L << 26))
+          Left(s"JBIG2 dims out of range: ${w}x$h")
+        else try {
+          val (gw, gh, gray0) = Jbig2.decodeEmbedded(globals, s.raw)
+          // the PDF image dict's /Width /Height GOVERN (PDF 32000
+          // §7.4.7): a JBIG2 page-info segment may declare a larger
+          // (striped/conservative) page — clip, or pad with white,
+          // to the declared dims rather than emitting page-sized output
+          val gray =
+            if (gw == w && gh == h) gray0
+            else {
+              val out = new Array[Byte](w * h)
+              java.util.Arrays.fill(out, 0xff.toByte)
+              var y = 0
+              while (y < math.min(h, gh)) {
+                System.arraycopy(gray0, y * gw, out, y * w, math.min(w, gw))
+                y += 1
+              }
+              out
+            }
+          rgbaFromRaw(gray, w, h, "DeviceGray")
+            .map(rgba => (w, h, "png", encodePng(w, h, rgba)))
         } catch {
           case scala.util.control.NonFatal(e) =>
             Left(s"JBIG2 decode failed: ${e.getMessage}")

@@ -47,7 +47,10 @@ object GraftSql {
       .createOrReplaceTempView(s"${prefix}containment_pairs")
     Dedup.simhashStarPairs(docs).createOrReplaceTempView(s"${prefix}simhash_star_pairs")
     // EAGER (see scaladoc): rounds execute now, the view reads results
-    Dedup.components(star).createOrReplaceTempView(s"${prefix}components")
+    // (checkpointRounds = true so components truncates per round like
+    // componentsStar — both views freeze at registration time)
+    Dedup.components(star, checkpointRounds = true)
+      .createOrReplaceTempView(s"${prefix}components")
     Dedup.componentsStar(star).createOrReplaceTempView(s"${prefix}components_star")
   }
 

@@ -39,8 +39,11 @@ object ExtractStream {
   /** The extraction transform, shared by batch and streaming plans —
     * one typed map-only stage (no shuffle in the streaming plan).
     * Per-document OPTION COLUMNS (`start_page`/`page_count`/`engine`/
-    * `model`) override the job-level `opts` row-wise when present,
-    * with null cells falling back to the job default — the same
+    * `model`) override the job-level `opts` row-wise when present;
+    * null `start_page`/`page_count`/`engine` cells fall back to the
+    * job default. `model` is the deliberate EXCEPTION: when a model
+    * column exists, a null cell means "no model" (None is itself a
+    * meaningful option value, distinct from the default) — the same
     * contract as the batch job ([[graft.job.ExtractJob.OptionColumns]];
     * the reference's queue carries options per message,
     * worker.rs:4-11), so a mixed-options corpus extracts identically

@@ -67,6 +67,7 @@ object RecallProbe {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding")
     val queries = emb.where(col("vec_id") < 64)
+    val nQueries = queries.count()
     val k = 10
     val truth = Similarity.bruteForceTopK(queries, emb, k).localCheckpoint()
 
@@ -89,17 +90,20 @@ object RecallProbe {
       .localCheckpoint()
     val starLabels = Dedup.componentsStar(Dedup.minhashLshStarPairs(docs))
     val starRecall = pairClusterRecall(truthPairs, starLabels)
-    // and the non-star pair generator, same banding: direct pair recall
-    val lshPairs = Dedup.minhashLshPairs(docs)
-      .select(col("a_id"), col("b_id"))
-      .unionAll(Dedup.minhashLshPairs(docs).select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    // and the non-star pair generator, same banding: direct pair
+    // recall (materialize ONCE — the LSH pipeline is the probe's
+    // dominant cost, symmetrize from the materialized pairs)
+    val lshOnce = Dedup.minhashLshPairs(docs)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val lshPairs = lshOnce
+      .unionAll(lshOnce.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
     val pairHit = truthPairs.select("a_id", "b_id")
       .join(lshPairs, Seq("a_id", "b_id"), "left_semi").count()
     val pairTotal = truthPairs.count()
     val lshPairRecall = if (pairTotal == 0) 1.0 else pairHit.toDouble / pairTotal
 
     val annJson = annRecall.map { case (n, r) => s""""$n":${f"$r%.4f"}""" }.mkString(",")
-    println(s"""{"metric":"recall","sf_dir":"$sfDir","k":$k,"n_queries":64,""" +
+    println(s"""{"metric":"recall","sf_dir":"$sfDir","k":$k,"n_queries":$nQueries,""" +
       s""""ann_recall_at_k":{$annJson},""" +
       s""""jaccard_truth_pairs":$pairTotal,""" +
       s""""minhash_lsh_pair_recall":${f"$lshPairRecall%.4f"},""" +

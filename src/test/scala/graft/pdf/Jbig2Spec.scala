@@ -143,6 +143,30 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("PDF dict /Width /Height GOVERN over JBIG2 page dims: clip and pad paths") {
+    // JBIG2 page info declares 10×8, the image dict 7×5 → output must
+    // be the dict's 7×5 (top-left clip), per PDF 32000 §7.4.7
+    val clip = PdfBuilder.withJbig2ImagePattern(10, 8, (x, y) => (x + y) % 2 == 0,
+      declaredW = 7, declaredH = 5)
+    val imC = PdfImages.documentImages("cl", clip).head
+    assert(imC.width == 7 && imC.height == 5)
+    val (cw, ch, crgba) = PdfImages.decodePng(imC.bytes).get
+    assert((cw, ch) == (7, 5))
+    for (y <- 0 until 5; x <- 0 until 7)
+      assert(((crgba((y * 7 + x) * 4) & 0xff) == 0) == ((x + y) % 2 == 0), s"clip ($x,$y)")
+    // dict larger than the JBIG2 page → white padding beyond the page
+    val pad = PdfBuilder.withJbig2ImagePattern(6, 4, (_, _) => true,
+      declaredW = 9, declaredH = 6)
+    val imP = PdfImages.documentImages("pd", pad).head
+    assert(imP.width == 9 && imP.height == 6)
+    val (pw2, ph2, prgba) = PdfImages.decodePng(imP.bytes).get
+    assert((pw2, ph2) == (9, 6))
+    for (y <- 0 until 6; x <- 0 until 9) {
+      val expectBlack = x < 6 && y < 4
+      assert(((prgba((y * 9 + x) * 4) & 0xff) == 0) == expectBlack, s"pad ($x,$y)")
+    }
+  }
+
   test("fail-soft: garbage stream and unsupported (symbol/text) segments give declared errors") {
     intercept[Jbig2.Jbig2Exception] {
       Jbig2.decodeEmbedded(Array.emptyByteArray, Array[Byte](0, 0))
