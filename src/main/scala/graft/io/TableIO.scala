@@ -134,6 +134,32 @@ object TableIO {
       intField("committed_at"), names)
   }
 
+  /** Time-travel by TIMESTAMP (Iceberg's `AS OF` semantics): the
+    * highest version whose commit time is ≤ `tsMillis`, or None if the
+    * table has no snapshot that old. */
+  def versionAsOf(tableDir: String, tsMillis: Long): Option[Int] = {
+    val cur = currentVersion(tableDir).getOrElse(return None)
+    (1 to cur).filter { v =>
+      try readSnapshot(tableDir, v).committedAt <= tsMillis
+      catch { case _: java.nio.file.NoSuchFileException => false } // expired
+    }.maxOption
+  }
+
+  /** Snapshot EXPIRY (Iceberg table maintenance): drop version files
+    * older than the newest `keepLast`, keeping the current lineage
+    * readable. Metadata-only — data files are shared across snapshots
+    * in this emulation (appends never rewrite), so no data is
+    * deleted; a real catalog's expire also garbage-collects files no
+    * surviving snapshot references. Returns the versions removed. */
+  def expireSnapshots(tableDir: String, keepLast: Int): Seq[Int] = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentVersion(tableDir).getOrElse(return Seq.empty)
+    val dropped = (1 to cur - keepLast).filter { v =>
+      Files.deleteIfExists(Paths.get(metadataDir(tableDir)).resolve(s"v$v.json"))
+    }
+    dropped
+  }
+
   /** SNAPSHOT-ISOLATION / time-travel read: exactly the data files
     * pinned by `version`, regardless of what later jobs appended —
     * `spark.read.parquet(pinned files…)` with `basePath` so

@@ -18,8 +18,16 @@ import scala.collection.mutable.ArrayBuffer
   *  - MMR = 0: arithmetic coding with the MQ coder (T.88 Annex E —
   *    the same coder JPEG 2000 uses), generic templates 0-3 with
   *    adaptive (AT) pixels and TPGDON typical-prediction rows
-  *    (T.88 §6.2.5.7).
-  * Symbol-dictionary / text / halftone / refinement regions are OUT of
+  *    (T.88 §6.2.5.7);
+  *  - SYMBOL DICTIONARIES (§6.5) and TEXT REGIONS (§6.4) in their
+  *    arithmetic form (SDHUFF=0, SDREFAGG=0, REFINE=0 — the dominant
+  *    scanned-text shape): the Annex A arithmetic-integer procedures
+  *    (IADH/IADW/IAEX/IADT/IAFS/IADS/IAIT ladders + IAID tree),
+  *    height-class symbol decoding over one shared MQ stream, export
+  *    runs, strip-walk instance placement with REFCORNER handling.
+  *    TRANSPOSED placement is implemented structurally; validation
+  *    fixtures cover the non-transposed corners.
+  * Huffman-coded variants, halftone regions and refinement are OUT of
   * scope and fail soft with a declared error — they never silently
   * decode wrong.
   *
@@ -244,12 +252,19 @@ object Jbig2 {
     * TPGDON). Context bits are the template pixels sorted (y, x),
     * MSB-first. */
   def decodeGeneric(data: Array[Byte], w: Int, h: Int, template: Int,
+      at: Vector[(Int, Int)], tpgdon: Boolean): Bitmap =
+    decodeGenericWith(new MqDecoder(data), new Array[Byte](1 << 16),
+      new Array[Byte](1 << 16), w, h, template, at, tpgdon)
+
+  /** [[decodeGeneric]] against a CALLER-owned MQ decoder and context
+    * arrays — the symbol-dictionary form (T.88 §6.5.5): every symbol
+    * bitmap of a dictionary decodes from ONE shared arithmetic stream
+    * with persistent generic contexts. */
+  def decodeGenericWith(dec: MqDecoder, cxI: Array[Byte], cxMps: Array[Byte],
+      w: Int, h: Int, template: Int,
       at: Vector[(Int, Int)], tpgdon: Boolean): Bitmap = {
     val tpl = fullTemplate(template, at)
     val bm = Bitmap(w, h, new Array[Byte](w * h))
-    val cxI = new Array[Byte](1 << 16)
-    val cxMps = new Array[Byte](1 << 16)
-    val dec = new MqDecoder(data)
     var ltp = 0
     var y = 0
     while (y < h) {
@@ -283,10 +298,18 @@ object Jbig2 {
     * [[decodeGeneric]] (same template walk, same contexts). */
   def encodeGeneric(bm: Bitmap, template: Int, at: Vector[(Int, Int)],
       tpgdon: Boolean): Array[Byte] = {
-    val tpl = fullTemplate(template, at)
-    val cxI = new Array[Byte](1 << 16)
-    val cxMps = new Array[Byte](1 << 16)
     val enc = new MqEncoder
+    encodeGenericWith(enc, new Array[Byte](1 << 16), new Array[Byte](1 << 16),
+      bm, template, at, tpgdon)
+    enc.flush()
+  }
+
+  /** [[encodeGeneric]] into a CALLER-owned encoder/contexts (no
+    * flush) — the symbol-dictionary encode form. */
+  def encodeGenericWith(enc: MqEncoder, cxI: Array[Byte], cxMps: Array[Byte],
+      bm: Bitmap, template: Int, at: Vector[(Int, Int)],
+      tpgdon: Boolean): Unit = {
+    val tpl = fullTemplate(template, at)
     var ltp = 0
     var y = 0
     while (y < bm.h) {
@@ -323,10 +346,388 @@ object Jbig2 {
       }
       y += 1
     }
-    enc.flush()
   }
 
-  // ---- segments (T.88 §7, embedded format) --------------------------
+  // ---- arithmetic INTEGER decoding (T.88 Annex A) -------------------
+
+  /** One IAx integer-procedure context: 512 adaptive states indexed by
+    * the PREV bit-history register (A.2). */
+  final class IntCtx {
+    val cxI = new Array[Byte](512)
+    val cxMps = new Array[Byte](512)
+  }
+
+  /** Out-of-band sentinel (S=1, V=0 — "no more values"). */
+  val OOB: Int = Int.MinValue
+
+  /** The A.2 value ladder: (selector-depth, value-bit-count, offset).
+    * Branch k is chosen by k leading 1-selector bits then a 0 (the
+    * last branch by five 1s). */
+  private val IntLadder = Vector((2, 0), (4, 4), (6, 20), (8, 84), (12, 340), (32, 4436))
+
+  /** Decode one IAx integer (A.2): sign bit, selector unary walk,
+    * magnitude bits — every bit through the PREV-indexed adaptive
+    * context; returns [[OOB]] for S=1,V=0. */
+  def decodeInt(dec: MqDecoder, cx: IntCtx): Int = {
+    var prev = 1
+    def bit(): Int = {
+      val b = dec.decode(cx.cxI, cx.cxMps, prev)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+      b
+    }
+    val s = bit()
+    var branch = 0
+    while (branch < IntLadder.length - 1 && bit() == 1) branch += 1
+    val (nBits, offset) = IntLadder(branch)
+    var v = 0L
+    var i = 0
+    while (i < nBits) { v = (v << 1) | bit(); i += 1 }
+    val mag = v + offset
+    if (s == 1 && mag == 0) OOB
+    else if (mag > Int.MaxValue) throw new Jbig2Exception("JBIG2: integer out of range")
+    else if (s == 1) -mag.toInt
+    else mag.toInt
+  }
+
+  /** Encode one IAx integer — exact inverse of [[decodeInt]] (fixture
+    * side; [[OOB]] codes as S=1 with the first branch's V=0). */
+  def encodeInt(enc: MqEncoder, cx: IntCtx, value: Int): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = {
+      enc.encode(cx.cxI, cx.cxMps, prev, b)
+      prev = if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+    }
+    val (s, mag) =
+      if (value == OOB) (1, 0L)
+      else if (value < 0) (1, -value.toLong)
+      else (0, value.toLong)
+    bit(s)
+    var branch = 0
+    while (branch < IntLadder.length - 1 &&
+        mag >= IntLadder(branch + 1)._2) branch += 1
+    // selector: `branch` ones then (unless deepest) a zero
+    var i = 0
+    while (i < branch) { bit(1); i += 1 }
+    if (branch < IntLadder.length - 1) bit(0)
+    val (nBits, offset) = IntLadder(branch)
+    val v = mag - offset
+    i = nBits - 1
+    while (i >= 0) { bit(((v >> i) & 1L).toInt); i -= 1 }
+  }
+
+  /** Symbol-ID (IAID, A.3) contexts: a binary tree of 2^(len+1)
+    * adaptive states. */
+  final class IdCtx(val symCodeLen: Int) {
+    val cxI = new Array[Byte](1 << (symCodeLen + 1))
+    val cxMps = new Array[Byte](1 << (symCodeLen + 1))
+  }
+
+  def decodeId(dec: MqDecoder, cx: IdCtx): Int = {
+    var prev = 1
+    var i = 0
+    while (i < cx.symCodeLen) {
+      val b = dec.decode(cx.cxI, cx.cxMps, prev)
+      prev = (prev << 1) | b
+      i += 1
+    }
+    prev - (1 << cx.symCodeLen)
+  }
+
+  def encodeId(enc: MqEncoder, cx: IdCtx, id: Int): Unit = {
+    var prev = 1
+    var i = cx.symCodeLen - 1
+    while (i >= 0) {
+      val b = (id >> i) & 1
+      enc.encode(cx.cxI, cx.cxMps, prev, b)
+      prev = (prev << 1) | b
+      i -= 1
+    }
+  }
+
+  /** SBSYMCODELEN (§6.4.5 / §7.4.4): bits per arithmetic symbol-ID. */
+  def symCodeLenFor(numSyms: Int): Int = {
+    require(numSyms >= 1, "text region with zero symbols")
+    math.max(1, 32 - Integer.numberOfLeadingZeros(math.max(1, numSyms - 1)))
+  }
+
+  // ---- symbol dictionary (T.88 §6.5, §7.4.3) ------------------------
+
+  /** Decode an ARITHMETIC symbol-dictionary segment body → exported
+    * symbol bitmaps, in export order (= symbol-ID order for a text
+    * region referring only to this dictionary). Scope: SDHUFF=0,
+    * SDREFAGG=0, no imported symbols — the common scanned-text shape;
+    * anything else is a declared error. */
+  def decodeSymbolDict(d: Array[Byte]): Vector[Bitmap] = {
+    if (d.length < 2) throw new Jbig2Exception("JBIG2: short symbol dict")
+    val flags = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+    val sdhuff = (flags & 1) != 0
+    val sdrefagg = (flags & 2) != 0
+    val template = (flags >>> 10) & 3
+    if (sdhuff) throw new Jbig2Exception("JBIG2: Huffman symbol dict unsupported")
+    if (sdrefagg) throw new Jbig2Exception("JBIG2: refinement/aggregate symbol dict unsupported")
+    var p = 2
+    val nAt = if (template == 0) 4 else 1
+    val at = (0 until nAt).map(i => (d(p + 2 * i).toInt, d(p + 2 * i + 1).toInt)).toVector
+    p += 2 * nAt
+    def u32(i: Int) = ((d(i) & 0xff).toLong << 24) | ((d(i + 1) & 0xff) << 16) |
+      ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
+    val numEx = u32(p); val numNew = u32(p + 4); p += 8
+    if (numNew < 0 || numNew > 10000 || numEx < 0 || numEx > 10000)
+      throw new Jbig2Exception(s"JBIG2: absurd symbol counts new=$numNew ex=$numEx")
+    val dec = new MqDecoder(d.drop(p))
+    val iadh = new IntCtx; val iadw = new IntCtx; val iaex = new IntCtx
+    val gbI = new Array[Byte](1 << 16); val gbMps = new Array[Byte](1 << 16)
+    val newSyms = Vector.newBuilder[Bitmap]
+    var n = 0
+    var hcHeight = 0
+    while (n < numNew) {
+      hcHeight += decodeInt(dec, iadh)
+      if (hcHeight <= 0 || hcHeight > (1 << 12))
+        throw new Jbig2Exception(s"JBIG2: symbol height out of range $hcHeight")
+      var symWidth = 0
+      var classDone = false
+      while (!classDone) {
+        val dw = decodeInt(dec, iadw)
+        if (dw == OOB) classDone = true
+        else {
+          symWidth += dw
+          if (symWidth <= 0 || symWidth > (1 << 12))
+            throw new Jbig2Exception(s"JBIG2: symbol width out of range $symWidth")
+          if (n >= numNew)
+            throw new Jbig2Exception("JBIG2: more symbols than declared")
+          newSyms += decodeGenericWith(dec, gbI, gbMps, symWidth, hcHeight,
+            template, at, tpgdon = false)
+          n += 1
+        }
+      }
+    }
+    // export runs (§6.5.10): alternating not-exported/exported, over
+    // (imported ++ new) — imports are out of scope, so over new only
+    val all = newSyms.result()
+    val exported = Vector.newBuilder[Bitmap]
+    var i = 0
+    var exFlag = false
+    while (i < all.length) {
+      val run = decodeInt(dec, iaex)
+      if (run == OOB || run < 0 || i + run > all.length)
+        throw new Jbig2Exception("JBIG2: bad export run")
+      if (exFlag) exported ++= all.slice(i, i + run)
+      i += run
+      exFlag = !exFlag
+    }
+    val ex = exported.result()
+    if (ex.length != numEx)
+      throw new Jbig2Exception(s"JBIG2: exported ${ex.length} != declared $numEx")
+    ex
+  }
+
+  /** Encode the symbol-dictionary segment body (fixture twin of
+    * [[decodeSymbolDict]]). `syms` must be sorted by ascending height
+    * (the height-class walk); symbol IDs are positional. */
+  def encodeSymbolDict(syms: Vector[Bitmap], template: Int = 0): Array[Byte] = {
+    require(syms.nonEmpty && syms.sliding(2).forall {
+      case Seq(a, b) => a.h <= b.h; case _ => true
+    }, "symbols must be height-ascending")
+    val at = nominalAt(template)
+    val head = ArrayBuffer[Byte]()
+    val flags = template << 10
+    head += ((flags >>> 8) & 0xff).toByte += (flags & 0xff).toByte
+    at.foreach { case (x, y) => head += x.toByte += y.toByte }
+    def be32b(v: Long): Unit = { head ++= be32(v) }
+    be32b(syms.length.toLong) // exported
+    be32b(syms.length.toLong) // new
+    val enc = new MqEncoder
+    val iadh = new IntCtx; val iadw = new IntCtx; val iaex = new IntCtx
+    val gbI = new Array[Byte](1 << 16); val gbMps = new Array[Byte](1 << 16)
+    var hcHeight = 0
+    var i = 0
+    while (i < syms.length) {
+      val h = syms(i).h
+      encodeInt(enc, iadh, h - hcHeight)
+      hcHeight = h
+      var symWidth = 0
+      while (i < syms.length && syms(i).h == h) {
+        encodeInt(enc, iadw, syms(i).w - symWidth)
+        symWidth = syms(i).w
+        encodeGenericWith(enc, gbI, gbMps, syms(i), template, at, tpgdon = false)
+        i += 1
+      }
+      encodeInt(enc, iadw, OOB) // height class done
+    }
+    encodeInt(enc, iaex, 0) // first run: not-exported, empty
+    encodeInt(enc, iaex, syms.length) // export all
+    (head ++ enc.flush()).toArray
+  }
+
+  // ---- text region (T.88 §6.4, §7.4.4) ------------------------------
+
+  /** One placed symbol instance (decode result / encode input):
+    * symbol `id` with its reference corner at (s, t) in region
+    * coordinates. */
+  final case class TextInstance(id: Int, s: Int, t: Int)
+
+  /** Decode an ARITHMETIC text-region segment body against the symbol
+    * pool. Scope: SBHUFF=0, REFINE=0 (the common shape); TRANSPOSED
+    * and all four REFCORNERs and comb ops are honored. */
+  def decodeTextRegion(d: Array[Byte], syms: Vector[Bitmap]): Region = {
+    def u8(i: Int) = d(i) & 0xff
+    def u32(i: Int) = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toInt
+    if (d.length < 23) throw new Jbig2Exception("JBIG2: short text region")
+    val w = u32(0); val h = u32(4); val x = u32(8); val y = u32(12)
+    val extCombOp = u8(16) & 7
+    val flags = (u8(17) << 8) | u8(18)
+    val sbhuff = (flags & 1) != 0
+    val refine = (flags & 2) != 0
+    val logStrips = (flags >>> 2) & 3
+    val refCorner = (flags >>> 4) & 3
+    val transposed = (flags & 0x40) != 0
+    val combOp = (flags >>> 7) & 3
+    val defPixel = (flags >>> 9) & 1
+    val dsOffRaw = (flags >>> 10) & 0x1f
+    val dsOffset = if (dsOffRaw > 15) dsOffRaw - 32 else dsOffRaw
+    if (sbhuff) throw new Jbig2Exception("JBIG2: Huffman text region unsupported")
+    if (refine) throw new Jbig2Exception("JBIG2: refinement text region unsupported")
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || w.toLong * h > (1L << 26))
+      throw new Jbig2Exception(s"JBIG2 text region dims out of range: ${w}x$h")
+    val numInstances = u32(19)
+    if (numInstances < 0 || numInstances.toLong > (1L << 24))
+      throw new Jbig2Exception(s"JBIG2: absurd instance count $numInstances")
+    val strips = 1 << logStrips
+    if (syms.isEmpty) throw new Jbig2Exception("JBIG2: text region with no symbols")
+    val dec = new MqDecoder(d.drop(23))
+    val iadt = new IntCtx; val iafs = new IntCtx; val iads = new IntCtx
+    val iait = new IntCtx
+    val iaid = new IdCtx(symCodeLenFor(syms.length))
+    val bm = Bitmap(w, h, new Array[Byte](w * h))
+    if (defPixel == 1) java.util.Arrays.fill(bm.px, 1.toByte)
+
+    def draw(sym: Bitmap, s0: Int, t0: Int): Unit = {
+      // (s0, t0) = the reference corner per REFCORNER/TRANSPOSED
+      val (px0, py0) =
+        if (!transposed) refCorner match {
+          case 0 => (s0, t0 - sym.h + 1) // BOTTOMLEFT
+          case 1 => (s0, t0) // TOPLEFT
+          case 2 => (s0 - sym.w + 1, t0 - sym.h + 1) // BOTTOMRIGHT
+          case _ => (s0 - sym.w + 1, t0) // TOPRIGHT
+        } else refCorner match {
+          // transposed: S runs vertically (y), T horizontally (x)
+          case 0 => (t0, s0) // BOTTOMLEFT
+          case 1 => (t0, s0) // TOPLEFT
+          case 2 => (t0 - sym.w + 1, s0) // BOTTOMRIGHT
+          case _ => (t0 - sym.w + 1, s0) // TOPRIGHT
+        }
+      var yy = 0
+      while (yy < sym.h) {
+        var xx = 0
+        while (xx < sym.w) {
+          val tx = px0 + xx; val ty = py0 + yy
+          if (tx >= 0 && tx < w && ty >= 0 && ty < h) {
+            val v = sym.px(yy * sym.w + xx)
+            val old = bm.px(ty * w + tx)
+            val nv = combOp match {
+              case 0 => old | v
+              case 1 => old & v
+              case 2 => old ^ v
+              case _ => 1 - (old ^ v)
+            }
+            bm.px(ty * w + tx) = nv.toByte
+          }
+          xx += 1
+        }
+        yy += 1
+      }
+    }
+
+    var stripT = -decodeInt(dec, iadt) * strips
+    var firstS = 0
+    var inst = 0
+    while (inst < numInstances) {
+      stripT += decodeInt(dec, iadt) * strips
+      var curS = 0
+      var first = true
+      var stripDone = false
+      while (!stripDone && inst < numInstances) {
+        if (first) {
+          firstS += decodeInt(dec, iafs)
+          curS = firstS
+          first = false
+        } else {
+          val ids = decodeInt(dec, iads)
+          if (ids == OOB) stripDone = true
+          else curS += ids + dsOffset
+        }
+        if (!stripDone) {
+          val curT = if (strips == 1) 0 else decodeInt(dec, iait)
+          val tI = stripT + curT
+          val id = decodeId(dec, iaid)
+          if (id < 0 || id >= syms.length)
+            throw new Jbig2Exception(s"JBIG2: symbol id $id out of range")
+          val sym = syms(id)
+          val span = if (!transposed) sym.w else sym.h
+          if (!transposed && (refCorner == 2 || refCorner == 3)) {
+            // RIGHT corners advance S BEFORE drawing (§6.4.5 3(c)(vi))
+            curS += span - 1
+            draw(sym, curS, tI)
+          } else if (transposed && (refCorner == 0 || refCorner == 2)) {
+            curS += span - 1
+            draw(sym, curS, tI)
+          } else {
+            draw(sym, curS, tI)
+            curS += span - 1
+          }
+          inst += 1
+        }
+      }
+    }
+    Region(x, y, bm, extCombOp)
+  }
+
+  /** Encode a text-region segment body (fixture twin): SBSTRIPS=1,
+    * TOPLEFT corner, OR composition, instances grouped by ascending t
+    * then s. */
+  def encodeTextRegion(w: Int, h: Int, instances: Seq[TextInstance],
+      syms: Vector[Bitmap]): Array[Byte] = {
+    require(instances.nonEmpty, "no instances")
+    val head = ArrayBuffer[Byte]()
+    head ++= be32(w.toLong); head ++= be32(h.toLong)
+    head ++= be32(0); head ++= be32(0)
+    head += 0.toByte // external comb op OR
+    val flags = (1 << 4) // TOPLEFT; SBHUFF=0, REFINE=0, LOGSBSTRIPS=0
+    head += ((flags >>> 8) & 0xff).toByte += (flags & 0xff).toByte
+    head ++= be32(instances.length.toLong)
+    val enc = new MqEncoder
+    val iadt = new IntCtx; val iafs = new IntCtx; val iads = new IntCtx
+    val iaid = new IdCtx(symCodeLenFor(syms.length))
+    val sorted = instances.sortBy(i => (i.t, i.s))
+    encodeInt(enc, iadt, 0) // STRIPT init → 0
+    var stripT = 0
+    var firstS = 0
+    var i = 0
+    while (i < sorted.length) {
+      val t = sorted(i).t
+      encodeInt(enc, iadt, t - stripT)
+      stripT = t
+      var curS = 0
+      var first = true
+      while (i < sorted.length && sorted(i).t == t) {
+        val inst = sorted(i)
+        if (first) {
+          encodeInt(enc, iafs, inst.s - firstS)
+          firstS = inst.s
+          curS = inst.s
+          first = false
+        } else {
+          encodeInt(enc, iads, inst.s - curS)
+          curS = inst.s
+        }
+        encodeId(enc, iaid, inst.id)
+        curS += syms(inst.id).w - 1
+        i += 1
+      }
+      encodeInt(enc, iads, OOB) // end of strip
+    }
+    (head ++ enc.flush()).toArray
+  }
 
   final case class Segment(number: Long, segType: Int, pageAssoc: Long,
       data: Array[Byte])
@@ -379,7 +780,9 @@ object Jbig2 {
     out.result()
   }
 
-  private final case class Region(x: Int, y: Int, bm: Bitmap, combOp: Int)
+  /** A decoded region positioned on the page (x, y) with its external
+    * combination operator. */
+  final case class Region(x: Int, y: Int, bm: Bitmap, combOp: Int)
 
   /** Decode one generic-region segment body (region info §7.4.1 +
     * generic flags §7.4.6). */
@@ -424,20 +827,33 @@ object Jbig2 {
     * like every image decode branch). */
   def decodeEmbedded(globals: Array[Byte], data: Array[Byte]): (Int, Int, Array[Byte]) = {
     val segs = parseSegments(globals) ++ parseSegments(data)
-    val unsupported = segs.find(s => Set(0, 4, 6, 7, 16, 20, 22, 23, 40, 42, 43).contains(s.segType))
+    val unsupported = segs.find(s => Set(16, 20, 22, 23, 40, 42, 43).contains(s.segType))
     unsupported.foreach(s => throw new Jbig2Exception(
-      s"JBIG2: unsupported segment type ${s.segType} (symbol/text/halftone/refinement)"))
-    val regions = segs.filter(s => Set(36, 38, 39).contains(s.segType))
-      .map(s => decodeRegionSegment(s.data))
-    if (regions.isEmpty) throw new Jbig2Exception("JBIG2: no generic region segment")
+      s"JBIG2: unsupported segment type ${s.segType} (halftone/refinement)"))
+    // walk in stream order: symbol dictionaries grow the symbol pool;
+    // text regions consume it (scope: a text region sees every symbol
+    // exported so far, the single-dictionary common case — per-segment
+    // referred-to wiring is not tracked)
+    var pool = Vector.empty[Bitmap]
+    val regions = Vector.newBuilder[Region]
+    segs.foreach { s =>
+      s.segType match {
+        case 0 => pool = pool ++ decodeSymbolDict(s.data)
+        case 4 | 6 | 7 => regions += decodeTextRegion(s.data, pool)
+        case 36 | 38 | 39 => regions += decodeRegionSegment(s.data)
+        case _ => ()
+      }
+    }
+    val regionsV = regions.result()
+    if (regionsV.isEmpty) throw new Jbig2Exception("JBIG2: no region segment")
     // page geometry: page-info segment if present (height may be
     // 0xFFFFFFFF = unknown → fall back to region extent), else the
     // union extent of the regions
     val pageInfo = segs.find(_.segType == 48)
     def u32(d: Array[Byte], i: Int) =
       ((d(i) & 0xff).toLong << 24) | ((d(i + 1) & 0xff) << 16) | ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
-    val extentW = regions.map(r => r.x + r.bm.w).max
-    val extentH = regions.map(r => r.y + r.bm.h).max
+    val extentW = regionsV.map(r => r.x + r.bm.w).max
+    val extentH = regionsV.map(r => r.y + r.bm.h).max
     val (pw, ph, defPixel) = pageInfo match {
       case Some(s) if s.data.length >= 17 =>
         val w = u32(s.data, 0); val h = u32(s.data, 4)
@@ -451,7 +867,7 @@ object Jbig2 {
       throw new Jbig2Exception(s"JBIG2 page dims out of range: ${pw}x$ph")
     val page = new Array[Byte](pw * ph)
     if (defPixel == 1) java.util.Arrays.fill(page, 1.toByte)
-    regions.foreach { r =>
+    regionsV.foreach { r =>
       var yy = 0
       while (yy < r.bm.h) {
         var xx = 0
@@ -486,6 +902,35 @@ object Jbig2 {
     Array(((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
       ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
 
+  /** Write one segment header + body (embedded format; ≤4 referred
+    * segments, 1-byte page association, segment numbers ≤ 256). */
+  private def writeSegment(out: ArrayBuffer[Byte], number: Long, segType: Int,
+      page: Long, refs: Seq[Long], data: Array[Byte]): Unit = {
+    require(refs.length <= 4 && number <= 256, "fixture writer limits")
+    out ++= be32(number)
+    out += segType.toByte // flags: type, 1-byte page assoc
+    out += ((refs.length << 5) & 0xff).toByte // referred-to count + retain 0s
+    refs.foreach(r => out += r.toByte) // 1-byte refs (number <= 256)
+    out += page.toByte
+    out ++= be32(data.length.toLong)
+    out ++= data
+  }
+
+  /** Build an embedded JBIG2 TEXT stream: page info + symbol
+    * dictionary + one immediate text region placing `instances` of
+    * `syms` (height-ascending; IDs positional) on a `w`×`h` page. */
+  def buildEmbeddedText(w: Int, h: Int, syms: Vector[Bitmap],
+      instances: Seq[TextInstance], template: Int = 0): Array[Byte] = {
+    val out = ArrayBuffer[Byte]()
+    val pageInfo = be32(w.toLong) ++ be32(h.toLong) ++
+      be32(0) ++ be32(0) ++ Array[Byte](0) ++ Array[Byte](0, 0)
+    writeSegment(out, 1, 48, 1, Nil, pageInfo)
+    writeSegment(out, 2, 0, 1, Nil, encodeSymbolDict(syms, template))
+    writeSegment(out, 3, 6, 1, Seq(2L), encodeTextRegion(w, h, instances, syms))
+    writeSegment(out, 4, 49, 1, Nil, Array.emptyByteArray)
+    out.toArray
+  }
+
   /** Build a minimal embedded JBIG2 stream: page info + one immediate
     * generic region over the given bitmap. `mmr = true` codes the
     * payload with the JDK's independent T.6 encoder (cross-validated
@@ -493,14 +938,8 @@ object Jbig2 {
   def buildEmbedded(bm: Bitmap, mmr: Boolean, template: Int = 0,
       tpgdon: Boolean = false): Array[Byte] = {
     val out = ArrayBuffer[Byte]()
-    def segment(number: Long, segType: Int, page: Long, data: Array[Byte]): Unit = {
-      out ++= be32(number)
-      out += segType.toByte // flags: type, 1-byte page assoc, no refs
-      out += 0.toByte // referred-to count 0
-      out += page.toByte
-      out ++= be32(data.length.toLong)
-      out ++= data
-    }
+    def segment(number: Long, segType: Int, page: Long, data: Array[Byte]): Unit =
+      writeSegment(out, number, segType, page, Nil, data)
     val pageInfo = be32(bm.w.toLong) ++ be32(bm.h.toLong) ++
       be32(0) ++ be32(0) ++ Array[Byte](0) ++ Array[Byte](0, 0)
     segment(1, 48, 1, pageInfo)

@@ -305,6 +305,40 @@ object PdfBuilder {
     writeClassicXref(b)
   }
 
+  /** One page embedding a JBIG2 TEXT-region image XObject (symbol
+    * dictionary + text region, the scanned-TEXT shape): glyphs g∈0..2
+    * are (3+g)×(2+g) bitmaps black iff (x+y+g+seed)%2==0; `nInst`
+    * instances place glyph i%3 at s=(i%4)*8, t=(i/4)*6 (TOPLEFT, OR,
+    * non-overlapping) on a 32×18 page — every quantity is closed-form
+    * so the oracle recomputes black counts analytically. */
+  def withJbig2TextPattern(seed: Long, nInst: Int,
+      text: String = "jbig2 text doc"): Array[Byte] = {
+    val b = new Builder
+    b.raw("%PDF-1.7\n%âãÏÓ\n")
+    b.obj(1) { b.raw("<< /Type /Catalog /Pages 2 0 R >>") }
+    b.obj(2) { b.raw("<< /Type /Pages /Kids [4 0 R] /Count 1 /MediaBox [0 0 612 792] >>") }
+    b.obj(3) { b.raw("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") }
+    b.obj(4) {
+      b.raw("<< /Type /Page /Parent 2 0 R /Contents 5 0 R /Resources " +
+        "<< /Font << /F1 3 0 R >> /XObject << /Im0 6 0 R >> >> >>")
+    }
+    val content = (tjLine(text) + " q 100 0 0 60 72 500 cm /Im0 Do Q").getBytes(ISO_8859_1)
+    b.streamObj(5, "", content)
+    val syms = (0 to 2).map { g =>
+      val gw = 3 + g; val gh = 2 + g
+      val px = new Array[Byte](gw * gh)
+      for (y <- 0 until gh; x <- 0 until gw)
+        if ((x + y + g + seed) % 2 == 0) px(y * gw + x) = 1
+      Jbig2.Bitmap(gw, gh, px)
+    }.toVector
+    val instances = (0 until nInst).map(i =>
+      Jbig2.TextInstance(i % 3, (i % 4) * 8, (i / 4) * 6))
+    val payload = Jbig2.buildEmbeddedText(32, 18, syms, instances)
+    b.streamObj(6, "/Type /XObject /Subtype /Image /Width 32 /Height 18 " +
+      "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode", payload)
+    writeClassicXref(b)
+  }
+
   /** Truncated-xref document for the fail-soft path. */
   def corrupt(): Array[Byte] = {
     val good = simple(Seq(tjLine("doomed")))

@@ -261,6 +261,20 @@ object Oracles {
         | w AS width, h AS height, px.black AS black_px
         |FROM imgs JOIN px USING (id) ORDER BY imgs.id""".stripMargin,
 
+    "pdfz_images_jbig2_text" ->
+      // symbol-dict + text-region path: glyph g=(i%3) is (3+g)x(2+g),
+      // black iff (x+y+g+id)%2=0, placed non-overlapping — the page
+      // black count is the sum of instance glyph counts
+      """WITH imgs AS (SELECT i AS id, CAST(8 + i % 3 AS INTEGER) AS n FROM range(12) t(i)),
+        |px AS (SELECT id,
+        |  CAST(sum(CASE WHEN xs.x < 3 + (inst.i % 3) AND ys.y < 2 + (inst.i % 3)
+        |    AND (xs.x + ys.y + (inst.i % 3) + id) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS black
+        | FROM imgs, range(10) inst(i), range(5) xs(x), range(4) ys(y)
+        | WHERE inst.i < n GROUP BY id)
+        |SELECT imgs.id, printf('tx%04d_1_0.png', imgs.id) AS media_ref,
+        | CAST(32 AS INTEGER) AS width, CAST(18 AS INTEGER) AS height, px.black AS black_px
+        |FROM imgs JOIN px USING (id) ORDER BY imgs.id""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

@@ -197,6 +197,29 @@ object Queries {
     .orderBy("id")
   }
 
+  /** JBIG2 SCANNED-TEXT decode, oracle-pinned: 12 deterministic pages
+    * through the symbol-dictionary + text-region path (T.88 §6.5/§6.4
+    * arithmetic form — Annex A integer procedures, IAID tree,
+    * height-class symbol decode over one shared MQ stream, strip-walk
+    * placement), embedded as real `/JBIG2Decode` XObjects. Glyphs and
+    * instance layout are closed-form ([[graft.pdf.PdfBuilder
+    * .withJbig2TextPattern]]), so the DuckDB twin recomputes the
+    * black-pixel counts analytically. */
+  def pdfzImagesJbig2Text(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).repartition(4).flatMap { id =>
+      val nInst = 8 + (id % 3).toInt
+      val pdf = graft.pdf.PdfBuilder.withJbig2TextPattern(id, nInst)
+      graft.pdf.PdfImages.documentImages(f"tx$id%04d", pdf).map { im =>
+        val (pw, ph, rgba) = graft.pdf.PdfImages.decodePng(im.bytes).get
+        val black = (0 until pw * ph).count(i => (rgba(i * 4) & 0xff) == 0)
+        (id, im.name, im.width, im.height, black.toLong)
+      }
+    }
+    .toDF("id", "media_ref", "width", "height", "black_px")
+    .orderBy("id")
+  }
+
   /** HTML boilerplate strip, ORACLE-pinned (north_rule "HTML
     * boilerplate strip, DOM heuristics"): deterministic HTML documents
     * exercising the classifier's branches — nav/head/script stripping,
@@ -1122,6 +1145,7 @@ object Queries {
     "pdfz_images" -> (pdfzImages _),
     "pdfz_images_fax" -> (pdfzImagesFax _),
     "pdfz_images_jbig2" -> (pdfzImagesJbig2 _),
+    "pdfz_images_jbig2_text" -> (pdfzImagesJbig2Text _),
     "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),

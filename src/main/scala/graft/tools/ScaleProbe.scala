@@ -52,6 +52,17 @@ object ScaleProbe {
       "dedup_simhash_star" -> (d => Dedup.simhashStarPairs(d)),
       "dedup_components" -> (d => Dedup.components(Dedup.minhashLshStarPairs(d))),
       "dedup_components_star" -> (d => Dedup.componentsStar(Dedup.minhashLshStarPairs(d))),
+      // HIGH-DIAMETER probe (chains of ≤32 consecutive ids, 5 rounds
+      // BIND — the workload componentsStar's O(log n) claim is for);
+      // copies offset by 1M so each copy carries its own chains
+      "dedup_components_star_chain" -> (d => {
+        val ids = d.select(col("doc_id"))
+        val cand = ids.where(col("doc_id") % 32 =!= 31)
+          .select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
+        val chain = cand.join(ids.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+          .select("a_id", "b_id")
+        Dedup.componentsStar(chain, rounds = 5)
+      }),
       "dedup_containment_capped" ->
         (d => Dedup.ngramContainmentPairs(d, minPermille = 800, maxDf = 10)))
 

@@ -73,6 +73,31 @@ class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(retry == base + 2)
   }
 
+  test("timestamp time-travel and snapshot expiry (Iceberg maintenance twins)") {
+    val table = tmpDir("graft-asof")
+    ExtractJob.run(spark, corpusDf(12), table,
+      ExtractJob.Config(numBuckets = 4, chunkBuckets = 1)) // 4 chunks → v1..v4
+    val cur = TableIO.currentVersion(table).get
+    assert(cur == 4)
+    val s2 = TableIO.readSnapshot(table, 2)
+    // AS OF exactly v2's commit time → v2; before v1 → None; now → v4
+    assert(TableIO.versionAsOf(table, s2.committedAt).contains(2) ||
+      // equal timestamps across fast chunk commits resolve to the LAST
+      // version at that instant — still a correct AS OF answer
+      TableIO.versionAsOf(table, s2.committedAt).exists(v =>
+        TableIO.readSnapshot(table, v).committedAt == s2.committedAt))
+    assert(TableIO.versionAsOf(table, TableIO.readSnapshot(table, 1).committedAt - 1).isEmpty)
+    assert(TableIO.versionAsOf(table, System.currentTimeMillis()).contains(4))
+    // expiry keeps the last 2, drops v1/v2 (metadata-only)
+    val dropped = TableIO.expireSnapshots(table, keepLast = 2)
+    assert(dropped == Seq(1, 2))
+    intercept[java.nio.file.NoSuchFileException] { TableIO.readSnapshot(table, 1) }
+    assert(TableIO.readAt(spark, table, 4).count() == 12, "current lineage still readable")
+    assert(TableIO.currentVersion(table).contains(4))
+    // versionAsOf skips expired versions gracefully
+    assert(TableIO.versionAsOf(table, System.currentTimeMillis()).contains(4))
+  }
+
   test("job resume after kill continues the version chain, not forks it") {
     val table = tmpDir("graft-snapresume")
     val input = corpusDf(16)

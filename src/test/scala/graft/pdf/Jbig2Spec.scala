@@ -143,6 +143,99 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("arithmetic-integer coder (Annex A) round-trips every ladder branch, signs, and OOB") {
+    val values = Seq(0, 1, 3, 4, 19, 20, 83, 84, 339, 340, 4435, 4436, 100000,
+      123456789, -1, -3, -4, -19, -20, -84, -340, -4436, -987654, Jbig2.OOB)
+    val rnd = new scala.util.Random(41)
+    val mixed = values ++ Seq.fill(500)(rnd.nextInt(20000) - 10000) ++
+      Seq.fill(50)(Jbig2.OOB)
+    val enc = new Jbig2.MqEncoder
+    val ecx = Array.fill(3)(new Jbig2.IntCtx) // interleave several procedures
+    mixed.zipWithIndex.foreach { case (v, i) => Jbig2.encodeInt(enc, ecx(i % 3), v) }
+    val bytes = enc.flush()
+    val dec = new Jbig2.MqDecoder(bytes)
+    val dcx = Array.fill(3)(new Jbig2.IntCtx)
+    mixed.zipWithIndex.foreach { case (v, i) =>
+      assert(Jbig2.decodeInt(dec, dcx(i % 3)) == v, s"at $i value $v")
+    }
+  }
+
+  test("IAID symbol-id coder round-trips across code lengths") {
+    for (numSyms <- Seq(1, 2, 3, 5, 17, 300)) {
+      val len = Jbig2.symCodeLenFor(numSyms)
+      val rnd = new scala.util.Random(numSyms)
+      val ids = Seq.fill(200)(rnd.nextInt(numSyms))
+      val enc = new Jbig2.MqEncoder
+      val ecx = new Jbig2.IdCtx(len)
+      ids.foreach(id => Jbig2.encodeId(enc, ecx, id))
+      val dec = new Jbig2.MqDecoder(enc.flush())
+      val dcx = new Jbig2.IdCtx(len)
+      ids.foreach(id => assert(Jbig2.decodeId(dec, dcx) == id, s"numSyms=$numSyms"))
+    }
+  }
+
+  test("symbol dictionary round-trips: height classes, widths, shared generic contexts") {
+    val rnd = new scala.util.Random(77)
+    // heights ascending with repeated classes; varied widths
+    val dims = Seq((3, 2), (5, 2), (4, 4), (6, 4), (2, 4), (7, 5))
+    val syms = dims.map { case (w, h) =>
+      val px = Array.fill[Byte](w * h)(if (rnd.nextInt(3) == 0) 1 else 0)
+      Jbig2.Bitmap(w, h, px)
+    }.toVector
+    for (template <- Seq(0, 2)) {
+      val data = Jbig2.encodeSymbolDict(syms, template)
+      val back = Jbig2.decodeSymbolDict(data)
+      assert(back.length == syms.length, s"template=$template")
+      for (i <- syms.indices) {
+        assert((back(i).w, back(i).h) == (syms(i).w, syms(i).h), s"sym $i dims")
+        assert(back(i).px.toSeq == syms(i).px.toSeq, s"sym $i pixels template=$template")
+      }
+    }
+  }
+
+  test("text region end-to-end: symbol dict + strip-coded instances reproduce the page") {
+    val syms = Vector(
+      bitmap(3, 2)((x, y) => (x + y) % 2 == 0),
+      bitmap(4, 3)((x, y) => x == 0 || y == 2),
+      bitmap(5, 4)((x, y) => (x * y) % 3 == 0))
+    val instances = Seq(
+      Jbig2.TextInstance(0, 1, 1), Jbig2.TextInstance(2, 10, 0),
+      Jbig2.TextInstance(1, 20, 2), Jbig2.TextInstance(1, 2, 8),
+      Jbig2.TextInstance(0, 12, 9), Jbig2.TextInstance(2, 18, 7))
+    val (w, h) = (26, 14)
+    val stream = Jbig2.buildEmbeddedText(w, h, syms, instances)
+    val (gw, gh, gray) = Jbig2.decodeEmbedded(Array.emptyByteArray, stream)
+    assert((gw, gh) == (w, h))
+    // expected: OR-draw each instance TOPLEFT onto a white page
+    val exp = new Array[Byte](w * h)
+    instances.foreach { in =>
+      val s = syms(in.id)
+      for (y <- 0 until s.h; x <- 0 until s.w if s.px(y * s.w + x) == 1)
+        exp((in.t + y) * w + (in.s + x)) = 1
+    }
+    for (y <- 0 until h; x <- 0 until w)
+      assert((gray(y * w + x) == 0) == (exp(y * w + x) == 1), s"($x,$y)")
+  }
+
+  test("PDF end-to-end: scanned-TEXT JBIG2 (symbol dict + text region) → PNG") {
+    val pdf = PdfBuilder.withJbig2TextPattern(seed = 5, nInst = 9)
+    val images = PdfImages.documentImages("tx", pdf)
+    assert(images.size == 1)
+    val im = images.head
+    assert(im.width == 32 && im.height == 18)
+    val (pw, ph, rgba) = PdfImages.decodePng(im.bytes).get
+    assert((pw, ph) == (32, 18))
+    // recompute the closed-form page: glyph i%3 at ((i%4)*8, (i/4)*6)
+    val exp = new Array[Boolean](32 * 18)
+    for (i <- 0 until 9) {
+      val g = i % 3; val s = (i % 4) * 8; val t = (i / 4) * 6
+      for (y <- 0 until 2 + g; x <- 0 until 3 + g if (x + y + g + 5) % 2 == 0)
+        exp((t + y) * 32 + (s + x)) = true
+    }
+    for (y <- 0 until 18; x <- 0 until 32)
+      assert(((rgba((y * 32 + x) * 4) & 0xff) == 0) == exp(y * 32 + x), s"($x,$y)")
+  }
+
   test("PDF dict /Width /Height GOVERN over JBIG2 page dims: clip and pad paths") {
     // JBIG2 page info declares 10×8, the image dict 7×5 → output must
     // be the dict's 7×5 (top-left clip), per PDF 32000 §7.4.7
@@ -171,12 +264,23 @@ class Jbig2Spec extends AnyFunSuite {
     intercept[Jbig2.Jbig2Exception] {
       Jbig2.decodeEmbedded(Array.emptyByteArray, Array[Byte](0, 0))
     }
-    // a symbol-dictionary segment (type 0) must be REJECTED, not misdecoded
-    val symDict = Array[Byte](0, 0, 0, 1, 0, 0, 1, 0, 0, 0, 0)
+    // a halftone-region segment (type 22) must be REJECTED, not misdecoded
+    val halftone = Array[Byte](0, 0, 0, 1, 22, 0, 1, 0, 0, 0, 0)
     val e = intercept[Jbig2.Jbig2Exception] {
-      Jbig2.decodeEmbedded(Array.emptyByteArray, symDict)
+      Jbig2.decodeEmbedded(Array.emptyByteArray, halftone)
     }
     assert(e.getMessage.contains("unsupported segment type"))
+    // a truncated symbol dictionary fails with a DECLARED error too
+    val symDict = Array[Byte](0, 0, 0, 1, 0, 0, 1, 0, 0, 0, 1, 9)
+    val e2 = intercept[Jbig2.Jbig2Exception] {
+      Jbig2.decodeEmbedded(Array.emptyByteArray, symDict)
+    }
+    assert(e2.getMessage.contains("symbol dict"))
+    // Huffman-coded symbol dict (SDHUFF=1) is a declared scope boundary
+    val e3 = intercept[Jbig2.Jbig2Exception] {
+      Jbig2.decodeSymbolDict(Array[Byte](0, 1, 0, 0, 0, 0, 0, 0, 0, 0))
+    }
+    assert(e3.getMessage.contains("Huffman"))
     // and through the PDF face it is fail-soft: document still parses,
     // the bad image yields no output instead of an exception
     val good = PdfBuilder.withJbig2ImagePattern(4, 4, (_, _) => false)
