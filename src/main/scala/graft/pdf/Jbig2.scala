@@ -201,6 +201,13 @@ object Jbig2 {
 
   // ---- generic region (T.88 §6.2) -----------------------------------
 
+  /** Big-endian u32 read as Long (one shared reader — the five local
+    * copies this replaces differed subtly in sign/truncation).
+    * Callers bound-check before reading. */
+  private def u32be(d: Array[Byte], i: Int): Long =
+    ((d(i) & 0xff).toLong << 24) | ((d(i + 1) & 0xff) << 16) |
+      ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
+
   /** One byte per pixel, 1 = black (the JBIG2 convention). */
   final case class Bitmap(w: Int, h: Int, px: Array[Byte]) {
     def get(x: Int, y: Int): Int =
@@ -467,11 +474,12 @@ object Jbig2 {
     if (sdrefagg) throw new Jbig2Exception("JBIG2: refinement/aggregate symbol dict unsupported")
     var p = 2
     val nAt = if (template == 0) 4 else 1
+    // full header = flags + AT pairs + two 4-byte counts
+    if (d.length < 2 + 2 * nAt + 8)
+      throw new Jbig2Exception("JBIG2: short symbol dict")
     val at = (0 until nAt).map(i => (d(p + 2 * i).toInt, d(p + 2 * i + 1).toInt)).toVector
     p += 2 * nAt
-    def u32(i: Int) = ((d(i) & 0xff).toLong << 24) | ((d(i + 1) & 0xff) << 16) |
-      ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
-    val numEx = u32(p); val numNew = u32(p + 4); p += 8
+    val numEx = u32be(d, p); val numNew = u32be(d, p + 4); p += 8
     if (numNew < 0 || numNew > 10000 || numEx < 0 || numEx > 10000)
       throw new Jbig2Exception(s"JBIG2: absurd symbol counts new=$numNew ex=$numEx")
     val dec = new MqDecoder(d.drop(p))
@@ -480,7 +488,17 @@ object Jbig2 {
     val newSyms = Vector.newBuilder[Bitmap]
     var n = 0
     var hcHeight = 0
+    // PROGRESS + AREA bounds: MQ coding can express empty height
+    // classes at a fraction of a bit each, so a loop bounded only by
+    // `n < numNew` could spin forever on a crafted/truncated stream;
+    // and per-symbol dim caps alone still admit ~160 GB of cumulative
+    // bitmap — cap the aggregate like every other allocation site
+    var heightClasses = 0L
+    var areaBudget = 1L << 26
     while (n < numNew) {
+      heightClasses += 1
+      if (heightClasses > numNew + 64)
+        throw new Jbig2Exception("JBIG2: symbol dict makes no progress (empty height classes)")
       hcHeight += decodeInt(dec, iadh)
       if (hcHeight <= 0 || hcHeight > (1 << 12))
         throw new Jbig2Exception(s"JBIG2: symbol height out of range $hcHeight")
@@ -495,6 +513,9 @@ object Jbig2 {
             throw new Jbig2Exception(s"JBIG2: symbol width out of range $symWidth")
           if (n >= numNew)
             throw new Jbig2Exception("JBIG2: more symbols than declared")
+          areaBudget -= symWidth.toLong * hcHeight
+          if (areaBudget < 0)
+            throw new Jbig2Exception("JBIG2: symbol dict exceeds the aggregate area cap")
           newSyms += decodeGenericWith(dec, gbI, gbMps, symWidth, hcHeight,
             template, at, tpgdon = false)
           n += 1
@@ -507,7 +528,13 @@ object Jbig2 {
     val exported = Vector.newBuilder[Bitmap]
     var i = 0
     var exFlag = false
+    var runCount = 0
     while (i < all.length) {
+      // zero-length runs only flip the flag — without a run-count
+      // bound a crafted stream of them spins this loop forever
+      runCount += 1
+      if (runCount > 2 * all.length + 2)
+        throw new Jbig2Exception("JBIG2: export runs make no progress")
       val run = decodeInt(dec, iaex)
       if (run == OOB || run < 0 || i + run > all.length)
         throw new Jbig2Exception("JBIG2: bad export run")
@@ -571,9 +598,9 @@ object Jbig2 {
     * and all four REFCORNERs and comb ops are honored. */
   def decodeTextRegion(d: Array[Byte], syms: Vector[Bitmap]): Region = {
     def u8(i: Int) = d(i) & 0xff
-    def u32(i: Int) = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toInt
     if (d.length < 23) throw new Jbig2Exception("JBIG2: short text region")
-    val w = u32(0); val h = u32(4); val x = u32(8); val y = u32(12)
+    val w = u32be(d, 0).toInt; val h = u32be(d, 4).toInt
+    val x = u32be(d, 8).toInt; val y = u32be(d, 12).toInt
     val extCombOp = u8(16) & 7
     val flags = (u8(17) << 8) | u8(18)
     val sbhuff = (flags & 1) != 0
@@ -589,7 +616,7 @@ object Jbig2 {
     if (refine) throw new Jbig2Exception("JBIG2: refinement text region unsupported")
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || w.toLong * h > (1L << 26))
       throw new Jbig2Exception(s"JBIG2 text region dims out of range: ${w}x$h")
-    val numInstances = u32(19)
+    val numInstances = u32be(d, 19).toInt
     if (numInstances < 0 || numInstances.toLong > (1L << 24))
       throw new Jbig2Exception(s"JBIG2: absurd instance count $numInstances")
     val strips = 1 << logStrips
@@ -610,10 +637,12 @@ object Jbig2 {
           case 2 => (s0 - sym.w + 1, t0 - sym.h + 1) // BOTTOMRIGHT
           case _ => (s0 - sym.w + 1, t0) // TOPRIGHT
         } else refCorner match {
-          // transposed: S runs vertically (y), T horizontally (x)
-          case 0 => (t0, s0) // BOTTOMLEFT
+          // transposed: S runs vertically (y), T horizontally (x) —
+          // a BOTTOM corner puts the glyph's bottom ROW at s0, so the
+          // top row is s0 - h + 1 (§6.4.5 transposed placement)
+          case 0 => (t0, s0 - sym.h + 1) // BOTTOMLEFT
           case 1 => (t0, s0) // TOPLEFT
-          case 2 => (t0 - sym.w + 1, s0) // BOTTOMRIGHT
+          case 2 => (t0 - sym.w + 1, s0 - sym.h + 1) // BOTTOMRIGHT
           case _ => (t0 - sym.w + 1, s0) // TOPRIGHT
         }
       var yy = 0
@@ -788,9 +817,9 @@ object Jbig2 {
     * generic flags §7.4.6). */
   private def decodeRegionSegment(d: Array[Byte]): Region = {
     def u8(i: Int) = d(i) & 0xff
-    def u32(i: Int) = ((u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)).toInt
     if (d.length < 18) throw new Jbig2Exception("JBIG2: short region segment")
-    val w = u32(0); val h = u32(4); val x = u32(8); val y = u32(12)
+    val w = u32be(d, 0).toInt; val h = u32be(d, 4).toInt
+    val x = u32be(d, 8).toInt; val y = u32be(d, 12).toInt
     val combOp = u8(16) & 0x07
     val gFlags = u8(17)
     val mmr = (gFlags & 1) != 0
@@ -831,15 +860,25 @@ object Jbig2 {
     unsupported.foreach(s => throw new Jbig2Exception(
       s"JBIG2: unsupported segment type ${s.segType} (halftone/refinement)"))
     // walk in stream order: symbol dictionaries grow the symbol pool;
-    // text regions consume it (scope: a text region sees every symbol
-    // exported so far, the single-dictionary common case — per-segment
-    // referred-to wiring is not tracked)
+    // text regions consume it. Scope: per-segment referred-to wiring
+    // is not tracked, so a text region sees THE dictionary — with
+    // several dictionaries the encoder's SBSYMCODELEN (sized from the
+    // referred subset) would disagree with a pool-sized decode and
+    // every symbol ID would silently desynchronize; that case must be
+    // the DECLARED error, not wrong pixels.
     var pool = Vector.empty[Bitmap]
+    var dictCount = 0
     val regions = Vector.newBuilder[Region]
     segs.foreach { s =>
       s.segType match {
-        case 0 => pool = pool ++ decodeSymbolDict(s.data)
-        case 4 | 6 | 7 => regions += decodeTextRegion(s.data, pool)
+        case 0 =>
+          pool = pool ++ decodeSymbolDict(s.data)
+          dictCount += 1
+        case 4 | 6 | 7 =>
+          if (dictCount > 1)
+            throw new Jbig2Exception(
+              "JBIG2: multi-dictionary text streams unsupported (referred-to wiring not tracked)")
+          regions += decodeTextRegion(s.data, pool)
         case 36 | 38 | 39 => regions += decodeRegionSegment(s.data)
         case _ => ()
       }
@@ -850,13 +889,11 @@ object Jbig2 {
     // 0xFFFFFFFF = unknown → fall back to region extent), else the
     // union extent of the regions
     val pageInfo = segs.find(_.segType == 48)
-    def u32(d: Array[Byte], i: Int) =
-      ((d(i) & 0xff).toLong << 24) | ((d(i + 1) & 0xff) << 16) | ((d(i + 2) & 0xff) << 8) | (d(i + 3) & 0xff)
     val extentW = regionsV.map(r => r.x + r.bm.w).max
     val extentH = regionsV.map(r => r.y + r.bm.h).max
     val (pw, ph, defPixel) = pageInfo match {
       case Some(s) if s.data.length >= 17 =>
-        val w = u32(s.data, 0); val h = u32(s.data, 4)
+        val w = u32be(s.data, 0); val h = u32be(s.data, 4)
         val flags = s.data(16) & 0xff
         (if (w == 0xffffffffL) extentW else w.toInt,
           if (h == 0xffffffffL) extentH else h.toInt,

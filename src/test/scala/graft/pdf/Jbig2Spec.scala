@@ -281,6 +281,26 @@ class Jbig2Spec extends AnyFunSuite {
       Jbig2.decodeSymbolDict(Array[Byte](0, 1, 0, 0, 0, 0, 0, 0, 0, 0))
     }
     assert(e3.getMessage.contains("Huffman"))
+    // MULTI-dictionary text streams must be the declared error, never a
+    // silent SBSYMCODELEN desynchronization (referred-to wiring untracked)
+    val syms1 = Vector(bitmap(3, 2)((x, y) => (x + y) % 2 == 0))
+    val one = Jbig2.buildEmbeddedText(16, 8, syms1, Seq(Jbig2.TextInstance(0, 1, 1)))
+    val dictSeg = {
+      // extract the symbol-dict segment (number 2) from the built stream
+      val segs = Jbig2.parseSegments(one)
+      segs.find(_.segType == 0).get
+    }
+    // splice a second dictionary ahead of the original stream
+    val extra = new scala.collection.mutable.ArrayBuffer[Byte]()
+    extra ++= Array[Byte](0, 0, 0, 9, 0, 0, 1)
+    extra ++= Array[Byte](
+      ((dictSeg.data.length >>> 24) & 0xff).toByte, ((dictSeg.data.length >>> 16) & 0xff).toByte,
+      ((dictSeg.data.length >>> 8) & 0xff).toByte, (dictSeg.data.length & 0xff).toByte)
+    extra ++= dictSeg.data
+    val e4 = intercept[Jbig2.Jbig2Exception] {
+      Jbig2.decodeEmbedded(extra.toArray, one)
+    }
+    assert(e4.getMessage.contains("multi-dictionary"))
     // and through the PDF face it is fail-soft: document still parses,
     // the bad image yields no output instead of an exception
     val good = PdfBuilder.withJbig2ImagePattern(4, 4, (_, _) => false)
