@@ -72,6 +72,10 @@ object Bench {
     }
     /** docs per executor-CPU-second — wall-contamination-immune. */
     def cpuDps: Double = kept.map(_.cpuDps).max
+    /** The rep that supplied the graded best-wall number — frequency
+      * parity must be computed from THIS rep's cpu_dps, not from a
+      * different (max-cpu_dps) rep, or the decomposition mixes reps. */
+    def bestRep: Rep = kept.maxBy(_.wallDps)
   }
 
   /** (total jiffies, steal jiffies) from /proc/stat. */
@@ -287,15 +291,22 @@ object Bench {
     }
     val eff28 = (l8.best / l2.best) / 4.0
     val eff832 = (l32.best / l8.best) / 4.0
-    // FREQUENCY-PARITY diagnostic for the graded pair: the wall ratio
-    // assumes both levels run at the same per-core speed, but a busy
-    // host can leave the 2-thread level turbo-boosted while 8 threads
-    // share steady-state clocks — cpu_dps (docs per CPU-second) is the
-    // per-core speed, so its cross-level ratio exposes the skew and
-    // eff × parity is the frequency-normalized efficiency. A parity
-    // beyond 15% flags the graded wall number as freq-skewed (the
-    // normalized figure is then the honest one).
-    val freqParity28 = l2.cpuDps / math.max(l8.cpuDps, 1e-9)
+    // FREQUENCY-PARITY DECOMPOSITION of the graded pair, from the SAME
+    // reps that supplied the graded best-wall numbers. Algebra:
+    // wall_dps = cores × cpu_dps × utilization, so
+    //   eff28 = (cpu_dps8/cpu_dps2) × (util8/util2) / 1
+    // — the wall ratio is per-core-speed ratio × utilization ratio.
+    // freq_parity (cpu_dps2/cpu_dps8) isolates the per-core term;
+    // eff × parity = util8/util2 strips per-core differences of ANY
+    // cause (turbo skew, but ALSO genuine contention), so it is a
+    // DECOMPOSITION DIAGNOSTIC, NOT a substitute gate: the graded
+    // figure stays the wall ratio. A parity beyond 15% flags the
+    // window freq-skewed — per-core clocks differed between the two
+    // levels (a busy host turbo-boosts the 2-thread level), and the
+    // honest response is to re-measure in a calm window, reading
+    // eff × parity only to see how much of the shortfall the clock
+    // skew explains.
+    val freqParity28 = l2.bestRep.cpuDps / math.max(l8.bestRep.cpuDps, 1e-9)
     val eff28FreqNorm = eff28 * freqParity28
     val freqSkewed28 = freqParity28 > 1.15 || freqParity28 < 1.0 / 1.15
     // per-core CPU efficiency (contamination-immune): docs per CPU-sec
@@ -395,7 +406,7 @@ object Bench {
       f""","reps":{"2":${repsJson(l2all)},"8":${repsJson(l8all)},"32":${repsJson(l32)}},""" +
       f""""graded_window_reps":{"2":${repsJson(l2)},"8":${repsJson(l8)}},""" +
       f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region",""" +
-      f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (fresh window, up to 2x) until they hold >=1 clean rep AND clean reps agree within the cpu_dps coherence band, else graded_clean=false; best-of-clean in the final window graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag); freq_parity_2_8 = cpu_dps[2]/cpu_dps[8] exposes per-core frequency skew between the graded levels (turbo on the 2-thread level during busy-host windows) — beyond 15%% the wall ratio is flagged freq_skewed and the freq-normalized efficiency is the honest figure. skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}"""
+      f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (fresh window, up to 2x) until they hold >=1 clean rep AND clean reps agree within the cpu_dps coherence band, else graded_clean=false; best-of-clean in the final window graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag); freq_parity_2_8 = best-wall reps' cpu_dps[2]/cpu_dps[8] exposes per-core clock skew between the graded levels (turbo on the 2-thread level during busy-host windows) — beyond 15%% the window is flagged freq_skewed (re-measure in a calm window); eff x parity = utilization ratio, a DECOMPOSITION diagnostic that strips per-core differences of any cause and is therefore not a gate. skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}"""
     Files.write(Paths.get(fullPath), full.getBytes("UTF-8"))
     // stdout: close the extract object, then root-level full_record
     println(core + f"""},"full_record":"$fullPath"}""")
