@@ -531,6 +531,56 @@ object Dedup {
       .groupBy("doc_id").agg(min("component").as("component"))
   }
 
+  /** CONTENT-DEFINED-CHUNKING dedup: duplicate chunks across the
+    * corpus, where chunk boundaries depend only on LOCAL content (a
+    * token whose 32-bit hash ≡ 0 mod `divisor` ends a chunk — CDC with
+    * a 1-token window, the Rabin/gear family's shift-resilience
+    * property): inserting or deleting text early in a document moves
+    * NO later boundary, so two documents sharing a long run of text
+    * share its chunks verbatim even at different offsets — the
+    * partial-overlap signal whole-doc fingerprints and fixed-size
+    * chunking both miss (fixed chunks misalign after one inserted
+    * token). This is the storage-dedup / training-data-decontamination
+    * shape (LBFS, Muthitacharoen et al., SOSP 2001).
+    *
+    * Plan (the 100 TB shape): per-token hashing is map-side; the chunk
+    * index is a running sum over a window PARTITIONED BY doc_id — the
+    * per-entity-window sessionization shape, parallel across docs,
+    * never global; chunk reassembly is one hash aggregation on
+    * (doc_id, chunk) and the duplicate report one more on chunk_fp —
+    * both shuffle-once with map-side partials. Expected chunk length ≈
+    * `divisor` tokens (geometric); no min/max clamp, so boundaries are
+    * a pure function of content and the DuckDB twin replays them
+    * exactly.
+    *
+    * Output: one row per chunk occurring in ≥2 docs —
+    * (chunk_fp, n_tokens, n_docs, n_occurrences, keep_doc). */
+  def cdcChunkDuplicates(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    // 32-bit token hash = first 8 md5 nibbles (the cross-engine-exact
+    // convention the simhash oracles use); boundary token ENDS a chunk
+    val hashed = tok.withColumn("flag",
+      (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % divisor === 0)
+        .cast("int"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunked = hashed.withColumn("chunk",
+      coalesce(sum(col("flag")).over(w), lit(0L)))
+    val chunks = chunked.groupBy("doc_id", "chunk")
+      .agg(
+        expr("md5(concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)))")
+          .as("chunk_fp"),
+        count(lit(1)).as("n_tokens"))
+    chunks.groupBy("chunk_fp")
+      .agg(max(col("n_tokens")).as("n_tokens"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("keep_doc"))
+      .where(col("n_docs") >= 2)
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ tPct/100, exact
     * integer test over milliunit-quantized vectors, bucketed by
     * sign-LSH so the pair join is per-bucket, not all-pairs. Sign-LSH

@@ -528,6 +528,40 @@ object Oracles {
          | UNION ALL SELECT a, a FROM es2) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    "dedup_cdc_chunks" -> {
+      // 32-bit token hash = first 8 md5 nibbles (Horner fold — conv()
+      // does not exist in DuckDB); boundary token ends a chunk; chunk
+      // index = exclusive running sum of boundary flags per doc
+      val tokHash = (1 to 8).map { i =>
+        val shift = math.pow(16, 8 - i).toLong
+        s"(strpos('0123456789abcdef', substr(md5(tok),$i,1))-1)*${shift}"
+      }.mkString("\n    + ")
+      s"""WITH $docsPlus,
+         |tok AS (
+         | -- range() takes no lateral column refs: fixed 8192-token
+         | -- extent + filter (testbed docs are far shorter)
+         | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |  string_split(text,' ')[CAST(i+1 AS INTEGER)] AS tok
+         | FROM docs_plus, range(8192) r(i)
+         | WHERE i < len(string_split(text,' '))),
+         |hashed AS (SELECT doc_id, pos, tok,
+         |  CASE WHEN ($tokHash) % 16 = 0 THEN 1 ELSE 0 END AS flag FROM tok),
+         |chunked AS (SELECT doc_id, pos, tok,
+         |  COALESCE(sum(flag) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         | FROM hashed),
+         |chunks AS (SELECT doc_id, chunk,
+         |  md5(string_agg(tok, ' ' ORDER BY pos)) AS chunk_fp,
+         |  CAST(count(*) AS BIGINT) AS n_tokens
+         | FROM chunked GROUP BY doc_id, chunk)
+         |SELECT chunk_fp, max(n_tokens) AS n_tokens,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  min(doc_id) AS keep_doc
+         |FROM chunks GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2
+         |ORDER BY chunk_fp""".stripMargin
+    },
+
     "dedup_components_star_chain" ->
       // high-diameter witness: chains of ≤32 consecutive doc_ids;
       // 5 alternating rounds must close a diameter-31 path (the round

@@ -726,6 +726,17 @@ object Queries {
         rounds = 2)
       .orderBy("doc_id")
 
+  /** Content-defined-chunking dedup over the shifted-copy corpus —
+    * the workload CDC exists for: every +100000 copy drops its first
+    * token, so FIXED-size chunks would misalign over the whole
+    * document, while CDC boundaries (local-content function) re-sync
+    * at the first boundary token and every later chunk matches
+    * verbatim. Output = duplicate chunks (df ≥ 2) with occurrence
+    * stats; the DuckDB twin replays hash, boundaries, window and
+    * reassembly exactly ([[Dedup.cdcChunkDuplicates]]). */
+  def dedupCdcChunks(s: SparkSession, dir: String): DataFrame =
+    Dedup.cdcChunkDuplicates(docsPlus(s, dir)).orderBy("chunk_fp")
+
   /** Connected components on a HIGH-DIAMETER graph — chains of up to
     * 32 consecutive doc_ids — where [[Dedup.componentsStar]]'s
     * O(log n) round count actually BINDS: 5 alternating rounds label
@@ -1180,6 +1191,7 @@ object Queries {
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_components_star_chain" -> (dedupComponentsStarChain _),
+    "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),

@@ -448,6 +448,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == (0L until 32L).map(v => (v, 0L)).toSet)
   }
 
+  test("cdcChunkDuplicates: shift-resilient — an inserted leading token leaves later chunks shared") {
+    val base = (1 to 60).map(i => s"w${i * 7 % 23}x$i").mkString(" ")
+    val two = Seq((1L, base), (2L, "inserted " + base)).toDF("doc_id", "text")
+    val rows = Dedup.cdcChunkDuplicates(two).collect()
+    // the content-defined property: boundaries after the insertion
+    // point are unmoved, so chunks past the first boundary match
+    // verbatim (fixed-size chunking would misalign ALL of them)
+    assert(rows.nonEmpty, "CDC must find shared chunks despite the 1-token shift")
+    assert(rows.forall(_.getAs[Long]("n_docs") == 2))
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(total >= 30, s"most of the 60-token doc should be in shared chunks, got $total")
+    // determinism
+    val again = Dedup.cdcChunkDuplicates(two).collect().map(_.toSeq).toSet
+    assert(again == rows.map(_.toSeq).toSet)
+    // disjoint docs share nothing
+    val disjoint = Seq((1L, base), (3L, (1 to 50).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.cdcChunkDuplicates(disjoint).count() == 0)
+  }
+
   test("componentsStar/components: reliable checkpoint() when a checkpoint dir is set (cluster seam)") {
     // defaultTruncate must switch from executor-local localCheckpoint
     // to reliable checkpoint() the moment the session has a checkpoint
