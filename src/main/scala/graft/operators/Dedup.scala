@@ -581,6 +581,33 @@ object Dedup {
       .where(col("n_docs") >= 2)
   }
 
+  /** Benchmark DECONTAMINATION: training documents sharing any
+    * n-token shingle with an evaluation set — the 13-gram-overlap
+    * standard of the LM literature (GPT-3, Brown et al. 2020,
+    * appendix C; PaLM's contamination analysis). The published
+    * scale shape: an eval set is metadata-small next to a training
+    * corpus, so its distinct shingle hashes BROADCAST; the corpus
+    * side is one map-side shingle expansion joined against that
+    * broadcast and aggregated per doc — the corpus text is never
+    * shuffled and there is no corpus self-join, so the plan survives
+    * a 10^12-doc training table unchanged.
+    *
+    * Output: (doc_id, contaminated_ngrams) for every training doc
+    * with ≥1 eval shingle — the removal list a cleaning pipeline
+    * anti-joins against. */
+  def benchmarkContamination(corpus: DataFrame, evalSet: DataFrame,
+      shingleN: Int = 13): DataFrame = {
+    val evalSh = evalSet
+      .select(explode(array_distinct(TF.shingles(col("text"), shingleN))).as("sh"))
+      .distinct()
+    val corpusSh = corpus
+      .select(col("doc_id"),
+        explode(array_distinct(TF.shingles(col("text"), shingleN))).as("sh"))
+    corpusSh.join(broadcast(evalSh), Seq("sh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("contaminated_ngrams"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ tPct/100, exact
     * integer test over milliunit-quantized vectors, bucketed by
     * sign-LSH so the pair join is per-bucket, not all-pairs. Sign-LSH

@@ -528,6 +528,21 @@ object Oracles {
          | UNION ALL SELECT a, a FROM es2) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    "dedup_decontaminate" -> {
+      // 13-gram overlap vs the every-97th-doc "eval set" (distinct
+      // shingles per side, like the Spark array_distinct + distinct)
+      def sh13(src: String) =
+        s"""SELECT doc_id, unnest(list_distinct(list_transform(
+           |   range(0, greatest(len(string_split(text,' ')) - 12, 0)),
+           |   i -> md5(array_to_string(string_split(text,' ')[i+1:i+13], ' '))))) AS sh
+           | FROM $src""".stripMargin
+      s"""WITH $docsPlus,
+         |ev AS (SELECT DISTINCT sh FROM (${sh13("documents WHERE doc_id % 97 = 0")})),
+         |cs AS (${sh13("docs_plus")})
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS contaminated_ngrams
+         |FROM cs JOIN ev USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "dedup_cdc_chunks" -> {
       // 32-bit token hash = first 8 md5 nibbles (Horner fold — conv()
       // does not exist in DuckDB); boundary token ends a chunk; chunk

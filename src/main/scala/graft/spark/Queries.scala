@@ -726,6 +726,20 @@ object Queries {
         rounds = 2)
       .orderBy("doc_id")
 
+  /** Benchmark decontamination over the shifted-copy corpus: the
+    * "evaluation set" is every 97th original document; training docs
+    * (originals + shifted copies) sharing any 13-gram with it are the
+    * removal list. Both the eval docs themselves AND their shifted
+    * copies are flagged (the copy shares all interior 13-grams) —
+    * exactly the leak class decontamination exists to catch. Plan:
+    * eval shingles broadcast; corpus never shuffles
+    * ([[Dedup.benchmarkContamination]]). */
+  def dedupDecontaminate(s: SparkSession, dir: String): DataFrame =
+    Dedup.benchmarkContamination(
+        docsPlus(s, dir),
+        rd(s, dir, "documents").where(col("doc_id") % 97 === 0).select("doc_id", "text"))
+      .orderBy("doc_id")
+
   /** Content-defined-chunking dedup over the shifted-copy corpus —
     * the workload CDC exists for: every +100000 copy drops its first
     * token, so FIXED-size chunks would misalign over the whole
@@ -1192,6 +1206,7 @@ object Queries {
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_components_star_chain" -> (dedupComponentsStarChain _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
+    "dedup_decontaminate" -> (dedupDecontaminate _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),

@@ -468,6 +468,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(Dedup.cdcChunkDuplicates(disjoint).count() == 0)
   }
 
+  test("benchmarkContamination: planted eval passage flags exactly its host doc with the exact count") {
+    val evalText = (1 to 20).map(i => s"ev$i").mkString(" ") // 20 tokens → 8 distinct 13-grams
+    val corpus = Seq(
+      (1L, (1 to 40).map(i => s"clean$i").mkString(" ")),
+      (2L, (1 to 10).map(i => s"pre$i").mkString(" ") + " " + evalText + " " +
+        (1 to 10).map(i => s"post$i").mkString(" ")),
+      (3L, (1 to 15).map(i => s"other$i").mkString(" "))).toDF("doc_id", "text")
+    val evalSet = Seq((100L, evalText)).toDF("doc_id", "text")
+    val got = Dedup.benchmarkContamination(corpus, evalSet)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // only doc 2 is contaminated; matches = the 8 interior 13-grams of
+    // the planted passage (surrounding tokens break longer matches)
+    assert(got == Map(2L -> 8L), s"got $got")
+    // broadcast shape: the eval side must be the broadcast build side
+    val plan = Dedup.benchmarkContamination(corpus, evalSet)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "eval shingles must broadcast")
+  }
+
   test("componentsStar/components: reliable checkpoint() when a checkpoint dir is set (cluster seam)") {
     // defaultTruncate must switch from executor-local localCheckpoint
     // to reliable checkpoint() the moment the session has a checkpoint
