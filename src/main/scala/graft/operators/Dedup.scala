@@ -556,6 +556,9 @@ object Dedup {
     * Output: one row per chunk occurring in ≥2 docs —
     * (chunk_fp, n_tokens, n_docs, n_occurrences, keep_doc). */
   def cdcChunkDuplicates(docs: DataFrame, divisor: Int = 16): DataFrame = {
+    // divisor 0 would NULL every flag (hash % 0) and silently collapse
+    // each doc into one chunk — whole-doc dedup in CDC clothing
+    require(divisor >= 1, s"divisor must be >= 1, got $divisor")
     import org.apache.spark.sql.expressions.Window
     val tok = docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
@@ -597,6 +600,8 @@ object Dedup {
     * anti-joins against. */
   def benchmarkContamination(corpus: DataFrame, evalSet: DataFrame,
       shingleN: Int = 13): DataFrame = {
+    // shingleN 0 makes every shingle md5("") and flags everything
+    require(shingleN >= 1, s"shingleN must be >= 1, got $shingleN")
     val evalSh = evalSet
       .select(explode(array_distinct(TF.shingles(col("text"), shingleN))).as("sh"))
       .distinct()

@@ -101,12 +101,20 @@ object Oracles {
        |     + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END)
        |    AS INTEGER) AS quality FROM ${name}_m)""".stripMargin
 
+  /** 32-bit integer from 8 md5 nibbles of `expr`, starting at nibble
+    * `off+1` — the ONE cross-engine hash convention (DuckDB has no
+    * conv(); Spark uses conv(substr(md5,..),16,10)). Shared by the
+    * simhash twins and the CDC boundary hash so the arithmetic cannot
+    * drift between copies. */
+  private def md5Fold32(expr: String, off: Int = 0): String =
+    (0 until 8).map { i =>
+      val shift = math.pow(16, 7 - i).toLong
+      s"(strpos('0123456789abcdef', substr(md5($expr),${off + i + 1},1))-1)*${shift}::BIGINT"
+    }.mkString("\n  + ")
+
   /** 32-bit simhash per doc of table `src` (twin of simhash32). */
   private def simhashCte(src: String) = {
-    val nibbles = (0 until 8).map { i =>
-      val shift = math.pow(16, 7 - i).toLong
-      s"(strpos('0123456789abcdef', substr(md5(t),${i + 1},1))-1)*${shift}::BIGINT"
-    }.mkString("\n  + ")
+    val nibbles = md5Fold32("t")
     s"""tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM $src),
        |tv AS (SELECT doc_id,
        |  $nibbles AS v FROM tok),
@@ -120,10 +128,7 @@ object Oracles {
   /** 64-bit simhash per doc as two 32-bit halves (twin of
     * TextFunctions.simhash64Halves: lo = md5 nibbles 1-8, hi = 9-16). */
   private def simhash64Cte(src: String) = {
-    def half(off: Int) = (0 until 8).map { i =>
-      val shift = math.pow(16, 7 - i).toLong
-      s"(strpos('0123456789abcdef', substr(md5(t),${off + i + 1},1))-1)*${shift}::BIGINT"
-    }.mkString("\n  + ")
+    def half(off: Int) = md5Fold32("t", off)
     s"""tok64 AS (SELECT doc_id, unnest(string_split(text,' ')) AS t FROM $src),
        |tv64 AS (SELECT doc_id,
        |  ${half(0)} AS vlo,
@@ -547,18 +552,15 @@ object Oracles {
       // 32-bit token hash = first 8 md5 nibbles (Horner fold — conv()
       // does not exist in DuckDB); boundary token ends a chunk; chunk
       // index = exclusive running sum of boundary flags per doc
-      val tokHash = (1 to 8).map { i =>
-        val shift = math.pow(16, 8 - i).toLong
-        s"(strpos('0123456789abcdef', substr(md5(tok),$i,1))-1)*${shift}"
-      }.mkString("\n    + ")
+      val tokHash = md5Fold32("tok")
       s"""WITH $docsPlus,
          |tok AS (
-         | -- range() takes no lateral column refs: fixed 8192-token
-         | -- extent + filter (testbed docs are far shorter)
-         | SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |  string_split(text,' ')[CAST(i+1 AS INTEGER)] AS tok
-         | FROM docs_plus, range(8192) r(i)
-         | WHERE i < len(string_split(text,' '))),
+         | -- aligned unnests: (pos, tok) pairs with no token cap and
+         | -- no cross-join (range() takes no lateral column refs)
+         | SELECT doc_id,
+         |  CAST(unnest(range(len(string_split(text,' ')))) AS BIGINT) AS pos,
+         |  unnest(string_split(text,' ')) AS tok
+         | FROM docs_plus),
          |hashed AS (SELECT doc_id, pos, tok,
          |  CASE WHEN ($tokHash) % 16 = 0 THEN 1 ELSE 0 END AS flag FROM tok),
          |chunked AS (SELECT doc_id, pos, tok,
