@@ -330,7 +330,7 @@ object Bench {
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans",
       "text_stats", "text_langid", "text_distinct_kmv", "text_repetition",
       "q_events_session_windows", "pdfz_images", "pdfz_images_jbig2",
-      "pdfz_images_jbig2_text")
+      "pdfz_images_jbig2_text", "pdfz_encrypted")
     // SORT-PRESERVING action: executing the df's own physical plan keeps
     // each query's final global ORDER BY in the timed region (a plain
     // .count() re-plans and EliminateSorts drops the sort every real

@@ -71,7 +71,8 @@ object PdfBuilder {
     b.obj(3) { b.raw(s"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica $fontExtra >>") }
   }
 
-  private def writeClassicXref(b: Builder, rootRef: String = "1 0 R"): Array[Byte] = {
+  private def writeClassicXref(b: Builder, rootRef: String = "1 0 R",
+      trailerExtra: String = ""): Array[Byte] = {
     val maxObj = b.offsets.keys.max
     val xrefPos = b.pos
     b.raw(s"xref\n0 ${maxObj + 1}\n")
@@ -80,8 +81,47 @@ object PdfBuilder {
       val off = b.offsets.getOrElse(n, 0)
       b.raw(f"$off%010d 00000 n \n")
     }
-    b.raw(s"trailer\n<< /Size ${maxObj + 1} /Root $rootRef >>\nstartxref\n$xrefPos\n%%EOF\n")
+    b.raw(s"trailer\n<< /Size ${maxObj + 1} /Root $rootRef$trailerExtra >>\nstartxref\n$xrefPos\n%%EOF\n")
     b.bytes
+  }
+
+  /** Encrypted document (ISO 32000-1 §7.6 standard security handler,
+    * EMPTY user/owner passwords — the openable-but-encrypted web-PDF
+    * class the reference fails on): two text pages whose content
+    * streams are RC4-128 (R3) or AES-128-CBC (R4 /AESV2) encrypted
+    * with the per-object key of Algorithm 1; /O /U computed from the
+    * spec's algorithms, /ID deterministic. */
+  def withEncryption(aes: Boolean, texts: Seq[String] = Seq("secret one", "secret two")): Array[Byte] = {
+    val r = if (aes) 4 else 3
+    val lengthBits = 128
+    val id0 = (0 until 16).map(i => (i * 17 + 3).toByte).toArray
+    val p = -44
+    val o = PdfCrypt.computeO(r, lengthBits)
+    val key = PdfCrypt.fileKey(o, p, id0, r, lengthBits)
+    val u = PdfCrypt.computeU(r, key, id0)
+    val h = new PdfCrypt.StdSecurityHandler(key, aes)
+    def hex(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02X").mkString
+    val b = new Builder
+    writeHeaderObjects(b, texts.length)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val pageObj = 4 + 2 * i; val contObj = 5 + 2 * i
+      b.obj(pageObj) {
+        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contObj 0 R " +
+          "/Resources << /Font << /F1 3 0 R >> >> >>")
+      }
+      val content = tjLine(t).getBytes(ISO_8859_1)
+      b.streamObj(contObj, "", h.encryptStream(contObj, 0, content))
+    }
+    val encObj = 4 + 2 * texts.length
+    val cf = if (aes)
+      "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+        "/StmF /StdCF /StrF /StdCF"
+    else "/V 2 /R 3 /Length 128"
+    b.obj(encObj) {
+      b.raw(s"<< /Filter /Standard $cf /P $p /O <${hex(o)}> /U <${hex(u)}> >>")
+    }
+    writeClassicXref(b,
+      trailerExtra = s" /Encrypt $encObj 0 R /ID [<${hex(id0)}> <${hex(id0)}>]")
   }
 
   /** Classic-xref document. Each element of `pageContents` is raw

@@ -19,6 +19,36 @@ final class PdfDocument private (
   private val objStmCache = mutable.HashMap.empty[Int, Map[Int, PdfObj]]
   private val loading = mutable.HashSet.empty[Int] // cycle guard
 
+  /** Standard-security-handler decryption (ISO 32000-1 §7.6; empty
+    * user password — [[PdfCrypt]]). Initialized EAGERLY so stream
+    * parsing can consult it; while it is being built (resolving the
+    * /Encrypt dict — a plain dict, which the spec forbids living in an
+    * object stream) `cryptReady` is false and streams parse raw. A
+    * non-empty-password or unsupported-scheme document throws the
+    * declared [[PdfCrypt.PdfCryptException]] here, which document
+    * loading surfaces fail-soft like any parse failure. */
+  private var cryptReady = false
+  private val crypt: Option[PdfCrypt.StdSecurityHandler] = {
+    val h = trailer.get("Encrypt") match {
+      case None => None
+      case Some(ref) =>
+        val encDict = resolve(ref) match {
+          case d: PDict => d
+          case _ => throw new PdfParseException("/Encrypt is not a dictionary")
+        }
+        val id0 = resolve(trailer.get("ID").getOrElse(PNull)) match {
+          case PArr(items) if items.nonEmpty => resolve(items.head) match {
+            case PStr(bs) => bs
+            case _ => Array.emptyByteArray
+          }
+          case _ => Array.emptyByteArray
+        }
+        Some(PdfCrypt.forDocument(encDict, id0, resolve))
+    }
+    cryptReady = true
+    h
+  }
+
   def getObject(num: Int): PdfObj = cache.getOrElseUpdate(num, {
     if (!loading.add(num)) throw new PdfParseException(s"reference cycle at obj $num")
     try entries.get(num) match {
@@ -55,7 +85,7 @@ final class PdfDocument private (
     val lx = new Lexer(buf, offset)
     lx.skipWs()
     val n = lx.parseObject().asInt.getOrElse(throw new PdfParseException(s"bad obj header at $offset"))
-    lx.parseObject() // gen
+    val gen = lx.parseObject().asInt.getOrElse(0L).toInt
     lx.expectKeyword("obj")
     if (n != expectNum)
       throw new PdfParseException(s"xref points obj $expectNum at obj $n")
@@ -73,7 +103,15 @@ final class PdfDocument private (
               endstreamFollows(start + l.toInt) => start + l.toInt
           case _ => findEndstream(start)
         }
-        PStream(d, buf.slice(start, end))
+        val raw0 = buf.slice(start, end)
+        // decrypt stream payloads (the one place obj/gen are in hand);
+        // xref streams are never encrypted (§7.5.8.2)
+        val isXrefStream = d.get("Type").contains(PName("XRef"))
+        val raw =
+          if (cryptReady && crypt.isDefined && !isXrefStream)
+            crypt.get.decryptStream(expectNum, gen, raw0)
+          else raw0
+        PStream(d, raw)
       case other => other
     }
   }

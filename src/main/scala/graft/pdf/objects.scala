@@ -40,4 +40,4 @@ final case class PRef(num: Int, gen: Int) extends PdfObj
 /** Content-stream operator keyword (only produced by `tokenizeContent`). */
 final case class POp(op: String) extends PdfObj
 
-final class PdfParseException(msg: String) extends RuntimeException(msg)
+class PdfParseException(msg: String) extends RuntimeException(msg)

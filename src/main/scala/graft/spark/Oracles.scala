@@ -280,6 +280,17 @@ object Oracles {
         | CAST(32 AS INTEGER) AS width, CAST(18 AS INTEGER) AS height, px.black AS black_px
         |FROM imgs JOIN px USING (id) ORDER BY imgs.id""".stripMargin,
 
+    "pdfz_encrypted" ->
+      // expected page texts are closed-form; the md5s match only if
+      // the RC4/AES decryption recovered them byte-exactly
+      """SELECT i AS id,
+        | CASE WHEN i % 2 = 1 THEN 'aes' ELSE 'rc4' END AS mode,
+        | CAST(p AS INTEGER) AS page,
+        | md5(CASE WHEN p = 1 THEN 'page alpha ' || CAST(i AS VARCHAR)
+        |      ELSE 'page beta ' || CAST(i*i AS VARCHAR) END) AS text_md5
+        |FROM range(12) t(i), (VALUES (1), (2)) pg(p)
+        |ORDER BY id, page""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

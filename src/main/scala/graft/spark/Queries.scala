@@ -220,6 +220,33 @@ object Queries {
     .orderBy("id")
   }
 
+  /** ENCRYPTED-PDF extraction, oracle-pinned: 12 documents through
+    * the ISO 32000 standard security handler (empty user password —
+    * the openable-but-encrypted web-PDF class the reference fails
+    * on), even ids RC4-128 (R3), odd ids AES-128-CBC (R4 /AESV2);
+    * per-object keys, /O /U and the file key all computed from the
+    * spec's algorithms ([[graft.pdf.PdfCrypt]]), ciphers = the JDK's
+    * independent implementations. The DuckDB twin recomputes the
+    * expected page-text md5s from the same closed-form strings — a
+    * wrong key-derivation byte turns the decrypted stream to noise
+    * and flips every hash. */
+  def pdfzEncrypted(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).repartition(4).flatMap { id =>
+      val aes = id % 2 == 1
+      val texts = Seq(s"page alpha $id", s"page beta ${id * id}")
+      val pdf = graft.pdf.PdfBuilder.withEncryption(aes, texts)
+      val doc = graft.pdf.PdfDocument.load(pdf)
+      doc.pages.zipWithIndex.map { case (p, i) =>
+        (id, if (aes) "aes" else "rc4", i + 1,
+          graft.pdf.ContentText.extractPageText(doc, p).trim)
+      }
+    }
+    .toDF("id", "mode", "page", "text")
+    .select(col("id"), col("mode"), col("page"), md5(col("text")).as("text_md5"))
+    .orderBy("id", "page")
+  }
+
   /** HTML boilerplate strip, ORACLE-pinned (north_rule "HTML
     * boilerplate strip, DOM heuristics"): deterministic HTML documents
     * exercising the classifier's branches — nav/head/script stripping,
@@ -1171,6 +1198,7 @@ object Queries {
     "pdfz_images_fax" -> (pdfzImagesFax _),
     "pdfz_images_jbig2" -> (pdfzImagesJbig2 _),
     "pdfz_images_jbig2_text" -> (pdfzImagesJbig2Text _),
+    "pdfz_encrypted" -> (pdfzEncrypted _),
     "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
