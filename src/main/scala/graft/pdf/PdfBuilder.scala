@@ -91,15 +91,20 @@ object PdfBuilder {
     * streams are RC4-128 (R3) or AES-128-CBC (R4 /AESV2) encrypted
     * with the per-object key of Algorithm 1; /O /U computed from the
     * spec's algorithms, /ID deterministic. */
-  def withEncryption(aes: Boolean, texts: Seq[String] = Seq("secret one", "secret two")): Array[Byte] = {
-    val r = if (aes) 4 else 3
+  def withEncryption(aes: Boolean, texts: Seq[String] = Seq("secret one", "secret two"),
+      encryptMetadata: Boolean = true, identityStreams: Boolean = false): Array[Byte] = {
+    val r = if (aes || identityStreams) 4 else 3
     val lengthBits = 128
     val id0 = (0 until 16).map(i => (i * 17 + 3).toByte).toArray
     val p = -44
     val o = PdfCrypt.computeO(r, lengthBits)
-    val key = PdfCrypt.fileKey(o, p, id0, r, lengthBits)
+    val key = PdfCrypt.fileKey(o, p, id0, r, lengthBits, encryptMetadata)
     val u = PdfCrypt.computeU(r, key, id0)
-    val h = new PdfCrypt.StdSecurityHandler(key, aes)
+    val mode =
+      if (identityStreams) PdfCrypt.IdentityStreams
+      else if (aes) PdfCrypt.AesStreams
+      else PdfCrypt.Rc4Streams
+    val h = new PdfCrypt.StdSecurityHandler(key, mode)
     def hex(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02X").mkString
     val b = new Builder
     writeHeaderObjects(b, texts.length)
@@ -113,12 +118,17 @@ object PdfBuilder {
       b.streamObj(contObj, "", h.encryptStream(contObj, 0, content))
     }
     val encObj = 4 + 2 * texts.length
-    val cf = if (aes)
-      "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
-        "/StmF /StdCF /StrF /StdCF"
-    else "/V 2 /R 3 /Length 128"
+    val cf =
+      if (identityStreams)
+        "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /V2 /Length 16 >> >> " +
+          "/StmF /Identity /StrF /StdCF"
+      else if (aes)
+        "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+          "/StmF /StdCF /StrF /StdCF"
+      else "/V 2 /R 3 /Length 128"
+    val em = if (encryptMetadata) "" else " /EncryptMetadata false"
     b.obj(encObj) {
-      b.raw(s"<< /Filter /Standard $cf /P $p /O <${hex(o)}> /U <${hex(u)}> >>")
+      b.raw(s"<< /Filter /Standard $cf$em /P $p /O <${hex(o)}> /U <${hex(u)}> >>")
     }
     writeClassicXref(b,
       trailerExtra = s" /Encrypt $encObj 0 R /ID [<${hex(id0)}> <${hex(id0)}>]")

@@ -56,12 +56,14 @@ object PdfCrypt {
       ((v >>> 16) & 0xff).toByte, ((v >>> 24) & 0xff).toByte)
 
   def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.isEmpty) return data // some producers emit /Length 0 streams
     val c = Cipher.getInstance("RC4")
     c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "RC4")) // RC4 is symmetric
     c.doFinal(data)
   }
 
   def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.isEmpty) return data // empty-in, empty-out (/Length 0 streams)
     if (data.length < 32 || data.length % 16 != 0)
       throw new PdfCryptException(s"AES payload length ${data.length} invalid")
     val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
@@ -82,9 +84,14 @@ object PdfCrypt {
   /** Algorithm 2: the file encryption key from the (empty) user
     * password. `lengthBits` = /Length (40 for V1). */
   def fileKey(oEntry: Array[Byte], p: Int, id0: Array[Byte], r: Int,
-      lengthBits: Int): Array[Byte] = {
+      lengthBits: Int, encryptMetadata: Boolean = true): Array[Byte] = {
     val n = lengthBits / 8
-    var key = md5(padded(Array.emptyByteArray), oEntry.take(32), leInt(p), id0)
+    // Algorithm 2 step f: R>=4 with /EncryptMetadata false appends
+    // 0xFFFFFFFF to the digest input
+    val metaTail =
+      if (r >= 4 && !encryptMetadata) Array[Byte](-1, -1, -1, -1)
+      else Array.emptyByteArray
+    var key = md5(padded(Array.emptyByteArray), oEntry.take(32), leInt(p), id0, metaTail)
     if (r >= 3) {
       var i = 0
       while (i < 50) { key = md5(key.take(n)); i += 1 }
@@ -137,22 +144,36 @@ object PdfCrypt {
     val salt =
       if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) // "sAlT"
       else Array.emptyByteArray
-    val ext = Array((num & 0xff).toByte, ((num >>> 8) & 0xff).toByte,
-      ((num >>> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >>> 8) & 0xff).toByte)
+    val ext = leInt(num).take(3) ++ leInt(gen).take(2)
     md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
   }
 
-  /** The resolved handler: decrypts stream payloads. */
-  final class StdSecurityHandler(val fileKey: Array[Byte], val aes: Boolean) {
-    def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val k = objectKey(fileKey, num, gen, aes)
-      if (aes) aesDecrypt(k, data) else rc4(k, data)
-    }
+  /** Stream cipher mode: V4's /StmF may be /Identity, meaning streams
+    * are NOT encrypted even in an encrypted document. */
+  sealed trait StreamCipher
+  case object IdentityStreams extends StreamCipher
+  case object Rc4Streams extends StreamCipher
+  case object AesStreams extends StreamCipher
+
+  /** The resolved handler: decrypts stream payloads per the stream
+    * cipher mode. */
+  final class StdSecurityHandler(val fileKey: Array[Byte], val mode: StreamCipher) {
+    private def aes = mode == AesStreams
+    def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      mode match {
+        case IdentityStreams => data
+        case _ =>
+          val k = objectKey(fileKey, num, gen, aes)
+          if (aes) aesDecrypt(k, data) else rc4(k, data)
+      }
     /** Fixture-side inverse. */
-    def encryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] = {
-      val k = objectKey(fileKey, num, gen, aes)
-      if (aes) aesEncrypt(k, num, gen, data) else rc4(k, data)
-    }
+    def encryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      mode match {
+        case IdentityStreams => data
+        case _ =>
+          val k = objectKey(fileKey, num, gen, aes)
+          if (aes) aesEncrypt(k, num, gen, data) else rc4(k, data)
+      }
   }
 
   /** Build the handler from the trailer's /Encrypt dict + /ID, or
@@ -174,32 +195,62 @@ object PdfCrypt {
     val r = int("R", 0).toInt
     if (!Set(1, 2, 4).contains(v) || !Set(2, 3, 4).contains(r))
       throw new PdfCryptException(s"unsupported encryption V=$v R=$r")
-    val lengthBits = int("Length", 40).toInt
-    if (lengthBits < 40 || lengthBits > 128 || lengthBits % 8 != 0)
-      throw new PdfCryptException(s"bad key length $lengthBits")
-    val aes = v == 4 && {
-      // V4: crypt filters; streams use /StmF (default /Identity)
-      val cf = resolve(enc.get("CF").getOrElse(PNull))
-      val stmF = resolve(enc.get("StmF").getOrElse(PNull)) match {
-        case PName(n) => n; case _ => "Identity"
-      }
-      cf match {
-        case d: PDict =>
-          resolve(d.get(stmF).getOrElse(PNull)) match {
-            case f: PDict => resolve(f.get("CFM").getOrElse(PNull)) match {
-              case PName("AESV2") => true
-              case PName("V2") => false
-              case other => throw new PdfCryptException(s"unsupported /CFM $other")
+    // stream cipher mode + effective key length.
+    //  - V1: fixed 40-bit RC4 (top-level /Length is V2/3-only).
+    //  - V2: RC4, top-level /Length (default 40).
+    //  - V4: per-crypt-filter. /StmF names the stream filter; the
+    //    Identity name means streams are NOT encrypted and never
+    //    appears inside /CF (§7.6.5). AESV2 is always 128-bit; a V2
+    //    CFM takes its length from the filter's /Length — which many
+    //    writers express in BYTES (16) rather than bits, so small
+    //    values are scaled — falling back to the top-level /Length.
+    val (mode: StreamCipher, lengthBits: Int) = v match {
+      case 1 => (Rc4Streams, 40)
+      case 2 =>
+        val lb = int("Length", 40).toInt
+        if (lb < 40 || lb > 128 || lb % 8 != 0)
+          throw new PdfCryptException(s"bad key length $lb")
+        (Rc4Streams, lb)
+      case _ => // v == 4
+        val stmF = resolve(enc.get("StmF").getOrElse(PNull)) match {
+          case PName(n) => n; case _ => "Identity"
+        }
+        if (stmF == "Identity") {
+          // streams plaintext (strings may still be encrypted; the
+          // extractor reads no document-level strings — scope note)
+          (IdentityStreams, math.max(40, int("Length", 40).toInt))
+        } else {
+          val cfm = resolve(enc.get("CF").getOrElse(PNull)) match {
+            case d: PDict => resolve(d.get(stmF).getOrElse(PNull)) match {
+              case f: PDict =>
+                val m = resolve(f.get("CFM").getOrElse(PNull))
+                val cfLenRaw = resolve(f.get("Length").getOrElse(PNull)).asInt
+                  .getOrElse(int("Length", 128)).toInt
+                val cfLen = if (cfLenRaw <= 40) cfLenRaw * 8 else cfLenRaw
+                (m, cfLen)
+              case _ => throw new PdfCryptException(s"V4 without /CF /$stmF entry")
             }
-            case _ => throw new PdfCryptException(s"V4 without /CF /$stmF entry")
+            case _ => throw new PdfCryptException("V4 without /CF dict")
           }
-        case _ => throw new PdfCryptException("V4 without /CF dict")
-      }
+          cfm match {
+            case (PName("AESV2"), _) => (AesStreams, 128)
+            case (PName("V2"), lb) =>
+              if (lb < 40 || lb > 128 || lb % 8 != 0)
+                throw new PdfCryptException(s"bad V4 key length $lb")
+              (Rc4Streams, lb)
+            case (other, _) => throw new PdfCryptException(s"unsupported /CFM $other")
+          }
+        }
     }
-    val key = fileKey(str("O"), int("P", -1L).toInt, id0, r, lengthBits)
+    val encryptMetadata = resolve(enc.get("EncryptMetadata").getOrElse(PNull)) match {
+      case PBool(b) => b
+      case _ => true
+    }
+    val key = fileKey(str("O"), int("P", -1L).toInt, id0, r, lengthBits,
+      encryptMetadata)
     if (!verifyEmptyUser(r, key, id0, str("U")))
       throw new PdfCryptException(
         "document requires a non-empty user password (out of scope, declared)")
-    new StdSecurityHandler(key, aes)
+    new StdSecurityHandler(key, mode)
   }
 }

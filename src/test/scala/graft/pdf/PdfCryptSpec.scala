@@ -46,6 +46,28 @@ class PdfCryptSpec extends AnyFunSuite {
       PdfCrypt.aesEncrypt(k5.take(16), 5, 0, data)).toSeq == data.toSeq)
   }
 
+  test("/EncryptMetadata false changes the file key (Algorithm 2 step f) and still opens") {
+    val texts = Seq("meta false page")
+    val enc = PdfBuilder.withEncryption(aes = true, texts, encryptMetadata = false)
+    assert(pageTexts(enc) == texts.toVector)
+    // and the keys genuinely differ between the two metadata modes
+    val id0 = (0 until 16).map(i => (i * 17 + 3).toByte).toArray
+    val o = PdfCrypt.computeO(4, 128)
+    val kTrue = PdfCrypt.fileKey(o, -44, id0, 4, 128, encryptMetadata = true)
+    val kFalse = PdfCrypt.fileKey(o, -44, id0, 4, 128, encryptMetadata = false)
+    assert(!kTrue.sameElements(kFalse))
+  }
+
+  test("V4 /StmF /Identity: streams are plaintext and extraction still works") {
+    val texts = Seq("identity stream page")
+    val enc = PdfBuilder.withEncryption(aes = false, texts, identityStreams = true)
+    assert(pageTexts(enc) == texts.toVector)
+    // the content IS in the clear in this variant (only strings would
+    // be encrypted, and this fixture has none outside /Encrypt)
+    val s = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(s.contains("identity stream page"))
+  }
+
   test("non-empty password and unsupported schemes are DECLARED failures, fail-soft upstream") {
     // corrupt the /U entry: empty-password verification must fail with
     // the declared message, not mis-decrypt
