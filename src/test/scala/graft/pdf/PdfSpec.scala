@@ -111,6 +111,20 @@ class PdfSpec extends AnyFunSuite {
     assert(dec.decode(Array[Byte](0x50, 0x51, 0x52)) == "pqr")
   }
 
+  test("ToUnicode CMap with 2-byte codespace (CID/Identity-H shape)") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar <0041> <0078> <0102> <0079> endbfchar
+        |1 beginbfrange <0200> <0202> <0041> endbfrange
+        |endcmap end end""".stripMargin.getBytes("ISO-8859-1")
+    val dec = ContentText.parseToUnicode(cmap)
+    // 2-byte codes: 0x0041 -> 'x', 0x0102 -> 'y', range 0x0200.. -> 'A'..
+    assert(dec.decode(Array[Byte](0x00, 0x41, 0x01, 0x02)) == "xy")
+    assert(dec.decode(Array[Byte](0x02, 0x00, 0x02, 0x02)) == "AC")
+  }
+
   test("encoding /Differences remap") {
     val table = Array.fill[String](256)("")
     // exercised through fontDecoder with a dict-encoded font
