@@ -134,6 +134,36 @@ object PdfBuilder {
       trailerExtra = s" /Encrypt $encObj 0 R /ID [<${hex(id0)}> <${hex(id0)}>]")
   }
 
+  /** AES-256 (PDF 2.0, V5/R6 /AESV3) encrypted document with EMPTY
+    * passwords: deterministic 32-byte file key, /U /UE /O /OE built by
+    * the spec's Algorithm-2.B hardened hash ([[PdfCrypt.buildR6Entries]]),
+    * streams AES-256-CBC with the file key directly. */
+  def withEncryptionR6(texts: Seq[String] = Seq("secret one", "secret two")): Array[Byte] = {
+    val fileKey = (0 until 32).map(i => (i * 7 + 11).toByte).toArray
+    val (u, ue, o, oe) = PdfCrypt.buildR6Entries(fileKey, seed = 5)
+    val h = new PdfCrypt.StdSecurityHandler(fileKey, PdfCrypt.Aes256Streams)
+    def hex(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02X").mkString
+    val b = new Builder
+    writeHeaderObjects(b, texts.length)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val pageObj = 4 + 2 * i; val contObj = 5 + 2 * i
+      b.obj(pageObj) {
+        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contObj 0 R " +
+          "/Resources << /Font << /F1 3 0 R >> >> >>")
+      }
+      val content = tjLine(t).getBytes(ISO_8859_1)
+      b.streamObj(contObj, "", h.encryptStream(contObj, 0, content))
+    }
+    val encObj = 4 + 2 * texts.length
+    b.obj(encObj) {
+      b.raw("<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+        s"/P -44 /O <${hex(o)}> /OE <${hex(oe)}> /U <${hex(u)}> /UE <${hex(ue)}> " +
+        "/Perms <00000000000000000000000000000000> >>")
+    }
+    writeClassicXref(b, trailerExtra = s" /Encrypt $encObj 0 R")
+  }
+
   /** Classic-xref document. Each element of `pageContents` is raw
     * content-stream source; `flate` compresses the content streams. */
   def simple(pageContents: Seq[String], flate: Boolean = false,

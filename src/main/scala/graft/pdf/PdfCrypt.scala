@@ -4,12 +4,13 @@ import java.security.MessageDigest
 import javax.crypto.Cipher
 import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
 
-/** PDF STANDARD SECURITY HANDLER (ISO 32000-1 §7.6.2-7.6.3) for the
-  * empty-user-password class — the common "encrypted but openable"
-  * web PDF. Revisions 2/3 (RC4-40..128) and 4 (/CF /StdCF with
-  * /CFM /V2 RC4 or /AESV2 AES-128-CBC). The reference's lopdf path
-  * fails on encrypted documents, so this is an EXTENSION in the
-  * CCITT/JBIG2 pattern.
+/** PDF STANDARD SECURITY HANDLER (ISO 32000-1 §7.6.2-7.6.3 and ISO
+  * 32000-2 §7.6.4) for the empty-user-password class — the common
+  * "encrypted but openable" web PDF. Revisions 2/3 (RC4-40..128),
+  * 4 (/CF /StdCF with /CFM /V2 RC4 or /AESV2 AES-128-CBC) and 6
+  * (PDF 2.0 /AESV3 AES-256 with the Algorithm-2.B hardened SHA-2
+  * hash). The reference's lopdf path fails on encrypted documents,
+  * so this is an EXTENSION in the CCITT/JBIG2 pattern.
   *
   * From-spec parts: the padding constant, Algorithm 2 file-key
   * derivation (MD5 chain, 50-fold for R≥3), Algorithm 7.2 per-object
@@ -154,6 +155,9 @@ object PdfCrypt {
   case object IdentityStreams extends StreamCipher
   case object Rc4Streams extends StreamCipher
   case object AesStreams extends StreamCipher
+  /** R6/AESV3: AES-256-CBC with the FILE key directly — R6 has no
+    * per-object key derivation. */
+  case object Aes256Streams extends StreamCipher
 
   /** The resolved handler: decrypts stream payloads per the stream
     * cipher mode. */
@@ -162,6 +166,7 @@ object PdfCrypt {
     def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
       mode match {
         case IdentityStreams => data
+        case Aes256Streams => aesDecrypt(fileKey, data)
         case _ =>
           val k = objectKey(fileKey, num, gen, aes)
           if (aes) aesDecrypt(k, data) else rc4(k, data)
@@ -170,10 +175,84 @@ object PdfCrypt {
     def encryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
       mode match {
         case IdentityStreams => data
+        case Aes256Streams => aesEncrypt(fileKey, num, gen, data)
         case _ =>
           val k = objectKey(fileKey, num, gen, aes)
           if (aes) aesEncrypt(k, num, gen, data) else rc4(k, data)
       }
+  }
+
+  // ---- R6 / AES-256 (ISO 32000-2 §7.6.4, the PDF 2.0 scheme) --------
+
+  private def sha(alg: String, parts: Array[Byte]*): Array[Byte] = {
+    val d = MessageDigest.getInstance(alg)
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  private def aesCbcNoPad(encrypt: Boolean, key: Array[Byte], iv: Array[Byte],
+      data: Array[Byte]): Array[Byte] = {
+    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(if (encrypt) Cipher.ENCRYPT_MODE else Cipher.DECRYPT_MODE,
+      new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
+    c.doFinal(data)
+  }
+
+  /** The R6 "hardened" hash (Algorithm 2.B): SHA-256 start, then ≥64
+    * rounds of AES-128-CBC over 64 repetitions of (pw ++ K [++ udata]),
+    * hash choice per round driven by the ciphertext, until the last
+    * byte of E ≤ round - 32. `udata` is the 48-byte /U entry when
+    * hashing the OWNER password, empty otherwise. */
+  def hash2b(pw: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    var k = sha("SHA-256", pw, salt, udata)
+    var e = Array.emptyByteArray
+    var round = 0
+    while (round < 64 || (e.last & 0xff) > round - 32) {
+      val block = pw ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      var i = 0
+      while (i < 64) { System.arraycopy(block, 0, k1, i * block.length, block.length); i += 1 }
+      e = aesCbcNoPad(encrypt = true, k.take(16), k.slice(16, 32), k1)
+      val mod = (0 until 16).map(j => e(j) & 0xff).sum % 3
+      k = sha(if (mod == 0) "SHA-256" else if (mod == 1) "SHA-384" else "SHA-512", e)
+      round += 1
+    }
+    k.take(32)
+  }
+
+  /** R6 empty-user-password file key: validate against /U (48 bytes =
+    * hash(32) ++ validationSalt(8) ++ keySalt(8)), then decrypt the
+    * 32-byte /UE with the intermediate key (AES-256-CBC, zero IV, no
+    * padding) — Algorithm 2.A. */
+  def fileKeyR6(uEntry: Array[Byte], ueEntry: Array[Byte]): Array[Byte] = {
+    if (uEntry.length < 48 || ueEntry.length < 32)
+      throw new PdfCryptException("R6: /U or /UE entry too short")
+    val vSalt = uEntry.slice(32, 40)
+    val kSalt = uEntry.slice(40, 48)
+    val check = hash2b(Array.emptyByteArray, vSalt, Array.emptyByteArray)
+    if (!check.sameElements(uEntry.take(32)))
+      throw new PdfCryptException(
+        "document requires a non-empty user password (out of scope, declared)")
+    val ik = hash2b(Array.emptyByteArray, kSalt, Array.emptyByteArray)
+    aesCbcNoPad(encrypt = false, ik, new Array[Byte](16), ueEntry.take(32))
+  }
+
+  /** Fixture-side R6 credential builder for the empty user password:
+    * deterministic salts, given file key → (U, UE, O, OE). The owner
+    * hashes include the 48-byte U entry per spec. */
+  def buildR6Entries(fileKey: Array[Byte], seed: Int): (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+    require(fileKey.length == 32, "R6 file key is 32 bytes")
+    def salt(tag: Int) = (0 until 8).map(i => (i * 31 + tag + seed).toByte).toArray
+    val (uv, uk, ov, ok) = (salt(1), salt(2), salt(3), salt(4))
+    val uHash = hash2b(Array.emptyByteArray, uv, Array.emptyByteArray)
+    val u = uHash ++ uv ++ uk
+    val ue = aesCbcNoPad(encrypt = true,
+      hash2b(Array.emptyByteArray, uk, Array.emptyByteArray), new Array[Byte](16), fileKey)
+    val oHash = hash2b(Array.emptyByteArray, ov, u)
+    val o = oHash ++ ov ++ ok
+    val oe = aesCbcNoPad(encrypt = true,
+      hash2b(Array.emptyByteArray, ok, u), new Array[Byte](16), fileKey)
+    (u, ue, o, oe)
   }
 
   /** Build the handler from the trailer's /Encrypt dict + /ID, or
@@ -193,6 +272,27 @@ object PdfCrypt {
     }
     val v = int("V", 0).toInt
     val r = int("R", 0).toInt
+    if (v == 5) {
+      // PDF 2.0 AES-256 (AESV3). R5 (the deprecated interim Adobe
+      // scheme with an unhardened hash) is declared out of scope.
+      if (r != 6) throw new PdfCryptException(s"unsupported encryption V=5 R=$r")
+      val stmF5 = resolve(enc.get("StmF").getOrElse(PNull)) match {
+        case PName(n) => n; case _ => "Identity"
+      }
+      if (stmF5 == "Identity")
+        return new StdSecurityHandler(fileKeyR6(str("U"), str("UE")), IdentityStreams)
+      resolve(enc.get("CF").getOrElse(PNull)) match {
+        case d: PDict => resolve(d.get(stmF5).getOrElse(PNull)) match {
+          case f: PDict => resolve(f.get("CFM").getOrElse(PNull)) match {
+            case PName("AESV3") => ()
+            case other => throw new PdfCryptException(s"unsupported V5 /CFM $other")
+          }
+          case _ => throw new PdfCryptException(s"V5 without /CF /$stmF5 entry")
+        }
+        case _ => throw new PdfCryptException("V5 without /CF dict")
+      }
+      return new StdSecurityHandler(fileKeyR6(str("U"), str("UE")), Aes256Streams)
+    }
     if (!Set(1, 2, 4).contains(v) || !Set(2, 3, 4).contains(r))
       throw new PdfCryptException(s"unsupported encryption V=$v R=$r")
     // stream cipher mode + effective key length.

@@ -284,7 +284,7 @@ object Oracles {
       // expected page texts are closed-form; the md5s match only if
       // the RC4/AES decryption recovered them byte-exactly
       """SELECT i AS id,
-        | CASE WHEN i % 2 = 1 THEN 'aes' ELSE 'rc4' END AS mode,
+        | CASE i % 3 WHEN 0 THEN 'rc4' WHEN 1 THEN 'aes' ELSE 'aes256' END AS mode,
         | CAST(p AS INTEGER) AS page,
         | md5(CASE WHEN p = 1 THEN 'page alpha ' || CAST(i AS VARCHAR)
         |      ELSE 'page beta ' || CAST(i*i AS VARCHAR) END) AS text_md5

@@ -223,7 +223,9 @@ object Queries {
   /** ENCRYPTED-PDF extraction, oracle-pinned: 12 documents through
     * the ISO 32000 standard security handler (empty user password —
     * the openable-but-encrypted web-PDF class the reference fails
-    * on), even ids RC4-128 (R3), odd ids AES-128-CBC (R4 /AESV2);
+    * on), ids cycling RC4-128 (R3), AES-128-CBC (R4 /AESV2) and
+    * AES-256 (PDF 2.0 V5/R6 /AESV3 with the Algorithm-2.B hardened
+    * hash);
     * per-object keys, /O /U and the file key all computed from the
     * spec's algorithms ([[graft.pdf.PdfCrypt]]), ciphers = the JDK's
     * independent implementations. The DuckDB twin recomputes the
@@ -233,13 +235,15 @@ object Queries {
   def pdfzEncrypted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     s.range(12).repartition(4).flatMap { id =>
-      val aes = id % 2 == 1
       val texts = Seq(s"page alpha $id", s"page beta ${id * id}")
-      val pdf = graft.pdf.PdfBuilder.withEncryption(aes, texts)
+      val (mode, pdf) = (id % 3) match {
+        case 0 => ("rc4", graft.pdf.PdfBuilder.withEncryption(aes = false, texts))
+        case 1 => ("aes", graft.pdf.PdfBuilder.withEncryption(aes = true, texts))
+        case _ => ("aes256", graft.pdf.PdfBuilder.withEncryptionR6(texts))
+      }
       val doc = graft.pdf.PdfDocument.load(pdf)
       doc.pages.zipWithIndex.map { case (p, i) =>
-        (id, if (aes) "aes" else "rc4", i + 1,
-          graft.pdf.ContentText.extractPageText(doc, p).trim)
+        (id, mode, i + 1, graft.pdf.ContentText.extractPageText(doc, p).trim)
       }
     }
     .toDF("id", "mode", "page", "text")

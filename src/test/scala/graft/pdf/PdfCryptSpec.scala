@@ -68,6 +68,26 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(s.contains("identity stream page"))
   }
 
+  test("AES-256 R6 (PDF 2.0 /AESV3): hardened-hash validation + file-key unwrap + decrypt") {
+    val texts = Seq("aes256 secret one", "aes256 secret two")
+    val enc = PdfBuilder.withEncryptionR6(texts)
+    assert(pageTexts(enc) == texts.toVector)
+    val s = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!s.contains("aes256 secret"))
+    // the 2.B hardened hash is order-sensitive and salt-sensitive
+    val a = PdfCrypt.hash2b("x".getBytes, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8), Array.emptyByteArray)
+    val b = PdfCrypt.hash2b("x".getBytes, Array[Byte](8, 7, 6, 5, 4, 3, 2, 1), Array.emptyByteArray)
+    assert(a.length == 32 && !a.sameElements(b))
+    // wrong /U hash (tampered validation) is the declared password error
+    val fileKey = (0 until 32).map(i => (i * 7 + 11).toByte).toArray
+    val (u, ue, _, _) = PdfCrypt.buildR6Entries(fileKey, seed = 5)
+    assert(PdfCrypt.fileKeyR6(u, ue).toSeq == fileKey.toSeq,
+      "unwrapped file key must round-trip through /UE")
+    val badU = u.clone(); badU(0) = (badU(0) ^ 0x55).toByte
+    val e = intercept[PdfCrypt.PdfCryptException] { PdfCrypt.fileKeyR6(badU, ue) }
+    assert(e.getMessage.contains("password"))
+  }
+
   test("non-empty password and unsupported schemes are DECLARED failures, fail-soft upstream") {
     // corrupt the /U entry: empty-password verification must fail with
     // the declared message, not mis-decrypt
