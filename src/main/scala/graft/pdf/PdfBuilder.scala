@@ -85,6 +85,23 @@ object PdfBuilder {
     b.bytes
   }
 
+  private def hexStr(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02X").mkString
+
+  /** Shared page/content layout for the encrypted fixtures: header
+    * objects + per-page dict and handler-encrypted content stream. */
+  private def writeEncryptedPages(b: Builder, texts: Seq[String],
+      h: PdfCrypt.StdSecurityHandler): Unit = {
+    writeHeaderObjects(b, texts.length)
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val pageObj = 4 + 2 * i; val contObj = 5 + 2 * i
+      b.obj(pageObj) {
+        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contObj 0 R " +
+          "/Resources << /Font << /F1 3 0 R >> >> >>")
+      }
+      b.streamObj(contObj, "", h.encryptStream(contObj, 0, tjLine(t).getBytes(ISO_8859_1)))
+    }
+  }
+
   /** Encrypted document (ISO 32000-1 §7.6 standard security handler,
     * EMPTY user/owner passwords — the openable-but-encrypted web-PDF
     * class the reference fails on): two text pages whose content
@@ -105,18 +122,9 @@ object PdfBuilder {
       else if (aes) PdfCrypt.AesStreams
       else PdfCrypt.Rc4Streams
     val h = new PdfCrypt.StdSecurityHandler(key, mode)
-    def hex(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02X").mkString
+    import PdfBuilder.{hexStr => hex}
     val b = new Builder
-    writeHeaderObjects(b, texts.length)
-    texts.zipWithIndex.foreach { case (t, i) =>
-      val pageObj = 4 + 2 * i; val contObj = 5 + 2 * i
-      b.obj(pageObj) {
-        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contObj 0 R " +
-          "/Resources << /Font << /F1 3 0 R >> >> >>")
-      }
-      val content = tjLine(t).getBytes(ISO_8859_1)
-      b.streamObj(contObj, "", h.encryptStream(contObj, 0, content))
-    }
+    writeEncryptedPages(b, texts, h)
     val encObj = 4 + 2 * texts.length
     val cf =
       if (identityStreams)
@@ -142,18 +150,9 @@ object PdfBuilder {
     val fileKey = (0 until 32).map(i => (i * 7 + 11).toByte).toArray
     val (u, ue, o, oe) = PdfCrypt.buildR6Entries(fileKey, seed = 5)
     val h = new PdfCrypt.StdSecurityHandler(fileKey, PdfCrypt.Aes256Streams)
-    def hex(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02X").mkString
+    import PdfBuilder.{hexStr => hex}
     val b = new Builder
-    writeHeaderObjects(b, texts.length)
-    texts.zipWithIndex.foreach { case (t, i) =>
-      val pageObj = 4 + 2 * i; val contObj = 5 + 2 * i
-      b.obj(pageObj) {
-        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contObj 0 R " +
-          "/Resources << /Font << /F1 3 0 R >> >> >>")
-      }
-      val content = tjLine(t).getBytes(ISO_8859_1)
-      b.streamObj(contObj, "", h.encryptStream(contObj, 0, content))
-    }
+    writeEncryptedPages(b, texts, h)
     val encObj = 4 + 2 * texts.length
     b.obj(encObj) {
       b.raw("<< /Filter /Standard /V 5 /R 6 /Length 256 " +

@@ -203,16 +203,20 @@ object PdfCrypt {
     * hash choice per round driven by the ciphertext, until the last
     * byte of E ≤ round - 32. `udata` is the 48-byte /U entry when
     * hashing the OWNER password, empty otherwise. */
-  def hash2b(pw: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+  def hash2b(pw0: Array[Byte], salt: Array[Byte], udata: Array[Byte]): Array[Byte] = {
+    val pw = pw0.take(127) // Algorithm 2.A step a: UTF-8 password truncated to 127 bytes
     var k = sha("SHA-256", pw, salt, udata)
     var e = Array.emptyByteArray
     var round = 0
+    val c = Cipher.getInstance("AES/CBC/NoPadding") // hoisted: up to ~287 rounds
     while (round < 64 || (e.last & 0xff) > round - 32) {
       val block = pw ++ k ++ udata
       val k1 = new Array[Byte](block.length * 64)
       var i = 0
       while (i < 64) { System.arraycopy(block, 0, k1, i * block.length, block.length); i += 1 }
-      e = aesCbcNoPad(encrypt = true, k.take(16), k.slice(16, 32), k1)
+      c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(k.take(16), "AES"),
+        new IvParameterSpec(k.slice(16, 32)))
+      e = c.doFinal(k1)
       val mod = (0 until 16).map(j => e(j) & 0xff).sum % 3
       k = sha(if (mod == 0) "SHA-256" else if (mod == 1) "SHA-384" else "SHA-512", e)
       round += 1
@@ -255,6 +259,23 @@ object PdfCrypt {
     (u, ue, o, oe)
   }
 
+  /** Resolve /CF → the /StmF-named crypt filter → its /CFM name and
+    * optional /Length — the walk both V4 and V5 share. */
+  private def cfmFor(enc: PDict, stmF: String,
+      resolve: PdfObj => PdfObj): (String, Option[Long]) =
+    resolve(enc.get("CF").getOrElse(PNull)) match {
+      case d: PDict => resolve(d.get(stmF).getOrElse(PNull)) match {
+        case f: PDict =>
+          val m = resolve(f.get("CFM").getOrElse(PNull)) match {
+            case PName(n) => n
+            case other => throw new PdfCryptException(s"unsupported /CFM $other")
+          }
+          (m, resolve(f.get("Length").getOrElse(PNull)).asInt)
+        case _ => throw new PdfCryptException(s"crypt filters without /CF /$stmF entry")
+      }
+      case _ => throw new PdfCryptException("crypt filters without /CF dict")
+    }
+
   /** Build the handler from the trailer's /Encrypt dict + /ID, or
     * throw a DECLARED error for out-of-scope variants. `resolve`
     * dereferences indirect values inside the dict. */
@@ -281,15 +302,9 @@ object PdfCrypt {
       }
       if (stmF5 == "Identity")
         return new StdSecurityHandler(fileKeyR6(str("U"), str("UE")), IdentityStreams)
-      resolve(enc.get("CF").getOrElse(PNull)) match {
-        case d: PDict => resolve(d.get(stmF5).getOrElse(PNull)) match {
-          case f: PDict => resolve(f.get("CFM").getOrElse(PNull)) match {
-            case PName("AESV3") => ()
-            case other => throw new PdfCryptException(s"unsupported V5 /CFM $other")
-          }
-          case _ => throw new PdfCryptException(s"V5 without /CF /$stmF5 entry")
-        }
-        case _ => throw new PdfCryptException("V5 without /CF dict")
+      cfmFor(enc, stmF5, resolve) match {
+        case ("AESV3", _) => ()
+        case (other, _) => throw new PdfCryptException(s"unsupported V5 /CFM $other")
       }
       return new StdSecurityHandler(fileKeyR6(str("U"), str("UE")), Aes256Streams)
     }
@@ -320,25 +335,16 @@ object PdfCrypt {
           // extractor reads no document-level strings — scope note)
           (IdentityStreams, math.max(40, int("Length", 40).toInt))
         } else {
-          val cfm = resolve(enc.get("CF").getOrElse(PNull)) match {
-            case d: PDict => resolve(d.get(stmF).getOrElse(PNull)) match {
-              case f: PDict =>
-                val m = resolve(f.get("CFM").getOrElse(PNull))
-                val cfLenRaw = resolve(f.get("Length").getOrElse(PNull)).asInt
-                  .getOrElse(int("Length", 128)).toInt
-                val cfLen = if (cfLenRaw <= 40) cfLenRaw * 8 else cfLenRaw
-                (m, cfLen)
-              case _ => throw new PdfCryptException(s"V4 without /CF /$stmF entry")
-            }
-            case _ => throw new PdfCryptException("V4 without /CF dict")
-          }
-          cfm match {
-            case (PName("AESV2"), _) => (AesStreams, 128)
-            case (PName("V2"), lb) =>
-              if (lb < 40 || lb > 128 || lb % 8 != 0)
-                throw new PdfCryptException(s"bad V4 key length $lb")
-              (Rc4Streams, lb)
-            case (other, _) => throw new PdfCryptException(s"unsupported /CFM $other")
+          val (cfmName, cfLenOpt) = cfmFor(enc, stmF, resolve)
+          val cfLenRaw = cfLenOpt.getOrElse(int("Length", 128)).toInt
+          val cfLen = if (cfLenRaw <= 40) cfLenRaw * 8 else cfLenRaw
+          cfmName match {
+            case "AESV2" => (AesStreams, 128)
+            case "V2" =>
+              if (cfLen < 40 || cfLen > 128 || cfLen % 8 != 0)
+                throw new PdfCryptException(s"bad V4 key length $cfLen")
+              (Rc4Streams, cfLen)
+            case other => throw new PdfCryptException(s"unsupported /CFM $other")
           }
         }
     }

@@ -88,6 +88,30 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(e.getMessage.contains("password"))
   }
 
+  test("V5 declared branches: R5 rejected, non-AESV3 CFM rejected, Identity streams honored") {
+    val fileKey = (0 until 32).map(i => (i * 7 + 11).toByte).toArray
+    val (u, ue, _, _) = PdfCrypt.buildR6Entries(fileKey, seed = 5)
+    def encDict(r: Int, cfm: String, stmF: String) = PDict(Map(
+      "Filter" -> PName("Standard"), "V" -> PInt(5), "R" -> PInt(r),
+      "CF" -> PDict(Map("StdCF" -> PDict(Map("CFM" -> PName(cfm), "Length" -> PInt(32))))),
+      "StmF" -> PName(stmF), "U" -> PStr(u), "UE" -> PStr(ue)))
+    // R5 (the deprecated interim scheme) is a declared non-goal
+    val e1 = intercept[PdfCrypt.PdfCryptException] {
+      PdfCrypt.forDocument(encDict(5, "AESV3", "StdCF"), Array.emptyByteArray, identity)
+    }
+    assert(e1.getMessage.contains("V=5 R=5"))
+    // a V5 filter that is not AESV3 must be rejected, not guessed at
+    val e2 = intercept[PdfCrypt.PdfCryptException] {
+      PdfCrypt.forDocument(encDict(6, "AESV2", "StdCF"), Array.emptyByteArray, identity)
+    }
+    assert(e2.getMessage.contains("CFM"))
+    // /StmF /Identity under V5: key still validates, streams plaintext
+    val h = PdfCrypt.forDocument(encDict(6, "AESV3", "Identity"), Array.emptyByteArray, identity)
+    assert(h.mode == PdfCrypt.IdentityStreams && h.fileKey.toSeq == fileKey.toSeq)
+    val data = "plain".getBytes
+    assert(h.decryptStream(9, 0, data).toSeq == data.toSeq)
+  }
+
   test("non-empty password and unsupported schemes are DECLARED failures, fail-soft upstream") {
     // corrupt the /U entry: empty-password verification must fail with
     // the declared message, not mis-decrypt
