@@ -90,6 +90,17 @@ object TextFunctions {
     toColumn(ShingleMd5s(toExpression(text), n))
   }
 
+  /** Per-doc content-defined chunks as
+    * `array<struct<chunk_fp, n_tokens>>` — one MAP-SIDE pass over the
+    * intact text (native [[CdcChunks]]); boundary = token whose 32-bit
+    * md5-prefix hash ≡ 0 mod `divisor`, boundary token ends its chunk.
+    * The token stream never materializes as rows, so the caller's only
+    * shuffle is its own chunk-fp aggregation. */
+  def cdcChunks(text: Column, divisor: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(CdcChunks(toExpression(text), divisor))
+  }
+
   /** Per-doc MinHash signature array (native [[MinHashSigs]]); null
     * below `shingleN` tokens. */
   def minhashSigs(text: Column, shingleN: Int, numHashes: Int): Column = {

@@ -543,39 +543,28 @@ object Dedup {
     * token). This is the storage-dedup / training-data-decontamination
     * shape (LBFS, Muthitacharoen et al., SOSP 2001).
     *
-    * Plan (the 100 TB shape): per-token hashing is map-side; the chunk
-    * index is a running sum over a window PARTITIONED BY doc_id — the
-    * per-entity-window sessionization shape, parallel across docs,
-    * never global; chunk reassembly is one hash aggregation on
-    * (doc_id, chunk) and the duplicate report one more on chunk_fp —
-    * both shuffle-once with map-side partials. Expected chunk length ≈
-    * `divisor` tokens (geometric); no min/max clamp, so boundaries are
-    * a pure function of content and the DuckDB twin replays them
-    * exactly.
+    * Plan (the 100 TB shape): chunking is entirely MAP-SIDE — the
+    * native [[graft.functions.CdcChunks]] expression walks each doc's
+    * intact `text` once and emits `array<struct<chunk_fp, n_tokens>>`
+    * (the [[graft.functions.ShingleMd5s]] pattern, same md5-nibble
+    * token hash), so the tokenized corpus never shuffles, never sorts,
+    * and holds no Window state; one explode then the single inherent
+    * shuffle (the global chunk-fp aggregation, map-side partials).
+    * Expected chunk length ≈ `divisor` tokens (geometric); no min/max
+    * clamp, so boundaries are a pure function of content and the
+    * DuckDB twin replays them exactly.
     *
     * Output: one row per chunk occurring in ≥2 docs —
     * (chunk_fp, n_tokens, n_docs, n_occurrences, keep_doc). */
   def cdcChunkDuplicates(docs: DataFrame, divisor: Int = 16): DataFrame = {
-    // divisor 0 would NULL every flag (hash % 0) and silently collapse
-    // each doc into one chunk — whole-doc dedup in CDC clothing
+    // divisor 0 would (in the hash % 0 formulation) NULL every flag and
+    // silently collapse each doc into one chunk — whole-doc dedup in
+    // CDC clothing; CdcChunks also rejects it at construction
     require(divisor >= 1, s"divisor must be >= 1, got $divisor")
-    import org.apache.spark.sql.expressions.Window
-    val tok = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    // 32-bit token hash = first 8 md5 nibbles (the cross-engine-exact
-    // convention the simhash oracles use); boundary token ENDS a chunk
-    val hashed = tok.withColumn("flag",
-      (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % divisor === 0)
-        .cast("int"))
-    val w = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunked = hashed.withColumn("chunk",
-      coalesce(sum(col("flag")).over(w), lit(0L)))
-    val chunks = chunked.groupBy("doc_id", "chunk")
-      .agg(
-        expr("md5(concat_ws(' ', transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)))")
-          .as("chunk_fp"),
-        count(lit(1)).as("n_tokens"))
+    val chunks = docs.select(col("doc_id"),
+      explode(TF.cdcChunks(col("text"), divisor)).as("c"))
+      .select(col("doc_id"), col("c.chunk_fp").as("chunk_fp"),
+        col("c.n_tokens").as("n_tokens"))
     chunks.groupBy("chunk_fp")
       .agg(max(col("n_tokens")).as("n_tokens"),
         countDistinct(col("doc_id")).as("n_docs"),

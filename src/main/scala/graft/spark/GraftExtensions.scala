@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{ArrayMinAgg, BottomKDistinctLongs, BoundedCollectLongs, MinHashSigs, RollingFp, ShingleMd5s, TokenSimHash64, VectorDotQ}
+import graft.functions.{ArrayMinAgg, BottomKDistinctLongs, BoundedCollectLongs, CdcChunks, MinHashSigs, RollingFp, ShingleMd5s, TokenSimHash64, VectorDotQ}
 
 /** SparkSessionExtensions installer for graft's native expressions —
   * the supported library integration point: set
@@ -65,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         ShingleMd5s(arg("shingle_md5s", exprs, 0, "the text column"),
           intLit("shingle_md5s", exprs, 1, "the n-gram size"))))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (exprs: Seq[Expression]) =>
+        CdcChunks(arg("cdc_chunks", exprs, 0, "the text column"),
+          intLit("cdc_chunks", exprs, 1, "the boundary divisor"))))
     ext.injectFunction((
       FunctionIdentifier("minhash_sigs"),
       new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),

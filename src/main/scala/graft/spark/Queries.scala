@@ -567,7 +567,7 @@ object Queries {
   /** documents ∪ mutated copies (doc_id+100000, first token dropped) —
     * the deterministic near-duplicate testbed used by the dedup
     * queries; same construction in the DuckDB oracle. */
-  private def docsPlus(s: SparkSession, dir: String): DataFrame = {
+  private[spark] def docsPlus(s: SparkSession, dir: String): DataFrame = {
     val d = rd(s, dir, "documents").select("doc_id", "text")
     d.unionAll(d.select((col("doc_id") + 100000).as("doc_id"),
       expr("substring(text, instr(text, ' ') + 1)").as("text")))

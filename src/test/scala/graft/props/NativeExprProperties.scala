@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.StringType
 import org.apache.spark.unsafe.types.UTF8String
-import graft.functions.{MinHashSigs, ShingleMd5s, TokenSimHash64}
+import graft.functions.{CdcChunks, MinHashSigs, ShingleMd5s, TokenSimHash64}
 
 /** The native per-row kernels checked against independent, slow
   * reimplementations over the hex-STRING route (the production code
@@ -68,6 +68,28 @@ object NativeExprProperties extends Properties("graft.nativeexpr") {
       val got = ShingleMd5s(lit(t), n).eval(null).asInstanceOf[ArrayData]
         .toArray[UTF8String](StringType).map(_.toString).toSeq
       got == refShingles(t, n)
+    }
+
+  // slow reference: hex-string route, building chunks by the exclusive
+  // running-sum convention the retired Window formulation used
+  private def refCdc(t: String, divisor: Int): Seq[(String, Long)] = {
+    val toks = t.split(" ", -1).toSeq
+    val flags = toks.map(tok =>
+      java.lang.Long.parseLong(md5hex(tok).substring(0, 8), 16) % divisor == 0)
+    val chunkIdx = flags.scanLeft(0L)((acc, f) => if (f) acc + 1 else acc).init
+    toks.zip(chunkIdx).groupBy(_._2).toSeq.sortBy(_._1).map { case (_, grp) =>
+      (md5hex(grp.map(_._1).mkString(" ")), grp.size.toLong)
+    }
+  }
+
+  property("CdcChunks == exclusive-running-sum chunk reference (fp, n_tokens, order)") =
+    forAll(text, Gen.oneOf(1, 2, 3, 16)) { (t, d) =>
+      val arr = CdcChunks(lit(t), d).eval(null).asInstanceOf[ArrayData]
+      val got = (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getLong(1))
+      }
+      got == refCdc(t, d)
     }
 
   property("RollingFp == code-point left fold mod 2^31-1") =

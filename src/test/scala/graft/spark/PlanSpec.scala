@@ -141,6 +141,35 @@ class PlanSpec extends AnyFunSuite {
       s"df subtree lost its map-side partial aggregation:\n${plan.take(4000)}")
   }
 
+  test("CDC chunking is MAP-SIDE: no Window, no token-stream shuffle — the only Exchange is the chunk-fp agg") {
+    // round-5 verdict: posexplode + Window.partitionBy(doc_id) shuffled
+    // and sorted the fully tokenized corpus (≈3-5× text bytes) twice
+    // before the one inherent shuffle; the native CdcChunks expression
+    // chunks each doc's intact text in the map task, so the plan is
+    // scan → project(cdc_chunks) → explode → partial agg → ONE
+    // Exchange(chunk_fp) → final agg
+    val plan = physical(graft.operators.Dedup.cdcChunkDuplicates(
+      Queries.docsPlus(spark, sf)))
+    assert(!plan.contains("Window"),
+      s"CDC token-window scale-killer resurfaced:\n${plan.take(4000)}")
+    assert(plan.contains("cdc_chunks"),
+      s"native map-side chunker missing from plan:\n${plan.take(4000)}")
+    // the chunker (and its explode) must sit BELOW every Exchange —
+    // i.e. tokens never cross the wire; the plan prints leaves last,
+    // so "below" means the cdc_chunks Generate appears AFTER the last
+    // Exchange in the string
+    assert(plan.lastIndexOf("Exchange") < plan.indexOf("cdc_chunks"),
+      s"token stream crosses an Exchange:\n${plan.take(4000)}")
+    // two Exchanges of chunk-level rows is the standard two-phase
+    // distinct-agg shape (partial (fp,doc) agg → fp agg), both over
+    // aggregated chunk fingerprints, never tokens
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"expected at most the two distinct-agg Exchanges, got $exchanges:\n${plan.take(4000)}")
+    assert(plan.contains("partial_max"),
+      s"chunk agg lost its map-side partials:\n${plan.take(4000)}")
+  }
+
   test("KMV sketch: bottom-k aggregate runs with map-side partials (mergeable sketch, O(k) buffers)") {
     val plan = physical(Queries.textDistinctKmv(spark, sf))
     assert(plan.contains("partial_bottom_k_distinct") ||
