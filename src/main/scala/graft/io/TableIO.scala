@@ -126,12 +126,42 @@ object TableIO {
         .group(1).toLong
     val files = """"data_files":\[(.*)\]""".r.findFirstMatchIn(body)
       .map(_.group(1)).getOrElse("")
-    val names =
-      if (files.isEmpty) Seq.empty
-      else files.split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")
-        .replace("\\\\", "\\").replace("\\\"", "\""))
     Snapshot(intField("version").toInt, intField("parent_version").toInt,
-      intField("committed_at"), names)
+      intField("committed_at"), parseJsonStringArray(files))
+  }
+
+  /** Decode the element list of a JSON string array (the inverse of
+    * [[js]]) with a single left-to-right pass — commas, quotes and
+    * backslashes INSIDE an element survive, where a split-on-comma +
+    * global replace would mangle them (escapes must be decoded
+    * in-order: "\\\"" is backslash-then-quote-terminator, not
+    * escaped-quote). */
+  private def parseJsonStringArray(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '"') {
+        val sb = new java.lang.StringBuilder
+        i += 1
+        var done = false
+        while (!done) {
+          s.charAt(i) match {
+            case '"' => done = true; i += 1
+            case '\\' =>
+              s.charAt(i + 1) match {
+                case 'n' => sb.append('\n'); i += 2
+                case 'u' =>
+                  sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+                  i += 6
+                case c => sb.append(c); i += 2 // \" \\ and any future pass-through
+              }
+            case c => sb.append(c); i += 1
+          }
+        }
+        out += sb.toString
+      } else i += 1 // inter-element comma / whitespace
+    }
+    out.toSeq
   }
 
   /** Time-travel by TIMESTAMP (Iceberg's `AS OF` semantics): the

@@ -337,7 +337,11 @@ object PdfCrypt {
         } else {
           val (cfmName, cfLenOpt) = cfmFor(enc, stmF, resolve)
           val cfLenRaw = cfLenOpt.getOrElse(int("Length", 128)).toInt
-          val cfLen = if (cfLenRaw <= 40) cfLenRaw * 8 else cfLenRaw
+          // /CF /Length may be BYTES (Acrobat convention, e.g. 16) or
+          // bits; values < 40 can only be bytes (5 = 40-bit), 40
+          // itself can only be BITS (40 bytes = 320 > the 128-bit V4
+          // max), so scale strictly-below-40 only
+          val cfLen = if (cfLenRaw < 40) cfLenRaw * 8 else cfLenRaw
           cfmName match {
             case "AESV2" => (AesStreams, 128)
             case "V2" =>

@@ -46,6 +46,14 @@ final class PdfDocument private (
         Some(PdfCrypt.forDocument(encDict, id0, resolve))
     }
     cryptReady = true
+    // objects resolved WHILE the handler was being built parsed raw
+    // (cryptReady false) and were memoized; on an encrypted document a
+    // hostile file could route /Encrypt or /ID resolution through an
+    // object stream, leaving that ObjStm container cached undecrypted
+    // — evict everything construction touched so post-init reads
+    // re-parse with decryption (normally a fail-soft parse error, but
+    // garbage must not stay cached)
+    if (h.isDefined) { cache.clear(); objStmCache.clear() }
     h
   }
 

@@ -55,9 +55,10 @@ object GraftSql {
   }
 
   /** Register the ANN views over `embView(vec_id, embedding)`:
-    * `<prefix>topk_brute` and `<prefix>topk_lsh` score every vector of
-    * `queriesWhere` (SQL predicate over `embView` columns selecting
-    * the query side, e.g. "vec_id < 8") against the full table. */
+    * `<prefix>topk_brute`, `<prefix>topk_lsh` and `<prefix>topk_ivf`
+    * score every vector of `queriesWhere` (SQL predicate over
+    * `embView` columns selecting the query side, e.g. "vec_id < 8")
+    * against the full table. */
   def registerSimilarityViews(spark: SparkSession, embView: String,
       queriesWhere: String, k: Int = 5, prefix: String = "graft_"): Unit = {
     val emb = spark.table(embView)

@@ -98,6 +98,21 @@ class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableIO.versionAsOf(table, System.currentTimeMillis()).contains(4))
   }
 
+  test("snapshot metadata round-trips data-file paths with commas, quotes and backslashes") {
+    // Spark part files never carry these today, but partition VALUES
+    // could — the split-on-comma parser this pins against mangled them
+    val dir = tmpDir("tio-esc")
+    val dd = java.nio.file.Paths.get(TableIO.dataDir(dir))
+    Files.createDirectories(dd)
+    val names = Seq("""k=a,b", part-0.parquet""", """k=c\"d,part-1.parquet""",
+      "plain-part-2.parquet")
+    names.foreach(n => Files.write(dd.resolve(n), Array[Byte](1)))
+    val v = TableIO.commitSnapshot(dir)
+    val snap = TableIO.readSnapshot(dir, v)
+    assert(snap.dataFiles.toSet == names.map(n => s"data/$n").toSet,
+      s"paths mangled: ${snap.dataFiles}")
+  }
+
   test("job resume after kill continues the version chain, not forks it") {
     val table = tmpDir("graft-snapresume")
     val input = corpusDf(16)

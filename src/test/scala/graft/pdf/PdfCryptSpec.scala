@@ -112,6 +112,30 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(h.decryptStream(9, 0, data).toSeq == data.toSeq)
   }
 
+  test("V4 /CF /Length 40 means BITS (spec-legal 40-bit RC4) and /Length 5 means bytes — both open") {
+    // the old <=40 heuristic scaled 40 to 320 bits and rejected a
+    // conformant document; 40 can only be bits (40 BYTES = 320 > the
+    // 128-bit V4 max) while 5 can only be bytes
+    val id0 = (0 until 16).map(i => (i * 17 + 3).toByte).toArray
+    def handlerFor(cfLength: Int): PdfCrypt.StdSecurityHandler = {
+      val o = PdfCrypt.computeO(4, 40)
+      val key = PdfCrypt.fileKey(o, -44, id0, 4, 40, encryptMetadata = true)
+      val u = PdfCrypt.computeU(4, key, id0)
+      PdfCrypt.forDocument(PDict(Map(
+        "Filter" -> PName("Standard"), "V" -> PInt(4), "R" -> PInt(4),
+        "Length" -> PInt(40),
+        "CF" -> PDict(Map("StdCF" -> PDict(Map(
+          "CFM" -> PName("V2"), "Length" -> PInt(cfLength))))),
+        "StmF" -> PName("StdCF"), "StrF" -> PName("StdCF"),
+        "P" -> PInt(-44), "O" -> PStr(o), "U" -> PStr(u))), id0, identity)
+    }
+    val hBits = handlerFor(40)
+    val hBytes = handlerFor(5)
+    assert(hBits.mode == PdfCrypt.Rc4Streams)
+    assert(hBits.fileKey.toSeq == hBytes.fileKey.toSeq,
+      "40 (bits) and 5 (bytes) must derive the same 40-bit key")
+  }
+
   test("non-empty password and unsupported schemes are DECLARED failures, fail-soft upstream") {
     // corrupt the /U entry: empty-password verification must fail with
     // the declared message, not mis-decrypt
