@@ -75,16 +75,19 @@ object model {
       failed_docs: Long,
       status: String, // "committed" | "failed"
       attempt: Int,
-      committed_at: Long) // epoch millis of the commit (driver clock)
+      committed_at: Long, // epoch millis of the commit (driver clock)
+      unmapped_codes: Long = 0L) // encoding-undefined font codes (U+FFFD'd, counted)
 
   /** Per-bucket metrics accumulated inside the extraction tasks. */
   final case class BucketStats(
       docCount: Long = 0L,
       spanCount: Long = 0L,
       bytesIn: Long = 0L,
-      failedDocs: Long = 0L) {
+      failedDocs: Long = 0L,
+      unmappedCodes: Long = 0L) {
     def +(o: BucketStats): BucketStats =
       BucketStats(docCount + o.docCount, spanCount + o.spanCount,
-        bytesIn + o.bytesIn, failedDocs + o.failedDocs)
+        bytesIn + o.bytesIn, failedDocs + o.failedDocs,
+        unmappedCodes + o.unmappedCodes)
   }
 }

@@ -31,7 +31,8 @@ object Extractor {
       error: Option[String],
       spanCount: Int,
       bytesIn: Long,
-      ocrChars: Long) // chars OCR'd then dropped (parity metric)
+      ocrChars: Long, // chars OCR'd then dropped (parity metric)
+      unmappedCodes: Long = 0L) // font codes with no encoding entry (U+FFFD'd)
 
   /** One input span for the extraction core. For kind="pdf_bytes" the
     * payload arrives base64-DECODED in `pdfBytes` (and `text` is null):
@@ -63,6 +64,7 @@ object Extractor {
         try {
           var order = 0
           var ocrChars = 0L
+          var unmappedCodes = 0L
           // unknown-kind abort: flag + loop-exit instead of a non-local
           // `return` from a closure (exception-driven control flow in
           // the hottest loop, fragile under future catch edits)
@@ -104,7 +106,8 @@ object Extractor {
                 while (pageNum <= total && kept < pageLimit) {
                   if (pageNum >= effStart) {
                     val page = doc.pages(pageNum - 1)
-                    val text = ContentText.extractPageText(doc, page)
+                    val (text, pageUnmapped) = ContentText.extractPageTextCounted(doc, page)
+                    unmappedCodes += pageUnmapped
                     // image enumeration + OCR, text dropped (parity pin 1);
                     // media name formula mirrors engine/mod.rs:108
                     ContentText.pageImageNames(doc, page).zipWithIndex.foreach { case (_, i) =>
@@ -126,11 +129,11 @@ object Extractor {
             }
           }
           failure match {
-            case Some(err) => DocResult(None, Some(err), 0, bytesIn, ocrChars)
+            case Some(err) => DocResult(None, Some(err), 0, bytesIn, ocrChars, unmappedCodes)
             case None =>
               val spans = out.result()
               DocResult(Some(ExtractedDoc(docId, spans)), None, spans.length,
-                bytesIn, ocrChars)
+                bytesIn, ocrChars, unmappedCodes)
           }
         } catch {
           case e: PdfParseException =>

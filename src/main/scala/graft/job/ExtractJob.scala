@@ -248,7 +248,8 @@ object ExtractJob {
             docCount = 1,
             spanCount = res.spanCount,
             bytesIn = res.bytesIn,
-            failedDocs = if (res.doc.isEmpty) 1 else 0))
+            failedDocs = if (res.doc.isEmpty) 1 else 0,
+            unmappedCodes = res.unmappedCodes))
           res.doc.map[org.apache.spark.sql.catalyst.InternalRow] { d =>
             val spanRows = new Array[Any](d.spans.length)
             var k = 0
@@ -301,6 +302,8 @@ object ExtractJob {
                   InterleavedDoc(c.doc_id, Seq(RawSpan("pdf_bytes", c.b64, "", 0))),
                   ExtractOptions(startPage = c.startPage, pageCount = c.pageLen,
                     parityStartOffByOne = false))
+                if (res.unmappedCodes > 0)
+                  acc.add(c.bucket -> BucketStats(unmappedCodes = res.unmappedCodes))
                 ChunkOut(c.doc_id, c.bucket, ok = res.doc.isDefined,
                   res.doc.map(_.spans.map(sp => sp.copy(order = sp.order + c.startPage - 1)))
                     .getOrElse(Nil))
@@ -353,7 +356,7 @@ object ExtractJob {
       val rows = chunk.map { b =>
         val s = stats.getOrElse(b, BucketStats())
         LineageRow(cfg.jobId, b, s.docCount, s.spanCount, s.bytesIn, s.failedDocs,
-          "committed", cfg.attempt, now)
+          "committed", cfg.attempt, now, s.unmappedCodes)
       }
       TableIO.commitLineage(tableDir, f"${cfg.jobId}-a${cfg.attempt}-c$chunkIdx%04d", rows)
       // versioned snapshot per chunk: pins the data-file set visible

@@ -19,38 +19,10 @@ import scala.collection.mutable
   */
 object ContentText {
 
-  // ---- glyph-name → char (Adobe Glyph List subset) -------------------
-  private val aglBase: Map[String, Char] = {
-    val m = mutable.HashMap.empty[String, Char]
-    val asciiNames = Vector(
-      "space", "exclam", "quotedbl", "numbersign", "dollar", "percent",
-      "ampersand", "quotesingle", "parenleft", "parenright", "asterisk",
-      "plus", "comma", "hyphen", "period", "slash", "zero", "one", "two",
-      "three", "four", "five", "six", "seven", "eight", "nine", "colon",
-      "semicolon", "less", "equal", "greater", "question", "at")
-    asciiNames.zipWithIndex.foreach { case (n, i) => m(n) = (32 + i).toChar }
-    ('A' to 'Z').foreach(c => m(c.toString) = c)
-    m("bracketleft") = '['; m("backslash") = '\\'; m("bracketright") = ']'
-    m("asciicircum") = '^'; m("underscore") = '_'; m("grave") = '`'
-    ('a' to 'z').foreach(c => m(c.toString) = c)
-    m("braceleft") = '{'; m("bar") = '|'; m("braceright") = '}'
-    m("asciitilde") = '~'
-    // common Latin-1 + punctuation glyphs
-    m("quoteleft") = '‘'; m("quoteright") = '’'
-    m("quotedblleft") = '“'; m("quotedblright") = '”'
-    m("endash") = '–'; m("emdash") = '—'; m("bullet") = '•'
-    m("eacute") = 'é'; m("egrave") = 'è'; m("agrave") = 'à'; m("ccedilla") = 'ç'
-    m("adieresis") = 'ä'; m("odieresis") = 'ö'; m("udieresis") = 'ü'
-    m("Adieresis") = 'Ä'; m("Odieresis") = 'Ö'; m("Udieresis") = 'Ü'
-    m("germandbls") = 'ß'; m("ntilde") = 'ñ'; m("oslash") = 'ø'
-    m("aring") = 'å'; m("ae") = 'æ'; m("copyright") = '©'; m("registered") = '®'
-    m("degree") = '°'; m("euro") = '€'
-    m.toMap
-  }
-
-  /** Resolve a glyph name: AGL subset, then uniXXXX / uXXXX forms. */
+  /** Resolve a glyph name: Annex-D Latin set ([[Encodings.glyphChars]]),
+    * then uniXXXX / uXXXX forms. */
   def glyphToChar(name: String): Option[Char] =
-    aglBase.get(name).orElse {
+    Encodings.glyphChars.get(name).orElse {
       if (name.startsWith("uni") && name.length >= 7)
         try Some(Integer.parseInt(name.substring(3, 7), 16).toChar) catch { case _: Exception => None }
       else if (name.startsWith("u") && name.length >= 5 && name.length <= 7)
@@ -58,42 +30,32 @@ object ContentText {
       else None
     }
 
-  /** 256-entry byte→string tables. Base for Standard/WinAnsi/MacRoman:
-    * ASCII identity over 0x20-0x7E (identical across those encodings
-    * for the printable ASCII range, spec Annex D) plus the common
-    * WinAnsi high range. */
-  private def buildBaseTable(encoding: String): Array[String] = {
-    val t = Array.fill[String](256)("")
-    (0x20 to 0x7e).foreach(i => t(i) = i.toChar.toString)
-    if (encoding == "WinAnsiEncoding") {
-      val hi = Map(
-        0x91 -> '‘', 0x92 -> '’', 0x93 -> '“', 0x94 -> '”',
-        0x95 -> '•', 0x96 -> '–', 0x97 -> '—', 0x80 -> '€',
-        0xa9 -> '©', 0xae -> '®', 0xb0 -> '°')
-      hi.foreach { case (i, c) => t(i) = c.toString }
-      (0xc0 to 0xff).foreach(i => t(i) = i.toChar.toString) // Latin-1 block
-    }
-    t
-  }
-
-  // tables are immutable in practice (Differences clones before edit) —
-  // build each once; a fresh 256-String table per page was a measurable
-  // allocation hot spot on multi-thousand-page corpora
-  private val stdTable = buildBaseTable("StandardEncoding")
-  private val winTable = buildBaseTable("WinAnsiEncoding")
-  private def baseTable(encoding: String): Array[String] =
-    if (encoding == "WinAnsiEncoding") winTable else stdTable
+  private def baseTable(encoding: String): Array[String] = Encodings.forName(encoding)
 
   /** Shared default decoder (table is never mutated). */
-  private val stdDecoder = TableDecoder(stdTable)
+  private val stdDecoder = TableDecoder(Encodings.standard)
 
-  sealed trait FontDecoder { def decode(bytes: Array[Byte]): String }
+  /** Per-extraction tally of codes the active encoding leaves
+    * undefined. Each such code decodes as U+FFFD — visible in the
+    * output — and increments this counter, which rides the span
+    * metrics as `unmapped_codes` (never a silent drop; cf. the
+    * declared-failure posture of JBIG2/crypt). */
+  final class UnmappedCounter { var n: Long = 0L }
+  private val discard = new UnmappedCounter // for the count-free decode()
+
+  sealed trait FontDecoder {
+    def decode(bytes: Array[Byte], ctr: UnmappedCounter): String
+    final def decode(bytes: Array[Byte]): String = decode(bytes, discard)
+  }
 
   /** Simple (1-byte) font via a 256-entry table. */
   final case class TableDecoder(table: Array[String]) extends FontDecoder {
-    def decode(bytes: Array[Byte]): String = {
+    def decode(bytes: Array[Byte], ctr: UnmappedCounter): String = {
       val sb = new java.lang.StringBuilder(bytes.length)
-      bytes.foreach(b => sb.append(table(b & 0xff)))
+      bytes.foreach { b =>
+        val s = table(b & 0xff)
+        if (s.isEmpty) { sb.append('�'); ctr.n += 1 } else sb.append(s)
+      }
       sb.toString
     }
   }
@@ -101,7 +63,7 @@ object ContentText {
   /** CMap-driven decoder (ToUnicode); codes are 1 or 2 bytes wide. */
   final case class CMapDecoder(bytesPerCode: Int, map: Map[Int, String], fallback: Array[String])
       extends FontDecoder {
-    def decode(bytes: Array[Byte]): String = {
+    def decode(bytes: Array[Byte], ctr: UnmappedCounter): String = {
       val sb = new java.lang.StringBuilder(bytes.length)
       var i = 0
       while (i + bytesPerCode <= bytes.length) {
@@ -110,7 +72,10 @@ object ContentText {
         while (j < bytesPerCode) { code = (code << 8) | (bytes(i + j) & 0xff); j += 1 }
         map.get(code) match {
           case Some(s) => sb.append(s)
-          case None    => if (bytesPerCode == 1) sb.append(fallback(code))
+          case None =>
+            val viaTable = if (bytesPerCode == 1) fallback(code) else ""
+            if (viaTable.isEmpty) { sb.append('�'); ctr.n += 1 }
+            else sb.append(viaTable)
         }
         i += bytesPerCode
       }
@@ -179,8 +144,55 @@ object ContentText {
     CMapDecoder(width, map.toMap, baseTable("StandardEncoding"))
   }
 
+  /** UCS2-family predefined CMap (UniJIS-UCS2-H and friends, §9.7.5):
+    * the 2-byte CODES of the content stream ARE UCS-2 values (the CMap
+    * file maps them to CIDs; extraction inverts that for free), so a
+    * CJK document without an embedded ToUnicode still yields text.
+    * Surrogate-range and NUL codes are not UCS-2 characters → U+FFFD,
+    * counted. */
+  case object Ucs2Decoder extends FontDecoder {
+    def decode(bytes: Array[Byte], ctr: UnmappedCounter): String = {
+      val sb = new java.lang.StringBuilder(bytes.length / 2)
+      var i = 0
+      while (i + 2 <= bytes.length) {
+        val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+        if (code == 0 || (code >= 0xD800 && code <= 0xDFFF)) { sb.append('�'); ctr.n += 1 }
+        else sb.append(code.toChar)
+        i += 2
+      }
+      sb.toString
+    }
+  }
+
+  /** Identity-H/V without ToUnicode: codes are raw CIDs = glyph
+    * indices of the embedded font program — there is no code→Unicode
+    * mapping to invert, so every CID decodes U+FFFD and counts as
+    * unmapped (the byte stream is still consumed two bytes at a time,
+    * preserving character COUNT — never garbled as 1-byte chars). */
+  case object IdentityCidDecoder extends FontDecoder {
+    def decode(bytes: Array[Byte], ctr: UnmappedCounter): String = {
+      val n = bytes.length / 2
+      ctr.n += n
+      "�" * n
+    }
+  }
+
+  private val Ucs2Name = "Uni(?:JIS|GB|CNS|KS)-UCS2-[HV]".r
+
+  /** Predefined CMap for a Type0 /Encoding NAME (§9.7.5.2): Identity,
+    * the UCS2 family, else a DECLARED failure (the legacy charset
+    * CMaps — 90ms-RKSJ etc. — need the Adobe CMap files; decoding
+    * them as something else would be silently wrong). */
+  def predefinedCMap(name: String): FontDecoder = name match {
+    case "Identity-H" | "Identity-V" => IdentityCidDecoder
+    case n if Ucs2Name.matches(n)    => Ucs2Decoder
+    case other => throw new PdfParseException(
+      s"unsupported predefined CMap /$other (declared, fail-soft)")
+  }
+
   /** Build the decoder for one font dict (§9.6.6): ToUnicode first,
-    * else base encoding + /Differences, else Standard ASCII table. */
+    * else (Type0) the predefined CMap named by /Encoding, else base
+    * encoding + /Differences, else Standard ASCII table. */
   def fontDecoder(doc: PdfDocument, font: PDict): FontDecoder = {
     doc.dictGet(font, "ToUnicode") match {
       case s: PStream =>
@@ -190,7 +202,9 @@ object ContentText {
         }
       case _ =>
     }
+    val isType0 = doc.dictGet(font, "Subtype") == PName("Type0")
     doc.dictGet(font, "Encoding") match {
+      case PName(enc) if isType0 => predefinedCMap(enc)
       case PName(enc) => TableDecoder(baseTable(enc))
       case ed: PDict =>
         val base = doc.dictGet(ed, "BaseEncoding") match {
@@ -217,7 +231,14 @@ object ContentText {
   }
 
   /** Extract the text of one page per the pinned reassembly rule. */
-  def extractPageText(doc: PdfDocument, page: PDict): String = {
+  def extractPageText(doc: PdfDocument, page: PDict): String =
+    extractPageTextCounted(doc, page)._1
+
+  /** [[extractPageText]] plus the page's `unmapped_codes` count —
+    * bytes/CIDs the font's encoding left undefined (decoded as U+FFFD,
+    * tallied so a Standard/MacRoman high-range document degrades
+    * VISIBLY in metrics instead of silently losing glyphs). */
+  def extractPageTextCounted(doc: PdfDocument, page: PDict): (String, Long) = {
     val streams: Vector[Array[Byte]] = doc.dictGet(page, "Contents") match {
       case s: PStream => Vector(doc.streamData(s).getOrElse(Array.emptyByteArray))
       case PArr(xs) =>
@@ -226,7 +247,7 @@ object ContentText {
         }
       case _ => Vector.empty
     }
-    if (streams.isEmpty) return ""
+    if (streams.isEmpty) return ("", 0L)
     val content =
       if (streams.length == 1) streams.head
       else {
@@ -273,7 +294,8 @@ object ContentText {
         lastShowY = lineY
       }
     }
-    def dec(s: PStr): String = decoderFor(curFont).decode(s.bytes)
+    val unmapped = new UnmappedCounter
+    def dec(s: PStr): String = decoderFor(curFont).decode(s.bytes, unmapped)
     def num(o: PdfObj): Double = o.asNum.getOrElse(0.0)
 
     toks.foreach {
@@ -306,7 +328,7 @@ object ContentText {
         operands.clear()
       case operand => operands += operand
     }
-    sb.toString
+    (sb.toString, unmapped.n)
   }
 
   /** Enumerate image XObjects of a page in /Resources declaration

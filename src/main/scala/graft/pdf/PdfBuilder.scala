@@ -166,9 +166,10 @@ object PdfBuilder {
   /** Classic-xref document. Each element of `pageContents` is raw
     * content-stream source; `flate` compresses the content streams. */
   def simple(pageContents: Seq[String], flate: Boolean = false,
-             pageExtras: Seq[String] = Seq.empty): Array[Byte] = {
+             pageExtras: Seq[String] = Seq.empty,
+             fontExtra: String = ""): Array[Byte] = {
     val b = new Builder
-    writeHeaderObjects(b, pageContents.length)
+    writeHeaderObjects(b, pageContents.length, fontExtra)
     pageContents.zipWithIndex.foreach { case (content, i) =>
       val pageNum = 4 + 2 * i
       val contNum = 5 + 2 * i

@@ -291,6 +291,21 @@ object Oracles {
         |FROM range(12) t(i), (VALUES (1), (2)) pg(p)
         |ORDER BY id, page""".stripMargin,
 
+    "pdfz_encodings" ->
+      // expected decodes are the published Annex-D constants; the
+      // U+FFFD entries witness the visible-degradation contract for
+      // encoding-undefined codes (standard 0xFF, macroman 0xF0)
+      """SELECT i AS id,
+        | CASE i % 4 WHEN 0 THEN 'standard' WHEN 1 THEN 'macroman'
+        |            WHEN 2 THEN 'winansi' ELSE 'ucs2' END AS mode,
+        | md5(CASE i % 4 WHEN 0 THEN 'std ’“”–†•ßæ�'
+        |      WHEN 1 THEN 'mac Äé•–“”ßæ�'
+        |      WHEN 2 THEN 'win Šé‘’–ßæ • -'
+        |      ELSE 'ucs2 日本語' END || ' #' || CAST(i AS VARCHAR)) AS text_md5,
+        | CAST(CASE WHEN i % 4 >= 2 THEN 0 ELSE 1 END AS BIGINT) AS unmapped
+        |FROM range(24) t(i)
+        |ORDER BY id""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

@@ -220,6 +220,49 @@ object Queries {
     .orderBy("id")
   }
 
+  /** ANNEX-D SIMPLE-FONT ENCODINGS, oracle-pinned: deterministic
+    * one-page documents cycling StandardEncoding (implicit base),
+    * /MacRomanEncoding and /WinAnsiEncoding, each showing high-range
+    * bytes whose Unicode decode is fixed by the published ISO 32000-1
+    * Annex D.2 table ([[graft.pdf.Encodings]]) — including Standard's
+    * 047→quoteright deviation, WinAnsi's bullet-fill and footnote
+    * duplicates, and one encoding-UNDEFINED code per standard/mac doc
+    * so the visible-degradation contract (U+FFFD + `unmapped_codes`
+    * count, never a silent drop) is witnessed engine-to-engine. The
+    * DuckDB twin recomputes the expected text md5s from the same
+    * closed-form strings. */
+  def pdfzEncodings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(24).repartition(4).map { id =>
+      val (mode, fontExtra, raw) = (id % 4) match {
+        case 0 => ("standard", "",
+          "std \u0027\u00AA\u00BA\u00B1\u00B2\u00B7\u00FB\u00F1\u00FF")
+        case 1 => ("macroman", "/Encoding /MacRomanEncoding",
+          "mac \u0080\u008E\u00A5\u00D0\u00D2\u00D3\u00A7\u00BE\u00F0")
+        case 2 => ("winansi", "/Encoding /WinAnsiEncoding",
+          "win \u008A\u00E9\u0091\u0092\u0096\u00DF\u00E6 \u0081\u00A0\u00AD")
+        case _ => ("ucs2", "/Subtype /Type0 /Encoding /UniJIS-UCS2-H",
+          "ucs2 日本語")
+      }
+      val content =
+        if (mode == "ucs2") {
+          // UCS2-family CMap: the 2-byte CODES are UCS-2 — show the
+          // UTF-16BE bytes as one hex string (no embedded ToUnicode)
+          val hex = (raw + s" #$id")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+            .map(b => f"${b & 0xff}%02X").mkString
+          s"BT /F1 12 Tf 72 720 Td <$hex> Tj ET"
+        } else graft.pdf.PdfBuilder.tjLine(raw + s" #$id")
+      val pdf = graft.pdf.PdfBuilder.simple(Seq(content), fontExtra = fontExtra)
+      val doc = graft.pdf.PdfDocument.load(pdf)
+      val (text, unmapped) =
+        graft.pdf.ContentText.extractPageTextCounted(doc, doc.pages.head)
+      (id, mode, text, unmapped)
+    }.toDF("id", "mode", "text", "unmapped")
+      .select(col("id"), col("mode"), md5(col("text")).as("text_md5"), col("unmapped"))
+      .orderBy("id")
+  }
+
   /** ENCRYPTED-PDF extraction, oracle-pinned: 12 documents through
     * the ISO 32000 standard security handler (empty user password —
     * the openable-but-encrypted web-PDF class the reference fails
@@ -1203,6 +1246,7 @@ object Queries {
     "pdfz_images_jbig2" -> (pdfzImagesJbig2 _),
     "pdfz_images_jbig2_text" -> (pdfzImagesJbig2Text _),
     "pdfz_encrypted" -> (pdfzEncrypted _),
+    "pdfz_encodings" -> (pdfzEncodings _),
     "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),

@@ -138,6 +138,98 @@ class PdfSpec extends AnyFunSuite {
     assert(dec.decode("ABC".getBytes) == "01C")
   }
 
+  test("StandardEncoding high range decodes per Annex D (quotes at 047/140, publishing glyphs)") {
+    // bytes: 0x27 quoteright, 0xAA quotedblleft, 0xBA quotedblright,
+    // 0xB1 endash, 0xB2 dagger, 0xB7 bullet, 0xFB germandbls, 0xF1 ae
+    val raw = "std \u0027\u00AA\u00BA\u00B1\u00B2\u00B7\u00FB\u00F1"
+    val pdf = PdfBuilder.simple(Seq(PdfBuilder.tjLine(raw)))
+    val doc = PdfDocument.load(pdf)
+    val (text, unmapped) = ContentText.extractPageTextCounted(doc, doc.pages.head)
+    assert(text == "std ’“”–†•ßæ")
+    assert(unmapped == 0L)
+  }
+
+  test("MacRomanEncoding high range decodes per Annex D") {
+    // 0x80 Adieresis, 0x8E eacute, 0xA5 bullet, 0xD0 endash,
+    // 0xD2/0xD3 double quotes, 0xA7 germandbls, 0xBE ae
+    val raw = "mac \u0080\u008E\u00A5\u00D0\u00D2\u00D3\u00A7\u00BE"
+    val pdf = PdfBuilder.simple(Seq(PdfBuilder.tjLine(raw)),
+      fontExtra = "/Encoding /MacRomanEncoding")
+    val doc = PdfDocument.load(pdf)
+    val (text, unmapped) = ContentText.extractPageTextCounted(doc, doc.pages.head)
+    assert(text == "mac Äé•–“”ßæ")
+    assert(unmapped == 0L)
+  }
+
+  test("WinAnsiEncoding is complete: Latin-1 block, 8x page, bullet-fill for unused codes") {
+    // 0x8A Scaron, 0xE9 eacute, 0x91/0x92 curly quotes, 0x96 endash,
+    // 0xDF germandbls, 0xE6 ae, and UNUSED 0x81 -> bullet (footnote 3),
+    // 0xA0 nbsp-duplicate -> space, 0xAD soft-hyphen-duplicate -> '-'
+    val raw = "win \u008A\u00E9\u0091\u0092\u0096\u00DF\u00E6 \u0081\u00A0\u00AD"
+    val pdf = PdfBuilder.simple(Seq(PdfBuilder.tjLine(raw)),
+      fontExtra = "/Encoding /WinAnsiEncoding")
+    val doc = PdfDocument.load(pdf)
+    val (text, unmapped) = ContentText.extractPageTextCounted(doc, doc.pages.head)
+    assert(text == "win Šé‘’–ßæ • -")
+    assert(unmapped == 0L)
+  }
+
+  test("Type0 /UniJIS-UCS2-H predefined CMap: UCS-2 codes decode without any ToUnicode") {
+    // codes ARE UCS-2: 65E5 672C 8A9E = CJK, 0020 004A 0050 = " JP"
+    val content = "BT /F1 12 Tf 72 720 Td <65E5672C8A9E0020004A0050> Tj ET"
+    val pdf = PdfBuilder.simple(Seq(content),
+      fontExtra = "/Subtype /Type0 /Encoding /UniJIS-UCS2-H")
+    assert(pageTexts(pdf) == Vector("日本語 JP"))
+    // the whole UCS2 family routes the same way
+    Seq("UniGB-UCS2-H", "UniCNS-UCS2-V", "UniKS-UCS2-H").foreach { n =>
+      assert(ContentText.predefinedCMap(n) == ContentText.Ucs2Decoder)
+    }
+  }
+
+  test("Type0 /Identity-H without ToUnicode: CIDs are glyph indices — counted unmapped, 2-byte framing kept") {
+    val content = "BT /F1 12 Tf 72 720 Td <000100020003> Tj ET"
+    val pdf = PdfBuilder.simple(Seq(content),
+      fontExtra = "/Subtype /Type0 /Encoding /Identity-H")
+    val doc = PdfDocument.load(pdf)
+    val (text, unmapped) = ContentText.extractPageTextCounted(doc, doc.pages.head)
+    assert(text == "���")
+    assert(unmapped == 3L)
+  }
+
+  test("Type0 with an unsupported predefined CMap is a DECLARED failure, fail-soft upstream") {
+    val content = "BT /F1 12 Tf 72 720 Td <0041> Tj ET"
+    val pdf = PdfBuilder.simple(Seq(content),
+      fontExtra = "/Subtype /Type0 /Encoding /90ms-RKSJ-H")
+    val doc = PdfDocument.load(pdf)
+    val e = intercept[PdfParseException](
+      ContentText.extractPageText(doc, doc.pages.head))
+    assert(e.getMessage.contains("90ms-RKSJ-H"))
+    // the extraction core converts it to an error record, never silence
+    val b64 = java.util.Base64.getEncoder.encodeToString(pdf)
+    val res = graft.engine.Extractor.extractDoc(
+      graft.core.model.InterleavedDoc("d1",
+        Seq(graft.core.model.RawSpan("pdf_bytes", b64, "", 0))),
+      graft.core.model.ExtractOptions())
+    assert(res.doc.isEmpty && res.error.exists(_.contains("CMap")))
+  }
+
+  test("encoding-undefined codes decode as U+FFFD and are COUNTED, never silently dropped") {
+    // StandardEncoding leaves 0xFF and 0x7F undefined
+    val raw = "x\u00FFy\u007Fz"
+    val pdf = PdfBuilder.simple(Seq(PdfBuilder.tjLine(raw)))
+    val doc = PdfDocument.load(pdf)
+    val (text, unmapped) = ContentText.extractPageTextCounted(doc, doc.pages.head)
+    assert(text == "x�y�z")
+    assert(unmapped == 2L)
+    // and the metric reaches the extraction core's DocResult
+    val b64 = java.util.Base64.getEncoder.encodeToString(pdf)
+    val res = graft.engine.Extractor.extractDoc(
+      graft.core.model.InterleavedDoc("d1",
+        Seq(graft.core.model.RawSpan("pdf_bytes", b64, "", 0))),
+      graft.core.model.ExtractOptions())
+    assert(res.unmappedCodes == 2L)
+  }
+
   test("inline image BI..ID..EI: binary data skipped at token boundaries, text unharmed") {
     // binary payload contains unbalanced parens, a '(Tj' decoy, and a
     // fake 'EIx' (EI followed by a REGULAR char is not a terminator);
