@@ -58,7 +58,12 @@ object model {
       pageCount: Int = 0,
       engine: String = "tesseract",
       ocrModel: Option[String] = None,
-      parityStartOffByOne: Boolean = true)
+      parityStartOffByOne: Boolean = true,
+      /** User-or-owner password for encrypted PDFs (UTF-8 bytes are
+        * passed to the handler; tried as user, then owner — see
+        * [[graft.pdf.PdfCrypt.forDocument]]). None/empty = the
+        * no-password-openable class. */
+      password: Option[String] = None)
 
   /** One lineage/metrics row, appended when a bucket of documents has
     * been fully extracted and its output committed. Replaces the

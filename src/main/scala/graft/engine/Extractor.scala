@@ -93,7 +93,9 @@ object Extractor {
                   case Boilerplate.MediaPiece(s) => emit("media", "", s)
                 }
               case "pdf_bytes" =>
-                val doc = PdfDocument.load(raw.pdfBytes)
+                val doc = PdfDocument.load(raw.pdfBytes,
+                  opts.password.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                    .getOrElse(Array.emptyByteArray))
                 val total = doc.pageCount
                 // parity pin 3: clamp limit to total
                 val pageLimit =

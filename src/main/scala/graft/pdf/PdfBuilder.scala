@@ -109,13 +109,16 @@ object PdfBuilder {
     * with the per-object key of Algorithm 1; /O /U computed from the
     * spec's algorithms, /ID deterministic. */
   def withEncryption(aes: Boolean, texts: Seq[String] = Seq("secret one", "secret two"),
-      encryptMetadata: Boolean = true, identityStreams: Boolean = false): Array[Byte] = {
+      encryptMetadata: Boolean = true, identityStreams: Boolean = false,
+      userPw: String = "", ownerPw: String = ""): Array[Byte] = {
     val r = if (aes || identityStreams) 4 else 3
     val lengthBits = 128
     val id0 = (0 until 16).map(i => (i * 17 + 3).toByte).toArray
     val p = -44
-    val o = PdfCrypt.computeO(r, lengthBits)
-    val key = PdfCrypt.fileKey(o, p, id0, r, lengthBits, encryptMetadata)
+    val userB = userPw.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val ownerB = ownerPw.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val o = PdfCrypt.computeO(r, lengthBits, ownerB, userB)
+    val key = PdfCrypt.fileKey(o, p, id0, r, lengthBits, encryptMetadata, userB)
     val u = PdfCrypt.computeU(r, key, id0)
     val mode =
       if (identityStreams) PdfCrypt.IdentityStreams
@@ -146,9 +149,16 @@ object PdfBuilder {
     * passwords: deterministic 32-byte file key, /U /UE /O /OE built by
     * the spec's Algorithm-2.B hardened hash ([[PdfCrypt.buildR6Entries]]),
     * streams AES-256-CBC with the file key directly. */
-  def withEncryptionR6(texts: Seq[String] = Seq("secret one", "secret two")): Array[Byte] = {
+  def withEncryptionR6(texts: Seq[String] = Seq("secret one", "secret two"),
+      userPw: String = "", ownerPw: String = ""): Array[Byte] = {
     val fileKey = (0 until 32).map(i => (i * 7 + 11).toByte).toArray
-    val (u, ue, o, oe) = PdfCrypt.buildR6Entries(fileKey, seed = 5)
+    // no-owner-password fixtures fall back to the user password (the
+    // classic Algorithm-3 convention; an EMPTY R6 owner hash would
+    // correctly open the doc with no password at all via the /O path)
+    val effOwner = if (ownerPw.nonEmpty) ownerPw else userPw
+    val (u, ue, o, oe) = PdfCrypt.buildR6Entries(fileKey, seed = 5,
+      userPw.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      effOwner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val h = new PdfCrypt.StdSecurityHandler(fileKey, PdfCrypt.Aes256Streams)
     import PdfBuilder.{hexStr => hex}
     val b = new Builder

@@ -82,17 +82,18 @@ object PdfCrypt {
     iv ++ c.doFinal(data)
   }
 
-  /** Algorithm 2: the file encryption key from the (empty) user
-    * password. `lengthBits` = /Length (40 for V1). */
+  /** Algorithm 2: the file encryption key from the user password
+    * (default empty). `lengthBits` = /Length (40 for V1). */
   def fileKey(oEntry: Array[Byte], p: Int, id0: Array[Byte], r: Int,
-      lengthBits: Int, encryptMetadata: Boolean = true): Array[Byte] = {
+      lengthBits: Int, encryptMetadata: Boolean = true,
+      userPw: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val n = lengthBits / 8
     // Algorithm 2 step f: R>=4 with /EncryptMetadata false appends
     // 0xFFFFFFFF to the digest input
     val metaTail =
       if (r >= 4 && !encryptMetadata) Array[Byte](-1, -1, -1, -1)
       else Array.emptyByteArray
-    var key = md5(padded(Array.emptyByteArray), oEntry.take(32), leInt(p), id0, metaTail)
+    var key = md5(padded(userPw), oEntry.take(32), leInt(p), id0, metaTail)
     if (r >= 3) {
       var i = 0
       while (i < 50) { key = md5(key.take(n)); i += 1 }
@@ -100,13 +101,23 @@ object PdfCrypt {
     key.take(n)
   }
 
-  /** Algorithm 3: the /O entry for empty owner+user passwords. */
-  def computeO(r: Int, lengthBits: Int): Array[Byte] = {
+  /** Algorithm 3 steps a-d: the RC4 key derived from the OWNER
+    * password (falling back to the user password when empty, as the
+    * spec directs). */
+  private def ownerRc4Key(r: Int, lengthBits: Int, ownerPw: Array[Byte],
+      userPw: Array[Byte]): Array[Byte] = {
     val n = if (r == 2) 5 else lengthBits / 8
-    var ok = md5(padded(Array.emptyByteArray))
+    var ok = md5(padded(if (ownerPw.nonEmpty) ownerPw else userPw))
     if (r >= 3) { var i = 0; while (i < 50) { ok = md5(ok); i += 1 } }
-    val okey = ok.take(n)
-    var o = rc4(okey, padded(Array.emptyByteArray))
+    ok.take(n)
+  }
+
+  /** Algorithm 3: the /O entry (defaults = empty owner+user). */
+  def computeO(r: Int, lengthBits: Int,
+      ownerPw: Array[Byte] = Array.emptyByteArray,
+      userPw: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val okey = ownerRc4Key(r, lengthBits, ownerPw, userPw)
+    var o = rc4(okey, padded(userPw))
     if (r >= 3) {
       var i = 1
       while (i <= 19) {
@@ -115,6 +126,25 @@ object PdfCrypt {
       }
     }
     o
+  }
+
+  /** Algorithm 7 (owner-password path), steps a-b: undo the /O entry's
+    * RC4 chain with the owner-derived key, recovering the PADDED user
+    * password — which then feeds Algorithm 2 as usual. RC4 is
+    * symmetric, so "decrypt" is the i=19..0 chain in reverse. */
+  def recoverUserPw(oEntry: Array[Byte], ownerPw: Array[Byte], r: Int,
+      lengthBits: Int): Array[Byte] = {
+    val okey = ownerRc4Key(r, lengthBits, ownerPw, ownerPw)
+    var u = oEntry.take(32)
+    if (r == 2) u = rc4(okey, u)
+    else {
+      var i = 19
+      while (i >= 0) {
+        u = rc4(okey.map(b => (b ^ i).toByte), u)
+        i -= 1
+      }
+    }
+    u
   }
 
   /** Algorithms 4 (R2) / 5 (R≥3): the /U entry from the file key. */
@@ -224,38 +254,54 @@ object PdfCrypt {
     k.take(32)
   }
 
-  /** R6 empty-user-password file key: validate against /U (48 bytes =
-    * hash(32) ++ validationSalt(8) ++ keySalt(8)), then decrypt the
-    * 32-byte /UE with the intermediate key (AES-256-CBC, zero IV, no
-    * padding) — Algorithm 2.A. */
-  def fileKeyR6(uEntry: Array[Byte], ueEntry: Array[Byte]): Array[Byte] = {
+  /** R6 file key (Algorithm 2.A): try the supplied password as the
+    * USER password against /U (48 bytes = hash(32) ++
+    * validationSalt(8) ++ keySalt(8)) and decrypt /UE; else as the
+    * OWNER password against /O (owner hashes also absorb the 48-byte
+    * /U entry) and decrypt /OE. AES-256-CBC, zero IV, no padding. */
+  def fileKeyR6(uEntry: Array[Byte], ueEntry: Array[Byte],
+      oEntry: Option[Array[Byte]] = None, oeEntry: Option[Array[Byte]] = None,
+      pw: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     if (uEntry.length < 48 || ueEntry.length < 32)
       throw new PdfCryptException("R6: /U or /UE entry too short")
     val vSalt = uEntry.slice(32, 40)
     val kSalt = uEntry.slice(40, 48)
-    val check = hash2b(Array.emptyByteArray, vSalt, Array.emptyByteArray)
-    if (!check.sameElements(uEntry.take(32)))
-      throw new PdfCryptException(
-        "document requires a non-empty user password (out of scope, declared)")
-    val ik = hash2b(Array.emptyByteArray, kSalt, Array.emptyByteArray)
-    aesCbcNoPad(encrypt = false, ik, new Array[Byte](16), ueEntry.take(32))
+    if (hash2b(pw, vSalt, Array.emptyByteArray).sameElements(uEntry.take(32))) {
+      val ik = hash2b(pw, kSalt, Array.emptyByteArray)
+      return aesCbcNoPad(encrypt = false, ik, new Array[Byte](16), ueEntry.take(32))
+    }
+    (oEntry, oeEntry) match {
+      case (Some(o), Some(oe)) if o.length >= 48 && oe.length >= 32 =>
+        val u48 = uEntry.take(48)
+        if (hash2b(pw, o.slice(32, 40), u48).sameElements(o.take(32))) {
+          val ik = hash2b(pw, o.slice(40, 48), u48)
+          return aesCbcNoPad(encrypt = false, ik, new Array[Byte](16), oe.take(32))
+        }
+      case _ => ()
+    }
+    throw new PdfCryptException(
+      if (pw.isEmpty)
+        "document requires a non-empty user password (supply one via ExtractOptions.password)"
+      else "wrong password (declared)")
   }
 
-  /** Fixture-side R6 credential builder for the empty user password:
-    * deterministic salts, given file key → (U, UE, O, OE). The owner
+  /** Fixture-side R6 credential builder: deterministic salts, given
+    * file key + passwords (default empty) → (U, UE, O, OE). The owner
     * hashes include the 48-byte U entry per spec. */
-  def buildR6Entries(fileKey: Array[Byte], seed: Int): (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
+  def buildR6Entries(fileKey: Array[Byte], seed: Int,
+      userPw: Array[Byte] = Array.emptyByteArray,
+      ownerPw: Array[Byte] = Array.emptyByteArray): (Array[Byte], Array[Byte], Array[Byte], Array[Byte]) = {
     require(fileKey.length == 32, "R6 file key is 32 bytes")
     def salt(tag: Int) = (0 until 8).map(i => (i * 31 + tag + seed).toByte).toArray
     val (uv, uk, ov, ok) = (salt(1), salt(2), salt(3), salt(4))
-    val uHash = hash2b(Array.emptyByteArray, uv, Array.emptyByteArray)
+    val uHash = hash2b(userPw, uv, Array.emptyByteArray)
     val u = uHash ++ uv ++ uk
     val ue = aesCbcNoPad(encrypt = true,
-      hash2b(Array.emptyByteArray, uk, Array.emptyByteArray), new Array[Byte](16), fileKey)
-    val oHash = hash2b(Array.emptyByteArray, ov, u)
+      hash2b(userPw, uk, Array.emptyByteArray), new Array[Byte](16), fileKey)
+    val oHash = hash2b(ownerPw, ov, u)
     val o = oHash ++ ov ++ ok
     val oe = aesCbcNoPad(encrypt = true,
-      hash2b(Array.emptyByteArray, ok, u), new Array[Byte](16), fileKey)
+      hash2b(ownerPw, ok, u), new Array[Byte](16), fileKey)
     (u, ue, o, oe)
   }
 
@@ -278,9 +324,14 @@ object PdfCrypt {
 
   /** Build the handler from the trailer's /Encrypt dict + /ID, or
     * throw a DECLARED error for out-of-scope variants. `resolve`
-    * dereferences indirect values inside the dict. */
+    * dereferences indirect values inside the dict. `password` (UTF-8
+    * bytes for R6 per Algorithm 2.A; Latin-1 bytes for R2-R4) is
+    * tried as the USER password first, then as the OWNER password
+    * (Algorithm 7 recovery for R2-R4, the /O-hash path for R6) —
+    * the empty default preserves the no-password-openable class. */
   def forDocument(enc: PDict, id0: Array[Byte],
-      resolve: PdfObj => PdfObj): StdSecurityHandler = {
+      resolve: PdfObj => PdfObj,
+      password: Array[Byte] = Array.emptyByteArray): StdSecurityHandler = {
     def str(k: String): Array[Byte] = resolve(enc.get(k).getOrElse(PNull)) match {
       case PStr(b) => b
       case _ => throw new PdfCryptException(s"/Encrypt missing string /$k")
@@ -300,13 +351,18 @@ object PdfCrypt {
       val stmF5 = resolve(enc.get("StmF").getOrElse(PNull)) match {
         case PName(n) => n; case _ => "Identity"
       }
+      def strOpt(k: String): Option[Array[Byte]] =
+        resolve(enc.get(k).getOrElse(PNull)) match {
+          case PStr(b) => Some(b); case _ => None
+        }
+      def key5 = fileKeyR6(str("U"), str("UE"), strOpt("O"), strOpt("OE"), password)
       if (stmF5 == "Identity")
-        return new StdSecurityHandler(fileKeyR6(str("U"), str("UE")), IdentityStreams)
+        return new StdSecurityHandler(key5, IdentityStreams)
       cfmFor(enc, stmF5, resolve) match {
         case ("AESV3", _) => ()
         case (other, _) => throw new PdfCryptException(s"unsupported V5 /CFM $other")
       }
-      return new StdSecurityHandler(fileKeyR6(str("U"), str("UE")), Aes256Streams)
+      return new StdSecurityHandler(key5, Aes256Streams)
     }
     if (!Set(1, 2, 4).contains(v) || !Set(2, 3, 4).contains(r))
       throw new PdfCryptException(s"unsupported encryption V=$v R=$r")
@@ -356,11 +412,22 @@ object PdfCrypt {
       case PBool(b) => b
       case _ => true
     }
-    val key = fileKey(str("O"), int("P", -1L).toInt, id0, r, lengthBits,
-      encryptMetadata)
-    if (!verifyEmptyUser(r, key, id0, str("U")))
-      throw new PdfCryptException(
-        "document requires a non-empty user password (out of scope, declared)")
-    new StdSecurityHandler(key, mode)
+    val (oE, uE, p) = (str("O"), str("U"), int("P", -1L).toInt)
+    // the supplied password as USER password (Algorithm 2 + 6)
+    val userKey = fileKey(oE, p, id0, r, lengthBits, encryptMetadata, password)
+    if (verifyEmptyUser(r, userKey, id0, uE))
+      return new StdSecurityHandler(userKey, mode)
+    // else as OWNER password (Algorithm 7): undo /O to the padded user
+    // password, re-derive, re-verify — also opens user-passworded docs
+    // whose OWNER password is empty (the common web-PDF permissions
+    // lock) with no password supplied at all
+    val recovered = recoverUserPw(oE, password, r, lengthBits)
+    val ownerKey = fileKey(oE, p, id0, r, lengthBits, encryptMetadata, recovered)
+    if (verifyEmptyUser(r, ownerKey, id0, uE))
+      return new StdSecurityHandler(ownerKey, mode)
+    throw new PdfCryptException(
+      if (password.isEmpty)
+        "document requires a non-empty user password (supply one via ExtractOptions.password)"
+      else "wrong password (declared)")
   }
 }

@@ -11,7 +11,8 @@ import scala.collection.mutable
 final class PdfDocument private (
     val buf: Array[Byte],
     entries: Map[Int, PdfDocument.XrefEntry],
-    val trailer: PDict) {
+    val trailer: PDict,
+    password: Array[Byte]) {
 
   import PdfDocument._
 
@@ -43,7 +44,7 @@ final class PdfDocument private (
           }
           case _ => Array.emptyByteArray
         }
-        Some(PdfCrypt.forDocument(encDict, id0, resolve))
+        Some(PdfCrypt.forDocument(encDict, id0, resolve, password))
     }
     cryptReady = true
     // objects resolved WHILE the handler was being built parsed raw
@@ -235,7 +236,12 @@ object PdfDocument {
   /** Load a document: locate `startxref`, walk the xref chain
     * (classic tables and/or xref streams, /Prev links), merge
     * trailers (§7.5.4-7.5.8). */
-  def load(bytes: Array[Byte]): PdfDocument = {
+  def load(bytes: Array[Byte]): PdfDocument =
+    load(bytes, Array.emptyByteArray)
+
+  /** Load with a user-or-owner password for encrypted documents
+    * ([[PdfCrypt.forDocument]]; empty = the no-password class). */
+  def load(bytes: Array[Byte], password: Array[Byte]): PdfDocument = {
     val sxOff = lastIndexOf(bytes, "startxref".getBytes,
       math.max(0, bytes.length - 2048))
     if (sxOff < 0) throw new PdfParseException("startxref not found")
@@ -264,7 +270,7 @@ object PdfDocument {
         next = sectionTrailer.get("Prev").flatMap(_.asInt).map(_.toInt)
       }
     }
-    new PdfDocument(bytes, entries.toMap, PDict(trailer))
+    new PdfDocument(bytes, entries.toMap, PDict(trailer), password)
   }
 
   /** One xref section at `off`: classic `xref` table or xref stream. */

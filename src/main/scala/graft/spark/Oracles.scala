@@ -284,11 +284,14 @@ object Oracles {
       // expected page texts are closed-form; the md5s match only if
       // the RC4/AES decryption recovered them byte-exactly
       """SELECT i AS id,
-        | CASE i % 3 WHEN 0 THEN 'rc4' WHEN 1 THEN 'aes' ELSE 'aes256' END AS mode,
+        | CASE WHEN i = 12 THEN 'rc4_pw' WHEN i = 13 THEN 'aes_pw'
+        |      WHEN i = 14 THEN 'aes256_pw' WHEN i = 15 THEN 'owner_pw'
+        |      WHEN i % 3 = 0 THEN 'rc4' WHEN i % 3 = 1 THEN 'aes'
+        |      ELSE 'aes256' END AS mode,
         | CAST(p AS INTEGER) AS page,
         | md5(CASE WHEN p = 1 THEN 'page alpha ' || CAST(i AS VARCHAR)
         |      ELSE 'page beta ' || CAST(i*i AS VARCHAR) END) AS text_md5
-        |FROM range(12) t(i), (VALUES (1), (2)) pg(p)
+        |FROM range(16) t(i), (VALUES (1), (2)) pg(p)
         |ORDER BY id, page""".stripMargin,
 
     "pdfz_encodings" ->

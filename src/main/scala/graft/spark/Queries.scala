@@ -277,14 +277,29 @@ object Queries {
     * and flips every hash. */
   def pdfzEncrypted(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.range(12).repartition(4).flatMap { id =>
+    s.range(16).repartition(4).flatMap { id =>
       val texts = Seq(s"page alpha $id", s"page beta ${id * id}")
-      val (mode, pdf) = (id % 3) match {
-        case 0 => ("rc4", graft.pdf.PdfBuilder.withEncryption(aes = false, texts))
-        case 1 => ("aes", graft.pdf.PdfBuilder.withEncryption(aes = true, texts))
-        case _ => ("aes256", graft.pdf.PdfBuilder.withEncryptionR6(texts))
-      }
-      val doc = graft.pdf.PdfDocument.load(pdf)
+      // ids 0-11: the no-password-openable class; 12-15: non-empty
+      // passwords (user-opened per cipher, and owner-opened via the
+      // Algorithm-7 recovery path)
+      val (mode, pdf, pw) =
+        if (id < 12) (id % 3) match {
+          case 0 => ("rc4", graft.pdf.PdfBuilder.withEncryption(aes = false, texts), "")
+          case 1 => ("aes", graft.pdf.PdfBuilder.withEncryption(aes = true, texts), "")
+          case _ => ("aes256", graft.pdf.PdfBuilder.withEncryptionR6(texts), "")
+        } else id.toLong match {
+          case 12L => ("rc4_pw",
+            graft.pdf.PdfBuilder.withEncryption(aes = false, texts, userPw = s"pw$id"), s"pw$id")
+          case 13L => ("aes_pw",
+            graft.pdf.PdfBuilder.withEncryption(aes = true, texts, userPw = s"pw$id"), s"pw$id")
+          case 14L => ("aes256_pw",
+            graft.pdf.PdfBuilder.withEncryptionR6(texts, userPw = s"pw$id"), s"pw$id")
+          case _ => ("owner_pw",
+            graft.pdf.PdfBuilder.withEncryption(aes = false, texts,
+              userPw = "someuser", ownerPw = s"own$id"), s"own$id")
+        }
+      val doc = graft.pdf.PdfDocument.load(pdf,
+        pw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       doc.pages.zipWithIndex.map { case (p, i) =>
         (id, mode, i + 1, graft.pdf.ContentText.extractPageText(doc, p).trim)
       }

@@ -136,6 +136,43 @@ class PdfCryptSpec extends AnyFunSuite {
       "40 (bits) and 5 (bytes) must derive the same 40-bit key")
   }
 
+  private def openWith(pdf: Array[Byte], pw: String): Vector[String] = {
+    val doc = PdfDocument.load(pdf, pw.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    doc.pages.map(p => ContentText.extractPageText(doc, p).trim)
+  }
+
+  test("non-empty USER password round-trips in rc4 / aes / aes256 modes; wrong pw is declared") {
+    val texts = Seq("user pw page one", "user pw page two")
+    val docs = Seq(
+      PdfBuilder.withEncryption(aes = false, texts, userPw = "hunter2"),
+      PdfBuilder.withEncryption(aes = true, texts, userPw = "hunter2"),
+      PdfBuilder.withEncryptionR6(texts, userPw = "hunter2"))
+    docs.foreach { pdf =>
+      assert(openWith(pdf, "hunter2") == texts.toVector)
+      val eMissing = intercept[PdfCrypt.PdfCryptException](openWith(pdf, ""))
+      assert(eMissing.getMessage.contains("password"))
+      val eWrong = intercept[PdfCrypt.PdfCryptException](openWith(pdf, "nope"))
+      assert(eWrong.getMessage.contains("wrong password"))
+    }
+  }
+
+  test("OWNER password opens the document: Algorithm 7 recovery (R3/R4), /O-hash path (R6)") {
+    val texts = Seq("owner opened page")
+    val docs = Seq(
+      PdfBuilder.withEncryption(aes = false, texts, userPw = "usr", ownerPw = "admin"),
+      PdfBuilder.withEncryption(aes = true, texts, userPw = "usr", ownerPw = "admin"),
+      PdfBuilder.withEncryptionR6(texts, userPw = "usr", ownerPw = "admin"))
+    docs.foreach { pdf =>
+      assert(openWith(pdf, "admin") == texts.toVector, "owner password must open")
+      assert(openWith(pdf, "usr") == texts.toVector, "user password must still open")
+    }
+    // classic recovery really is Algorithm 7: undoing /O yields the
+    // padded user password byte-exactly
+    val o = PdfCrypt.computeO(3, 128, "admin".getBytes, "usr".getBytes)
+    val rec = PdfCrypt.recoverUserPw(o, "admin".getBytes, 3, 128)
+    assert(rec.toSeq == ("usr".getBytes ++ PdfCrypt.Pad).take(32).toSeq)
+  }
+
   test("non-empty password and unsupported schemes are DECLARED failures, fail-soft upstream") {
     // corrupt the /U entry: empty-password verification must fail with
     // the declared message, not mis-decrypt
