@@ -504,31 +504,70 @@ object Dedup {
     *
     * Input: (a_id, b_id) pairs. Output: (doc_id, component) for every
     * doc appearing in any pair. */
-  def componentsStar(pairs: DataFrame, rounds: Int = 3,
-      truncate: DataFrame => DataFrame = defaultTruncate): DataFrame = {
+  /** One large-star + small-star round over an (a, b) edge set. */
+  private def starRound(edges: DataFrame): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
     def mins(s: DataFrame): DataFrame =
       s.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
-    var edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
-    for (_ <- 0 until rounds) {
-      val s1 = sym(edges)
-      val large = s1.join(mins(s1), "u")
-        .where(col("v") > col("u") && col("m") =!= col("v"))
-        .select(col("m").as("a"), col("v").as("b")).distinct()
-      val s2 = sym(large)
-      val m2 = mins(s2)
-      edges = s2.join(m2, "u").where(col("v") < col("u"))
-        .select(col("m"), col("v"))
-        .unionAll(m2.select(col("m"), col("u").as("v")))
-        .where(col("m") =!= col("v"))
-        .select(col("m").as("a"), col("v").as("b")).distinct()
-      edges = truncate(edges)
-    }
+    val s1 = sym(edges)
+    val large = s1.join(mins(s1), "u")
+      .where(col("v") > col("u") && col("m") =!= col("v"))
+      .select(col("m").as("a"), col("v").as("b")).distinct()
+    val s2 = sym(large)
+    val m2 = mins(s2)
+    s2.join(m2, "u").where(col("v") < col("u"))
+      .select(col("m"), col("v"))
+      .unionAll(m2.select(col("m"), col("u").as("v")))
+      .where(col("m") =!= col("v"))
+      .select(col("m").as("a"), col("v").as("b")).distinct()
+  }
+
+  /** Read component labels off a (converged-or-not) star edge set. */
+  private def starLabels(edges: DataFrame): DataFrame =
     edges.select(col("b").as("doc_id"), col("a").as("component"))
       .unionAll(edges.select(col("a").as("doc_id"), col("a").as("component")))
       .groupBy("doc_id").agg(min("component").as("component"))
+
+  def componentsStar(pairs: DataFrame, rounds: Int = 3,
+      truncate: DataFrame => DataFrame = defaultTruncate): DataFrame = {
+    var edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+    for (_ <- 0 until rounds) edges = truncate(starRound(edges))
+    starLabels(edges)
+  }
+
+  /** CONVERGENCE-ADAPTIVE [[componentsStar]]: rounds run until the
+    * edge set reaches a FIXPOINT — a converged min-rooted star forest
+    * reproduces itself exactly under a large-star/small-star round, so
+    * "this round changed nothing" is the exact termination test (one
+    * count + one exceptAll probe per round, both over the round's
+    * already-checkpointed edge sets — cheap next to the round itself).
+    * Use when the graph's diameter is unknown (the production case);
+    * keep the fixed-`rounds` [[componentsStar]] where a deterministic
+    * replayable schedule is needed (the DuckDB oracle twin).
+    *
+    * Returns (labels, roundsExecuted) — the caller's
+    * lineage/metrics surface; roundsExecuted INCLUDES the final
+    * confirming no-op round, so a graph that arrives pre-converged
+    * still reports 1. `maxRounds` bounds a pathological input (log2 of
+    * the largest component size is the expected need; 40 covers any
+    * conceivable 10^12-node graph). */
+  def componentsStarAdaptive(pairs: DataFrame, maxRounds: Int = 40,
+      truncate: DataFrame => DataFrame = defaultTruncate): (DataFrame, Int) = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    var edges = truncate(
+      pairs.select(col("a_id").as("a"), col("b_id").as("b")).distinct())
+    var used = 0
+    var converged = false
+    while (!converged && used < maxRounds) {
+      val next = truncate(starRound(edges))
+      used += 1
+      converged = next.count() == edges.count() &&
+        next.exceptAll(edges).limit(1).count() == 0
+      edges = next
+    }
+    (starLabels(edges), used)
   }
 
   /** CONTENT-DEFINED-CHUNKING dedup: duplicate chunks across the

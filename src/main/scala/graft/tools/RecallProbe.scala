@@ -102,12 +102,46 @@ object RecallProbe {
     val pairTotal = truthPairs.count()
     val lshPairRecall = if (pairTotal == 0) 1.0 else pairHit.toDouble / pairTotal
 
+    // simhash star family, same exact-Jaccard ground truth
+    val simhashLabels = Dedup.componentsStar(Dedup.simhashStarPairs(docs))
+    val simhashStarRecall = pairClusterRecall(truthPairs, simhashLabels)
+
+    // embedding near-dup family: exact quantized-cosine ground truth
+    // (all-pairs — probe-scale only), flat pair recall + star cluster
+    // recall at the committed knobs
+    import graft.functions.{VectorFunctions => VF}
+    val q = emb.select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      .withColumn("nsq", VF.normSqQ(col("qv"))).localCheckpoint()
+    val embTruth = q.as("l").join(q.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .withColumn("dot", VF.dotQ(col("l.qv"), col("r.qv")))
+      .where(VF.cosineGePct(col("dot"), col("l.nsq"), col("r.nsq"), 80))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"))
+      .localCheckpoint()
+    val embTruthN = embTruth.count()
+    val flatOnce = Dedup.embeddingNearDupPairs(emb, tPct = 80, lshBits = 4)
+      .select(col("a_id"), col("b_id")).localCheckpoint()
+    val flatSym = flatOnce
+      .unionAll(flatOnce.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+    val embFlatRecall =
+      if (embTruthN == 0) 1.0
+      else embTruth.join(flatSym, Seq("a_id", "b_id"), "left_semi").count()
+        .toDouble / embTruthN
+    val embStarLabels = Dedup.components(
+      Dedup.embeddingNearDupStarPairs(emb, tPct = 80, lshBits = 10)
+        .select(col("a_id"), col("b_id")),
+      iterations = 3)
+    val embStarRecall = pairClusterRecall(embTruth, embStarLabels)
+
     val annJson = annRecall.map { case (n, r) => s""""$n":${f"$r%.4f"}""" }.mkString(",")
     println(s"""{"metric":"recall","sf_dir":"$sfDir","k":$k,"n_queries":$nQueries,""" +
       s""""ann_recall_at_k":{$annJson},""" +
       s""""jaccard_truth_pairs":$pairTotal,""" +
       s""""minhash_lsh_pair_recall":${f"$lshPairRecall%.4f"},""" +
-      s""""minhash_star_cluster_recall":${f"$starRecall%.4f"}}""")
+      s""""minhash_star_cluster_recall":${f"$starRecall%.4f"},""" +
+      s""""simhash_star_cluster_recall":${f"$simhashStarRecall%.4f"},""" +
+      s""""embedding_truth_pairs":$embTruthN,""" +
+      s""""embedding_pair_recall":${f"$embFlatRecall%.4f"},""" +
+      s""""embedding_star_cluster_recall":${f"$embStarRecall%.4f"}}""")
     spark.stop()
   }
 }

@@ -416,6 +416,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain == ckpt)
   }
 
+  test("componentsStarAdaptive: early-stop on a star graph, full schedule on a diameter-31 chain, labels exact") {
+    // pre-converged star forest: fixpoint after the 1 confirming round
+    val star = Seq.tabulate(20)(i => (0L, i + 1L)).toDF("a_id", "b_id")
+    val (starLbl, starRounds) = Dedup.componentsStarAdaptive(star)
+    assert(starRounds == 1, s"star graph must stop after the confirming round, ran $starRounds")
+    assert(starLbl.where(col("component") =!= 0L).count() == 0)
+    assert(starLbl.count() == 21)
+    // diameter-31 chain: star-contraction needs its full log-round
+    // schedule (5 changing rounds) before the confirming round
+    val chain = Seq.tabulate(31)(i => (i.toLong, i + 1L)).toDF("a_id", "b_id")
+    val (chainLbl, chainRounds) = Dedup.componentsStarAdaptive(chain)
+    assert(chainRounds >= 5 && chainRounds <= 7,
+      s"expected ~5 changing rounds + confirmation, ran $chainRounds")
+    assert(chainLbl.where(col("component") =!= 0L).count() == 0)
+    assert(chainLbl.count() == 32)
+    // labels equal the fixed-rounds twin's
+    val fixed = Dedup.componentsStar(chain, rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val adaptive = chainLbl.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(adaptive == fixed)
+  }
+
   test("componentsStar: equals brute-force union-find on seeded random graphs (alt-star rounds)") {
     for (seed <- Seq(7, 19, 23)) {
       val rnd = new scala.util.Random(seed)

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.tools.RecallProbe
 
@@ -77,6 +78,79 @@ class RecallSpec extends AnyFunSuite {
           (if (v == 0) base else base.updated(7 + v * 5, s"edit${g}_$v")).mkString(" ")))
     }
     groups.flatten.toDF("doc_id", "text").localCheckpoint()
+  }
+
+  /** Like [[nearDupDocs]] but 100-token docs: a one-token edit moves
+    * the 32-bit simhash by ~2-4 bits there (vote sums scale with
+    * doc length), which is the regime the hamming-3 block index is
+    * FOR — the 30-token corpus above mutates ~1/30th of the votes per
+    * edit and inherently lands past the radius. */
+  private lazy val nearDupDocs100 = {
+    val vocab = Vector.tabulate(400)(i => s"tok$i")
+    val rnd = new scala.util.Random(53)
+    val groups = for (g <- 0 until 40) yield {
+      val base = Vector.fill(100)(vocab(rnd.nextInt(vocab.size)))
+      (0 until 3).map(v =>
+        ((g * 3 + v).toLong,
+          (if (v == 0) base else base.updated(7 + v * 5, s"edit${g}_$v")).mkString(" ")))
+    }
+    groups.flatten.toDF("doc_id", "text").localCheckpoint()
+  }
+
+  test("simhash star-pair cluster recall ≥ 0.9 vs exact Jaccard truth (100-token docs, default knobs)") {
+    val truthPairs = Dedup.ngramJaccardPairs(nearDupDocs100, minPermille = 500)
+      .localCheckpoint()
+    assert(truthPairs.count() >= 40, "fixture must actually contain near-dup pairs")
+    val labels = Dedup.componentsStar(Dedup.simhashStarPairs(nearDupDocs100))
+    val recall = RecallProbe.pairClusterRecall(truthPairs, labels)
+    // a block-count / key-width / maxHamming regression craters this
+    assert(recall >= 0.90, s"simhash star cluster recall = $recall < 0.90")
+  }
+
+  /** 32 clusters of 8 in 64-dim with SIGN-GUARDED centers (|coord| ≥
+    * 0.3, so ±0.05 jitter never flips an LSH sign bit) — the corpus
+    * where bucket knobs are right-sized: lshBits=4 keeps every cluster
+    * in one bucket for the all-pairs generator; lshBits=10 gives the
+    * STAR generator ≥1 bucket per cluster (the star contract: bucket ≈
+    * duplicate group, sized via lshBitsFor). */
+  private lazy val clusteredGuarded = {
+    val rnd = new scala.util.Random(97)
+    def coord(): Float = {
+      val x = rnd.nextFloat() * 2f - 1f
+      if (math.abs(x) < 0.3f) (if (x < 0) x - 0.3f else x + 0.3f) else x
+    }
+    val centers = Vector.fill(32)(Array.fill(64)(coord()))
+    val rows = for { c <- 0 until 32; m <- 0 until 8 } yield {
+      val v = centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      ((c * 8 + m).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding").localCheckpoint()
+  }
+
+  test("embedding near-dup recall floors: all-pairs generator ≥ 0.95, star cluster recall ≥ 0.95") {
+    import graft.functions.{VectorFunctions => VF}
+    val q = clusteredGuarded
+      .select(col("vec_id"), VF.quantize(col("embedding")).as("qv"))
+      .withColumn("nsq", VF.normSqQ(col("qv"))).localCheckpoint()
+    val truth = q.as("l").join(q.as("r"), col("l.vec_id") < col("r.vec_id"))
+      .withColumn("dot", VF.dotQ(col("l.qv"), col("r.qv")))
+      .where(VF.cosineGePct(col("dot"), col("l.nsq"), col("r.nsq"), 80))
+      .select(col("l.vec_id").as("a_id"), col("r.vec_id").as("b_id"))
+      .localCheckpoint()
+    assert(truth.count() >= 800, "fixture must contain the within-cluster pairs")
+    // all-pairs-in-bucket generator: every truth pair surfaces
+    val flat = Dedup.embeddingNearDupPairs(clusteredGuarded, tPct = 80, lshBits = 4)
+      .select($"a_id", $"b_id")
+    val flatSym = flat.unionAll(flat.select($"b_id".as("a_id"), $"a_id".as("b_id")))
+    val flatRecall = truth.join(flatSym, Seq("a_id", "b_id"), "left_semi").count()
+      .toDouble / truth.count()
+    assert(flatRecall >= 0.95, s"embedding pair recall = $flatRecall < 0.95")
+    // star generator: linear output, judged on CLUSTER recall (star
+    // pairs are canon-member edges by design, not all pairs)
+    val star = Dedup.embeddingNearDupStarPairs(clusteredGuarded, tPct = 80, lshBits = 10)
+    val labels = Dedup.components(star.select($"a_id", $"b_id"), iterations = 3)
+    val starRecall = RecallProbe.pairClusterRecall(truth, labels)
+    assert(starRecall >= 0.95, s"embedding star cluster recall = $starRecall < 0.95")
   }
 
   test("minhash star-pair cluster recall ≥ 0.9 vs exact Jaccard ground truth at default knobs") {
