@@ -139,18 +139,24 @@ object Multimodal {
       }
   }
 
-  /** One sampled frame of a video-like payload. */
+  /** One sampled frame of a video-like payload. `frame_off` is the
+    * absolute payload offset of the frame's bytes; `frame_ms` the
+    * decode timestamp (−1 on the stub-chunker path, which has no
+    * timebase). */
   final case class FrameRow(doc_id: String, media_ref: String, frame_idx: Int,
-      frame_md5: String)
+      frame_md5: String, frame_off: Long, frame_ms: Long)
 
-  /** Frame sampling over opaque video payloads: take every `stride`-th
-    * frame up to `maxFrames` — the standard decimation step before
-    * per-frame feature extraction. The Spark plumbing (typed explode
-    * inside the batched partition stage, schema, ordering) is REAL;
-    * the frame DECODE is a clearly-marked STUB (no video codec in this
-    * container): a "frame" is a fixed-size byte chunk of the payload,
-    * fingerprinted by md5. A real deployment swaps the chunker for a
-    * demuxer; nothing downstream changes. */
+  /** Frame sampling over video payloads: take every `stride`-th
+    * sample up to `maxFrames` — the standard decimation step before
+    * per-frame feature extraction. ISO-BMFF (MP4) payloads are
+    * DEMUXED for real ([[graft.media.Mp4Demux]] box-walks
+    * moov/trak/stbl and resolves each sample's file offset, size and
+    * timestamp — pure big-endian arithmetic, no codec needed), so a
+    * "frame" is the actual addressed sample. Non-BMFF (or
+    * undemuxable) payloads keep the clearly-marked STUB chunker —
+    * fixed `frameBytes` chunks, `frame_ms = -1` — because frame
+    * decode without a codec would be silently wrong; a real
+    * deployment swaps only that branch. */
   def sampleFrames(spark: SparkSession, media: DataFrame,
       frameBytes: Int = 32, stride: Int = 2, maxFrames: Int = 4): Dataset[FrameRow] = {
     import spark.implicits._
@@ -159,15 +165,27 @@ object Multimodal {
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
         val md = MessageDigest.getInstance("MD5") // per-partition, reused
+        def hex(chunk: Array[Byte]): String = {
+          md.reset()
+          md.digest(chunk).map(b => f"${b & 0xff}%02x").mkString
+        }
         it.flatMap { case (docId, ref, bytes) =>
-          val total = (bytes.length + frameBytes - 1) / frameBytes
-          (0 until total by stride).take(maxFrames).map { f =>
-            md.reset()
-            val from = f * frameBytes
-            val chunk = java.util.Arrays.copyOfRange(bytes, from,
-              math.min(from + frameBytes, bytes.length))
-            FrameRow(docId, ref, f,
-              md.digest(chunk).map(b => f"${b & 0xff}%02x").mkString)
+          graft.media.Mp4Demux.demux(bytes) match {
+            case Some(track) =>
+              (track.samples.indices by stride).take(maxFrames).map { f =>
+                val s = track.samples(f)
+                val end = math.min(s.offset + s.size, bytes.length.toLong).toInt
+                val chunk = java.util.Arrays.copyOfRange(bytes, s.offset.toInt, end)
+                FrameRow(docId, ref, f, hex(chunk), s.offset, s.dtsMs)
+              }
+            case None =>
+              val total = (bytes.length + frameBytes - 1) / frameBytes
+              (0 until total by stride).take(maxFrames).map { f =>
+                val from = f * frameBytes
+                val chunk = java.util.Arrays.copyOfRange(bytes, from,
+                  math.min(from + frameBytes, bytes.length))
+                FrameRow(docId, ref, f, hex(chunk), from.toLong, -1L)
+              }
           }
         }
       }

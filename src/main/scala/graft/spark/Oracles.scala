@@ -1080,12 +1080,27 @@ object Oracles {
     // frame chunks of the reconstructible synthetic payload
     // (repeat(md5(id), 4) = 4 chunks of 32 bytes; stride 2 -> 0 and 2)
     "mm_frame_sample" ->
-      """SELECT printf('doc%08d', i // 2) AS doc_id,
+      // stub rows: fixed 32-byte chunks, frame_ms = -1. BMFF rows:
+      // the fixture's mdat payload starts at 212 (Mp4Demux
+      // .mdatPayloadStart(6)); sample sizes cycle 20/24/28, so the
+      // sampled offsets are 212 / 212+44 / 212+92; 25 fps -> 40ms
+      """SELECT * FROM (
+        |SELECT printf('doc%08d', i // 2) AS doc_id,
         | printf('m_%d_%d.bin', i // 2, i % 2) AS media_ref,
         | CAST(f AS INTEGER) AS frame_idx,
-        | md5(substr(repeat(md5(CAST(i AS VARCHAR)), 4), f*32 + 1, 32)) AS frame_md5
+        | md5(substr(repeat(md5(CAST(i AS VARCHAR)), 4), f*32 + 1, 32)) AS frame_md5,
+        | CAST(f*32 AS BIGINT) AS frame_off,
+        | CAST(-1 AS BIGINT) AS frame_ms
         |FROM range(200) t(i), (VALUES (0), (2)) u(f)
-        |ORDER BY doc_id, media_ref, frame_idx""".stripMargin,
+        |UNION ALL
+        |SELECT printf('vdoc%08d', i), printf('v_%d.mp4', i),
+        | CAST(f AS INTEGER),
+        | md5(substr(md5(CAST(i AS VARCHAR) || ':' || CAST(f AS VARCHAR)),
+        |            1, 20 + 4*(f%3))),
+        | CAST(212 + CASE f WHEN 0 THEN 0 WHEN 2 THEN 44 ELSE 92 END AS BIGINT),
+        | CAST(40*f AS BIGINT)
+        |FROM range(50) t(i), (VALUES (0), (2), (4)) u(f)
+        |) ORDER BY doc_id, media_ref, frame_idx""".stripMargin,
 
     "text_langid" -> {
       s"""WITH ${simhashCte("documents")},

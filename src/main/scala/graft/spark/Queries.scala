@@ -1240,11 +1240,27 @@ object Queries {
     * every 2nd fixed-size frame chunk, max 4, md5-fingerprinted —
     * STUB decode (chunker), REAL plumbing; oracle reconstructs the
     * payload and chunks it in SQL. */
-  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
-    Multimodal.sampleFrames(s, Multimodal.syntheticMedia(s, nDocs = 100, perDoc = 2),
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // stub-path rows (non-BMFF payloads, fixed 32-byte chunks) plus
+    // REAL demuxed rows: single-trak BMFF fixtures whose stbl sample
+    // table (6 varying-size samples, one chunk, 25 fps) pins offsets,
+    // sizes and timestamps closed-form for the DuckDB twin
+    val stub = Multimodal.syntheticMedia(s, nDocs = 100, perDoc = 2)
+    val mp4 = s.range(50).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val samples = (0 until 6).map { j =>
+        val hex = md.digest(s"$i:$j".getBytes("US-ASCII"))
+          .map(b => f"${b & 0xff}%02x").mkString
+        hex.substring(0, 20 + 4 * (j % 3)).getBytes("US-ASCII")
+      }
+      (f"vdoc$i%08d", s"v_$i.mp4", graft.media.Mp4Demux.buildFixture(samples))
+    }.toDF("doc_id", "media_ref", "payload")
+    Multimodal.sampleFrames(s, stub.unionByName(mp4),
         frameBytes = 32, stride = 2, maxFrames = 4)
       .toDF()
       .orderBy("doc_id", "media_ref", "frame_idx")
+  }
 
   /** name → query. Keys match Oracles.sql keys (rows-only checks for
     * the extraction/multimodal entries, which SQL cannot express). */
