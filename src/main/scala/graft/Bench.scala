@@ -337,17 +337,36 @@ object Bench {
     // consumer would pay)
     def runFullPlan(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.executedPlan.execute().count()
-    val qTimes = headline.map { name =>
+    // Per-QUERY steal gating (round-5 finding #3: the committed round
+    // line carried a 2.7× comp_star wall from a dirty window because
+    // query timings, unlike extract reps, had no per-entry gate): each
+    // timed run carries its OWN /proc/stat steal window; best-of-clean
+    // is reported, a query with no clean run after retries is marked
+    // dirty in `queries_dirty` so a committed BENCH line can't pass
+    // noise off as a regression (or an improvement).
+    final case class QTime(sec: Double, stealPct: Double, clean: Boolean, runs: Int)
+    val qTimes: Seq[(String, QTime)] = headline.map { name =>
       val fn = Queries.all(name)
       runFullPlan(fn(spark, sfDir)) // warmup (codegen + JIT)
-      // best of 2 timed runs: a single sample on this shared host is as
-      // fragile as the round-1 extraction record was
-      val secs = (1 to 2).map { _ =>
+      def timed(): (Double, Double) = {
+        val s0 = cpuStat()
         val t0 = System.nanoTime()
         runFullPlan(fn(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+        val sec = (System.nanoTime() - t0) / 1e9
+        val s1 = cpuStat()
+        val steal =
+          if (s1._1 > s0._1) 100.0 * (s1._2 - s0._2) / (s1._1 - s0._1) else 0.0
+        (sec, steal)
       }
-      name -> secs.min
+      // 2 base runs (a single sample on this shared host is as fragile
+      // as the round-1 extraction record was) + up to 2 retries while
+      // no run is steal-clean
+      var runs = Vector(timed(), timed())
+      while (!runs.exists(_._2 <= StealGatePct) && runs.length < 4) runs :+= timed()
+      val clean = runs.filter(_._2 <= StealGatePct)
+      val kept = if (clean.nonEmpty) clean else runs
+      val best = kept.minBy(_._1)
+      name -> QTime(best._1, best._2, clean.nonEmpty, runs.length)
     }
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -362,7 +381,11 @@ object Bench {
       f"""{"wall_dps":${r.wallDps}%.1f,"cpu_dps":${r.cpuDps}%.1f,""" +
         f""""steal_pct":${r.stealPct}%.2f,"clean":${r.clean}}""").mkString("[", ",", "]")
 
-    val qs = qTimes.map { case (k, sec) => f""""$k":$sec%.3f""" }.mkString("{", ",", "}")
+    val qs = qTimes.map { case (k, q) => f""""$k":${q.sec}%.3f""" }.mkString("{", ",", "}")
+    val qsDirty = qTimes.filter(!_._2.clean).map(q => s""""${q._1}"""").mkString("[", ",", "]")
+    val qMeta = qTimes.map { case (k, q) =>
+      f""""$k":{"sec":${q.sec}%.3f,"steal_pct":${q.stealPct}%.2f,"clean":${q.clean},"runs":${q.runs}}"""
+    }.mkString("{", ",", "}")
     // one COMPACT stdout line (the driver captures a bounded output
     // tail — round 3's committed artifact was truncated mid-line and
     // unparseable because the reps arrays + protocol prose pushed the
@@ -386,6 +409,7 @@ object Bench {
         f""""normal_docs":${skew.normalDocs},"wall_off_sec":${skew.wallOffSec}%.2f,""" +
         f""""wall_on_sec":${skew.wallOnSec}%.2f,"max_task_off_ms":${skew.maxTaskOffMs},""" +
         f""""max_task_on_ms":${skew.maxTaskOnMs},"listener_drained":${skew.drained}},""" +
+        f""""queries_dirty":$qsDirty,""" +
         f""""host_steal_pct":$stealPct%.2f,"steal_gate_pct":$StealGatePct"""
     // cwd-relative (sbt runs from the repo root); overridable so a
     // foreign checkout cannot lose a completed run at the write step.
@@ -405,7 +429,8 @@ object Bench {
     val full = core +
       f""","reps":{"2":${repsJson(l2all)},"8":${repsJson(l8all)},"32":${repsJson(l32)}},""" +
       f""""graded_window_reps":{"2":${repsJson(l2)},"8":${repsJson(l8)}},""" +
-      f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region",""" +
+      f""""query_meta":$qMeta,""" +
+      f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region; per query: own steal%% window per timed run, best-of-clean reported, no-clean-after-4 marked dirty in queries_dirty",""" +
       f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (fresh window, up to 2x) until they hold >=1 clean rep AND clean reps agree within the cpu_dps coherence band, else graded_clean=false; best-of-clean in the final window graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag); freq_parity_2_8 = best-wall reps' cpu_dps[2]/cpu_dps[8] exposes per-core clock skew between the graded levels (turbo on the 2-thread level during busy-host windows) — beyond 15%% the window is flagged freq_skewed (re-measure in a calm window); eff x parity = utilization ratio, a DECOMPOSITION diagnostic that strips per-core differences of any cause and is therefore not a gate. skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}"""
     Files.write(Paths.get(fullPath), full.getBytes("UTF-8"))
     // stdout: close the extract object, then root-level full_record
