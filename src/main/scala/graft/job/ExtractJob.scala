@@ -241,7 +241,8 @@ object ExtractJob {
             row.getInt(2), row.getInt(3), row.getUTF8String(4).toString,
             (if (row.isNullAt(5)) None else Some(row.getUTF8String(5).toString))
               .filter(_.nonEmpty),
-            base.parityStartOffByOne)
+            base.parityStartOffByOne,
+            password = base.password)
           val bucket = row.getInt(6)
           val res = Extractor.extractCore(docId, spanIns, bytesIn, opts)
           acc.add(bucket -> BucketStats(
@@ -274,7 +275,9 @@ object ExtractJob {
           val raw = row.spans.head
           try {
             val bytes = java.util.Base64.getDecoder.decode(raw.text)
-            val total = graft.pdf.PdfDocument.load(bytes).pageCount
+            val total = graft.pdf.PdfDocument.load(bytes,
+              cfg.opts.password.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                .getOrElse(Array.emptyByteArray)).pageCount
             if (total <= 0) Seq(ChunkRow(row.doc_id, raw.text, -1, 0, row.bucket))
             else (1 to total by chunkPages).map(s =>
               ChunkRow(row.doc_id, raw.text, s, math.min(chunkPages, total - s + 1), row.bucket))
@@ -301,7 +304,7 @@ object ExtractJob {
                 val res = Extractor.extractDoc(
                   InterleavedDoc(c.doc_id, Seq(RawSpan("pdf_bytes", c.b64, "", 0))),
                   ExtractOptions(startPage = c.startPage, pageCount = c.pageLen,
-                    parityStartOffByOne = false))
+                    parityStartOffByOne = false, password = cfg.opts.password))
                 if (res.unmappedCodes > 0)
                   acc.add(c.bucket -> BucketStats(unmappedCodes = res.unmappedCodes))
                 ChunkOut(c.doc_id, c.bucket, ok = res.doc.isDefined,

@@ -89,28 +89,41 @@ object Mp4Demux {
           val v = b(f2) & 0xff
           timescale = if (v == 1) u32(b, f2 + 20) else u32(b, f2 + 12)
         } else if (t2 == "minf") walk(b, f2, e2) { (t3, f3, e3) =>
-          if (t3 == "stbl") walk(b, f3, e3) { (t4, f4, _) =>
+          if (t3 == "stbl") walk(b, f3, e3) { (t4, f4, e4) =>
+            // a declared entry count must FIT the box payload — a
+            // hostile/truncated count would otherwise drive tabulate
+            // into an allocation bomb before the bounds check fires
+            def cnt(at: Int, entryBytes: Int): Int = {
+              val n = u32(b, at)
+              if (n < 0 || at + 4 + n * entryBytes > e4) -1 else n.toInt
+            }
             t4 match {
               case "stts" =>
-                val n = u32(b, f4 + 4).toInt
-                stts = Vector.tabulate(n)(i =>
+                val n = cnt(f4 + 4, 8)
+                if (n >= 0) stts = Vector.tabulate(n)(i =>
                   (u32(b, f4 + 8 + i * 8), u32(b, f4 + 12 + i * 8)))
               case "stsc" =>
-                val n = u32(b, f4 + 4).toInt
-                stsc = Vector.tabulate(n)(i =>
+                val n = cnt(f4 + 4, 12)
+                if (n >= 0) stsc = Vector.tabulate(n)(i =>
                   (u32(b, f4 + 8 + i * 12), u32(b, f4 + 12 + i * 12)))
               case "stsz" =>
                 val uniform = u32(b, f4 + 4)
-                val n = u32(b, f4 + 8).toInt
-                sizes =
+                val n =
+                  if (uniform != 0L) {
+                    val raw = u32(b, f4 + 8)
+                    // uniform sizes carry no per-entry payload; bound
+                    // the count by what any mdat could hold
+                    if (raw < 0 || uniform * raw > b.length) -1 else raw.toInt
+                  } else cnt(f4 + 8, 4)
+                if (n >= 0) sizes =
                   if (uniform != 0L) Vector.fill(n)(uniform)
                   else Vector.tabulate(n)(i => u32(b, f4 + 12 + i * 4))
               case "stco" =>
-                val n = u32(b, f4 + 4).toInt
-                chunkOffsets = Vector.tabulate(n)(i => u32(b, f4 + 8 + i * 4))
+                val n = cnt(f4 + 4, 4)
+                if (n >= 0) chunkOffsets = Vector.tabulate(n)(i => u32(b, f4 + 8 + i * 4))
               case "co64" =>
-                val n = u32(b, f4 + 4).toInt
-                chunkOffsets = Vector.tabulate(n)(i => u64(b, f4 + 8 + i * 8))
+                val n = cnt(f4 + 4, 8)
+                if (n >= 0) chunkOffsets = Vector.tabulate(n)(i => u64(b, f4 + 8 + i * 8))
               case _ => ()
             }
           }

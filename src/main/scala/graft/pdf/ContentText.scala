@@ -41,11 +41,13 @@ object ContentText {
     * metrics as `unmapped_codes` (never a silent drop; cf. the
     * declared-failure posture of JBIG2/crypt). */
   final class UnmappedCounter { var n: Long = 0L }
-  private val discard = new UnmappedCounter // for the count-free decode()
 
   sealed trait FontDecoder {
     def decode(bytes: Array[Byte], ctr: UnmappedCounter): String
-    final def decode(bytes: Array[Byte]): String = decode(bytes, discard)
+    /** Count-free convenience (tests/CLI display); a fresh throwaway
+      * counter per call — a shared sink would be cross-thread-mutable
+      * state for no benefit. */
+    final def decode(bytes: Array[Byte]): String = decode(bytes, new UnmappedCounter)
   }
 
   /** Simple (1-byte) font via a 256-entry table. */

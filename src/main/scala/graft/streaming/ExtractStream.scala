@@ -68,7 +68,8 @@ object ExtractStream {
         .as[OptRow].mapPartitions { it =>
           it.flatMap { r =>
             val rowOpts = ExtractOptions(r.start_page, r.page_count, r.engine,
-              r.model.filter(_.nonEmpty), opts.parityStartOffByOne)
+              r.model.filter(_.nonEmpty), opts.parityStartOffByOne,
+              password = opts.password)
             Extractor.extractDoc(InterleavedDoc(r.doc_id, r.spans), rowOpts).doc
           }
         }

@@ -43,6 +43,25 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("per-job password reaches the InternalRow fast path: encrypted corpus extracts; no password fails soft") {
+    import spark.implicits._
+    val texts = Seq("locked page one", "locked page two")
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      graft.pdf.PdfBuilder.withEncryption(aes = true, texts, userPw = "jobpw"))
+    val in = spark.range(6).map(i => InterleavedDoc(f"enc$i%08d",
+      Seq(RawSpan("pdf_bytes", b64, "", 0)))).toDF()
+    val okT = tmpDir("graft-encpw-ok")
+    val okStats = ExtractJob.run(spark, in, okT, ExtractJob.Config(numBuckets = 4,
+      opts = ExtractOptions(password = Some("jobpw"))))
+    assert(okStats.docs == 6 && okStats.failedDocs == 0)
+    val got = readSpans(okT)
+    assert(got.values.forall(_.map(_.text) == texts), s"wrong spans: ${got.values.headOption}")
+    // without the password: every doc a declared fail-soft error record
+    val noT = tmpDir("graft-encpw-no")
+    val noStats = ExtractJob.run(spark, in, noT, ExtractJob.Config(numBuckets = 4))
+    assert(noStats.failedDocs == 6, s"expected 6 declared failures, got ${noStats.failedDocs}")
+  }
+
   test("bucketed mode ≡ scan mode output; bucketed lays out bucket=N dirs") {
     val scanT = tmpDir("graft-scan"); val buckT = tmpDir("graft-buck")
     val in = corpusDf(40)
