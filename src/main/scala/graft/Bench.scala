@@ -322,13 +322,13 @@ object Bench {
     val headline = Seq(
       "q1_pricing", "q3_top_orders", "q5_region_revenue", "q_window_topn",
       "q_events_hourly", "q_events_sessions", "dedup_exact", "dedup_minhash_lsh",
-      "dedup_minhash_star", "dedup_jaccard", "dedup_jaccard_capped", "dedup_cdc_chunks", "dedup_decontaminate", "dedup_simhash",
+      "dedup_minhash_star", "dedup_jaccard", "dedup_jaccard_capped", "dedup_cdc_chunks", "dedup_exact_substring", "dedup_decontaminate", "dedup_simhash",
       "dedup_simhash_star", "dedup_simhash64", "dedup_embedding", "dedup_embedding_star",
       "dedup_components", "dedup_components_star", "dedup_components_star_chain",
       "dedup_containment",
       "pipeline_clean_corpus", "sim_topk_brute", "sim_topk_lsh",
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans",
-      "text_stats", "text_langid", "text_distinct_kmv", "text_repetition",
+      "text_stats", "text_langid", "text_distinct_kmv", "text_repetition", "text_gopher_quality",
       "q_events_session_windows", "pdfz_images", "pdfz_images_jbig2",
       "pdfz_images_jbig2_text", "pdfz_encrypted")
     // SORT-PRESERVING action: executing the df's own physical plan keeps

@@ -612,6 +612,49 @@ object Dedup {
       .where(col("n_docs") >= 2)
   }
 
+  /** EXACT-SUBSTRING duplicate spans (the ExactSubstr criterion of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022 — re-expressed relationally): every MAXIMAL
+    * run of consecutive tokens, at least `minTokens` long, whose text
+    * appears somewhere else in the corpus (another doc OR another
+    * position of the same doc). A token position is covered iff its
+    * `minTokens`-gram occurs ≥ 2 times corpus-wide counting
+    * POSITIONS; consecutive covered positions merge into maximal runs
+    * `[start_pos, end_pos]` (end extends `minTokens-1` past the last
+    * covered gram start). This is the span-level signal whole-doc /
+    * chunk dedup misses: the exact duplicated text to cut, with its
+    * location.
+    *
+    * Plan (the 100 TB shape): grams are map-side
+    * ([[graft.functions.ShingleMd5s]] + posexplode); the corpus-wide
+    * gram frequency is ONE hash aggregation (map-side partials — the
+    * inherent shuffle every sketch operator pays); covered positions
+    * are a semi-join against the (much smaller) duplicated-gram set,
+    * and run-merging is a window PARTITIONED BY doc_id over only the
+    * COVERED positions — per-entity, parallel across docs, and sparse
+    * (duplicated grams only), unlike the retired CDC token-window
+    * which sorted every token of every doc.
+    *
+    * Output: (doc_id, start_pos, end_pos, n_grams, n_tokens), one row
+    * per maximal duplicated run. */
+  def exactSubstringSpans(docs: DataFrame, minTokens: Int = 15): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    import org.apache.spark.sql.expressions.Window
+    def grams = docs.select(col("doc_id"),
+      posexplode(TF.shingles(col("text"), minTokens)).as(Seq("pos", "gh")))
+    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2).select("gh")
+    val covered = grams.join(dup, Seq("gh"), "left_semi")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    covered.withColumn("island", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "island")
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(minTokens - 1)).as("end_pos"),
+        count(lit(1)).as("n_grams"))
+      .withColumn("n_tokens", col("end_pos") - col("start_pos") + 1)
+      .select("doc_id", "start_pos", "end_pos", "n_grams", "n_tokens")
+  }
+
   /** Benchmark DECONTAMINATION: training documents sharing any
     * n-token shingle with an evaluation set — the 13-gram-overlap
     * standard of the LM literature (GPT-3, Brown et al. 2020,

@@ -577,6 +577,30 @@ object Oracles {
          |FROM cs JOIN ev USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    "dedup_exact_substring" -> {
+      // ExactSubstr: position covered iff its 15-gram recurs
+      // corpus-wide (positions, not docs); aligned unnests pair
+      // (pos, gram) row-wise; gaps-and-islands merges runs
+      s"""WITH $docsPlus,
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_plus),
+         |g AS (SELECT doc_id,
+         |  unnest(range(0, greatest(len(toks) - 14, 0))) AS pos,
+         |  unnest(list_transform(range(0, greatest(len(toks) - 14, 0)),
+         |    i -> md5(array_to_string(toks[i+1:i+15], ' ')))) AS gh
+         | FROM t),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         | FROM cov)
+         |SELECT doc_id, CAST(min(pos) AS INTEGER) AS start_pos,
+         | CAST(max(pos) + 14 AS INTEGER) AS end_pos,
+         | count(*) AS n_grams,
+         | CAST(max(pos) + 14 - min(pos) + 1 AS INTEGER) AS n_tokens
+         |FROM isl GROUP BY doc_id, island
+         |ORDER BY doc_id, start_pos""".stripMargin
+    },
+
     "dedup_cdc_chunks" -> {
       // 32-bit token hash = first 8 md5 nibbles (Horner fold — conv()
       // does not exist in DuckDB); boundary token ends a chunk; chunk
@@ -956,6 +980,31 @@ object Oracles {
          |WHERE h < CASE quality WHEN 3 THEN 1000 WHEN 2 THEN 500 WHEN 1 THEN 100 ELSE 10 END
          |ORDER BY doc_id""".stripMargin
     },
+
+    "text_gopher_quality" ->
+      // flags as 0/1 INTs (cross-engine boolean-encoding-proof); the
+      // sum-of-token-chars identity length(text) - (n-1) holds because
+      // tokens split on single spaces
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents),
+        |b AS (SELECT doc_id,
+        |  CAST(len(toks) AS INTEGER) AS n_words,
+        |  CAST(length(text) - (len(toks) - 1) AS INTEGER) AS word_chars,
+        |  CAST(length(text) - length(replace(text, '#', '')) AS INTEGER) AS n_hash,
+        |  CAST((length(text) - length(replace(text, '...', ''))) // 3 AS INTEGER) AS n_ellipsis,
+        |  CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS INTEGER) AS alpha_words,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |    w -> list_contains(toks, w))) AS INTEGER) AS stopword_kinds
+        | FROM t)
+        |SELECT *,
+        | CAST(ok_word_count * ok_mean_word_len * ok_symbol_ratio * ok_alpha * ok_stopwords AS INTEGER) AS gopher_pass
+        |FROM (SELECT b.*,
+        | CAST(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS INTEGER) AS ok_word_count,
+        | CAST(CASE WHEN word_chars >= n_words * 3 AND word_chars <= n_words * 10 THEN 1 ELSE 0 END AS INTEGER) AS ok_mean_word_len,
+        | CAST(CASE WHEN (n_hash + n_ellipsis) * 10 <= n_words THEN 1 ELSE 0 END AS INTEGER) AS ok_symbol_ratio,
+        | CAST(CASE WHEN alpha_words * 5 >= n_words * 4 THEN 1 ELSE 0 END AS INTEGER) AS ok_alpha,
+        | CAST(CASE WHEN stopword_kinds >= 2 THEN 1 ELSE 0 END AS INTEGER) AS ok_stopwords
+        | FROM b)
+        |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),

@@ -840,6 +840,19 @@ object Queries {
   def dedupCdcChunks(s: SparkSession, dir: String): DataFrame =
     Dedup.cdcChunkDuplicates(docsPlus(s, dir)).orderBy("chunk_fp")
 
+  /** Exact-substring duplicate SPANS over the shifted-copy corpus —
+    * the ExactSubstr criterion (Lee et al. 2022): maximal runs of
+    * ≥ 15 tokens whose text recurs anywhere in the corpus, with
+    * positions. The +100000 copies drop their first token, so each
+    * original/copy pair shares its whole suffix — expect one long
+    * run per member (plus any organic repeats); the DuckDB twin
+    * replays gram hashing, the position-frequency threshold and the
+    * gaps-and-islands merge exactly
+    * ([[Dedup.exactSubstringSpans]]). */
+  def dedupExactSubstring(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactSubstringSpans(docsPlus(s, dir), minTokens = 15)
+      .orderBy("doc_id", "start_pos")
+
   /** Connected components on a HIGH-DIAMETER graph — chains of up to
     * 32 consecutive doc_ids — where [[Dedup.componentsStar]]'s
     * O(log n) round count actually BINDS: 5 alternating rounds label
@@ -985,6 +998,45 @@ object Queries {
     * Shape at scale: two explode + hash-agg chains (map-side partials
     * collapse a doc's repeated tokens before the shuffle), one join on
     * doc_id. */
+  /** GOPHER-style document quality RULES (Rae et al. 2021, appendix A
+    * — the published rule set modern pipelines start from), integer-
+    * exact so the DuckDB twin replays each flag bit-identically:
+    * word-count window [50, 100k]; mean word length in [3, 10] chars
+    * (as 3n ≤ sum_chars ≤ 10n — sum of token chars is
+    * `length(text) - (n-1)` since tokens split on single spaces);
+    * symbol-to-word ratio ('#' + '...') ≤ 1/10; ≥ 80%% of words
+    * contain an alphabetic char; ≥ 2 distinct members of the
+    * published 8-stop-word list. Line-shape rules (bullet/ellipsis
+    * line ratios) need line structure this corpus doesn't carry —
+    * scoped out, documented. All map-side column work; no shuffle but
+    * the final sort. */
+  def textGopherQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = split(col("text"), " ")
+    val stop = array(Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(lit): _*)
+    val base = d.select(col("doc_id"),
+      size(toks).as("n_words"),
+      (length(col("text")) - (size(toks) - 1)).as("word_chars"),
+      (length(col("text")) - length(expr("replace(text, '#', '')"))).as("n_hash"),
+      expr("CAST((length(text) - length(replace(text, '...', ''))) div 3 AS INT)")
+        .as("n_ellipsis"),
+      expr("size(filter(split(text, ' '), t -> t rlike '[A-Za-z]'))").as("alpha_words"),
+      size(filter(stop, w => array_contains(toks, w))).as("stopword_kinds"))
+    base.select(col("*"),
+        (col("n_words") >= 50 && col("n_words") <= 100000).cast("int").as("ok_word_count"),
+        (col("word_chars") >= col("n_words") * 3 &&
+          col("word_chars") <= col("n_words") * 10).cast("int").as("ok_mean_word_len"),
+        ((col("n_hash") + col("n_ellipsis")) * 10 <= col("n_words")).cast("int")
+          .as("ok_symbol_ratio"),
+        (col("alpha_words") * 5 >= col("n_words") * 4).cast("int").as("ok_alpha"),
+        (col("stopword_kinds") >= 2).cast("int").as("ok_stopwords"))
+      .withColumn("gopher_pass",
+        (col("ok_word_count") * col("ok_mean_word_len") * col("ok_symbol_ratio") *
+          col("ok_alpha") * col("ok_stopwords")).cast("int"))
+      .orderBy("doc_id")
+  }
+
   def textRepetition(s: SparkSession, dir: String): DataFrame = {
     val docs = rd(s, dir, "documents")
     val tok = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
@@ -1313,6 +1365,7 @@ object Queries {
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_components_star_chain" -> (dedupComponentsStarChain _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
+    "dedup_exact_substring" -> (dedupExactSubstring _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "sim_topk_brute" -> (simTopkBrute _),
@@ -1326,6 +1379,7 @@ object Queries {
     "sample_stratified" -> (sampleStratified _),
     "text_tokens_fp" -> (textTokensFp _),
     "text_repetition" -> (textRepetition _),
+    "text_gopher_quality" -> (textGopherQuality _),
     "text_redact_pii" -> (textRedactPii _),
     "text_langid" -> (textLangId _),
     "extract_spans" -> (extractSpans _),

@@ -64,7 +64,8 @@ object ScaleProbe {
         Dedup.componentsStar(chain, rounds = 5)
       }),
       "dedup_containment_capped" ->
-        (d => Dedup.ngramContainmentPairs(d, minPermille = 800, maxDf = 10)))
+        (d => Dedup.ngramContainmentPairs(d, minPermille = 800, maxDf = 10)),
+      "dedup_exact_substring" -> (d => Dedup.exactSubstringSpans(d, minTokens = 15)))
 
     val results = ops.map { case (name, op) =>
       runPlan(op(scaled(1))) // warmup (codegen + JIT)

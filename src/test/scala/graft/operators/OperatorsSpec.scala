@@ -416,6 +416,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain == ckpt)
   }
 
+  test("exactSubstringSpans: maximal duplicated runs with positions; self-repeats count; unique docs emit nothing") {
+    val aToks = (0 until 30).map(i => s"w$i")
+    // doc 2 embeds doc 1's tokens 5..24 at offset 2
+    val bToks = Seq("x0", "x1") ++ aToks.slice(5, 25) ++ Seq("y0")
+    // doc 3 repeats ITS OWN 6-token phrase at 0 and at 10 (filler between)
+    val rep = (0 until 6).map(i => s"r$i")
+    val cToks = rep ++ (0 until 4).map(i => s"f$i") ++ rep
+    // doc 4: all-unique tokens — no output rows
+    val dToks = (0 until 20).map(i => s"u$i")
+    val docs = Seq(
+      (1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")),
+      (3L, cToks.mkString(" ")), (4L, dToks.mkString(" "))).toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(docs, minTokens = 5)
+      .orderBy("doc_id", "start_pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      // doc 1: shared region tokens 5..24 -> gram starts 5..20, one maximal run
+      (1L, 5, 24, 16L, 20),
+      // doc 2: same 20 tokens at offset 2 -> gram starts 2..17
+      (2L, 2, 21, 16L, 20),
+      // doc 3: the 6-token phrase at 0 (starts 0,1) and at 10 (starts 10,11)
+      (3L, 0, 5, 2L, 6),
+      (3L, 10, 15, 2L, 6)))
+  }
+
   test("componentsStarAdaptive: early-stop on a star graph, full schedule on a diameter-31 chain, labels exact") {
     // pre-converged star forest: fixpoint after the 1 confirming round
     val star = Seq.tabulate(20)(i => (0L, i + 1L)).toDF("a_id", "b_id")
