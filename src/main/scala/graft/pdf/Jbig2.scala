@@ -355,6 +355,207 @@ object Jbig2 {
     }
   }
 
+  // ---- Huffman coding (T.88 Annex B) --------------------------------
+
+  /** MSB-first bit reader over a segment body. */
+  final class BitReader(d: Array[Byte], start: Int = 0) {
+    private var posB: Int = start
+    private var bit: Int = 0 // next bit index within byte, 0 = MSB
+    def nextBit(): Int = {
+      if (posB >= d.length) throw new Jbig2Exception("JBIG2: bit stream exhausted")
+      val v = (d(posB) >> (7 - bit)) & 1
+      bit += 1
+      if (bit == 8) { bit = 0; posB += 1 }
+      v
+    }
+    def nextBits(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 1) | nextBit(); i += 1 }
+      v
+    }
+    def alignByte(): Unit = if (bit != 0) { bit = 0; posB += 1 }
+    /** Current byte offset (meaningful when aligned). */
+    def bytePos: Int = posB
+    /** Jump to an absolute byte offset (after out-of-band data). */
+    def seekByte(p: Int): Unit = { posB = p; bit = 0 }
+  }
+
+  /** MSB-first bit writer (fixture twin of [[BitReader]]). */
+  final class BitWriter {
+    private val out = ArrayBuffer[Byte]()
+    private var cur = 0
+    private var bit = 0
+    def putBit(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); bit += 1
+      if (bit == 8) { out += cur.toByte; cur = 0; bit = 0 }
+    }
+    def putBits(v: Long, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) { putBit(((v >>> i) & 1L).toInt); i -= 1 }
+    }
+    def alignByte(): Unit = while (bit != 0) putBit(0)
+    def putBytes(bs: Array[Byte]): Unit = { alignByte(); out ++= bs }
+    def result(): Array[Byte] = { alignByte(); out.toArray }
+  }
+
+  /** One Huffman-table line (Annex B.1 line types). */
+  sealed trait HuffKind
+  case object HNormal extends HuffKind // value = low + rangeLen extra bits
+  case object HLower extends HuffKind // value = low - 32 extra bits
+  case object HUpper extends HuffKind // value = low + 32 extra bits
+  case object HOob extends HuffKind // out-of-band marker
+  final case class HuffLine(prefLen: Int, rangeLen: Int, rangeLow: Int, kind: HuffKind)
+
+  /** A Huffman table with Annex B.3 canonical code assignment: for
+    * each prefix length, lines receive consecutive codes in order of
+    * APPEARANCE (the listed row order of the standard tables / the
+    * low-to-high line order of custom tables), which reproduces the
+    * published codewords exactly. */
+  final class HuffTable(val lines: Vector[HuffLine]) {
+    val hasOob: Boolean = lines.exists(_.kind == HOob)
+    private val codeOf: Map[(Int, Int), HuffLine] = {
+      val used = lines.filter(_.prefLen > 0)
+      val maxLen = if (used.isEmpty) 0 else used.map(_.prefLen).max
+      if (maxLen > 32) throw new Jbig2Exception("JBIG2: Huffman prefix too long")
+      val byLen = used.groupBy(_.prefLen)
+      val m = Map.newBuilder[(Int, Int), HuffLine]
+      var first = 0
+      var len = 1
+      while (len <= maxLen) {
+        first = (first + byLen.getOrElse(len - 1, Vector.empty).length) << 1
+        var c = first
+        byLen.getOrElse(len, Vector.empty).foreach { l =>
+          m += ((len, c) -> l); c += 1
+        }
+        len += 1
+      }
+      m.result()
+    }
+    /** Decode one value; [[OOB]] for the out-of-band line. */
+    def decode(r: BitReader): Int = {
+      var len = 0; var code = 0
+      while (len < 32) {
+        code = (code << 1) | r.nextBit(); len += 1
+        codeOf.get((len, code)) match {
+          case Some(l) => return valueOf(l, r)
+          case None => ()
+        }
+      }
+      throw new Jbig2Exception("JBIG2: invalid Huffman code")
+    }
+    private def valueOf(l: HuffLine, r: BitReader): Int = l.kind match {
+      case HNormal => l.rangeLow + r.nextBits(l.rangeLen).toInt
+      case HLower => l.rangeLow - r.nextBits(32).toInt
+      case HUpper => l.rangeLow + r.nextBits(32).toInt
+      case HOob => OOB
+    }
+    /** Fixture-side inverse: emit the line covering `v` (preferring
+      * normal ranges) with its extra bits. */
+    def encode(w: BitWriter, v: Int): Unit = {
+      val line = lines.filter(_.prefLen > 0).find {
+        case HuffLine(_, rl, low, HNormal) => v >= low && v - low < (1L << rl)
+        case HuffLine(_, _, low, HLower) => v <= low
+        case HuffLine(_, _, low, HUpper) => v >= low
+        case _ => false
+      }.getOrElse(throw new Jbig2Exception(s"JBIG2: value $v not in table"))
+      putCode(w, line)
+      line.kind match {
+        case HNormal => w.putBits((v - line.rangeLow).toLong, line.rangeLen)
+        case HLower => w.putBits((line.rangeLow - v).toLong, 32)
+        case HUpper => w.putBits((v - line.rangeLow).toLong, 32)
+        case HOob => ()
+      }
+    }
+    def encodeOob(w: BitWriter): Unit =
+      putCode(w, lines.find(_.kind == HOob)
+        .getOrElse(throw new Jbig2Exception("JBIG2: table has no OOB")))
+    private def putCode(w: BitWriter, l: HuffLine): Unit = {
+      val entry = codeOf.find(_._2 eq l)
+        .getOrElse(throw new Jbig2Exception("JBIG2: line has no code"))
+      w.putBits(entry._1._2.toLong, entry._1._1)
+    }
+  }
+
+  private def stdTable(ls: (Int, Int, Int, HuffKind)*): HuffTable =
+    new HuffTable(ls.toVector.map(t => HuffLine(t._1, t._2, t._3, t._4)))
+
+  /** Standard tables B.1-B.5 (the symbol-dictionary family; their
+    * canonical codewords are reproduced by the B.3 assignment and
+    * pinned in Jbig2Spec). The TEXT-REGION standard tables B.6-B.15
+    * are deliberately NOT shipped: no independent copy of those
+    * constants exists in this environment to verify against, and a
+    * mistyped table would be silently wrong — selecting them is a
+    * DECLARED error; custom-table segments (the self-describing form,
+    * §B.2) cover Huffman text regions exactly. */
+  val TableB1: HuffTable = stdTable((1, 4, 0, HNormal), (2, 8, 16, HNormal),
+    (3, 16, 272, HNormal), (3, 32, 65808, HUpper))
+  val TableB2: HuffTable = stdTable((1, 0, 0, HNormal), (2, 0, 1, HNormal),
+    (3, 0, 2, HNormal), (4, 3, 3, HNormal), (5, 6, 11, HNormal),
+    (6, 32, 75, HUpper), (6, 0, 0, HOob))
+  val TableB3: HuffTable = stdTable((8, 8, -256, HNormal), (1, 0, 0, HNormal),
+    (2, 0, 1, HNormal), (3, 0, 2, HNormal), (4, 3, 3, HNormal),
+    (5, 6, 11, HNormal), (8, 32, -257, HLower), (7, 32, 75, HUpper),
+    (6, 0, 0, HOob))
+  val TableB4: HuffTable = stdTable((1, 0, 1, HNormal), (2, 0, 2, HNormal),
+    (3, 0, 3, HNormal), (4, 3, 4, HNormal), (5, 6, 12, HNormal),
+    (5, 32, 76, HUpper))
+  val TableB5: HuffTable = stdTable((7, 8, -255, HNormal), (1, 0, 1, HNormal),
+    (2, 0, 2, HNormal), (3, 0, 3, HNormal), (4, 3, 4, HNormal),
+    (5, 6, 12, HNormal), (7, 32, -256, HLower), (6, 32, 76, HUpper))
+
+  /** Parse a CODE-TABLE segment body (type 53, §B.2 — the
+    * self-describing custom-table form): flags (HTOOB, prefix-size-1,
+    * range-size-1), signed HTLOW/HTHIGH, then bit-packed
+    * (prefLen, rangeLen) line pairs from HTLOW up, then the
+    * lower/upper(/OOB) line prefix lengths. */
+  def parseTableSegment(d: Array[Byte]): HuffTable = {
+    if (d.length < 9) throw new Jbig2Exception("JBIG2: short table segment")
+    val flags = d(0) & 0xff
+    val oob = (flags & 1) != 0
+    val htps = ((flags >>> 1) & 7) + 1
+    val htrs = ((flags >>> 4) & 7) + 1
+    val low = u32be(d, 1).toInt // signed reinterpretation
+    val high = u32be(d, 5).toInt
+    if (low > high) throw new Jbig2Exception("JBIG2: table HTLOW > HTHIGH")
+    val r = new BitReader(d, 9)
+    val lines = Vector.newBuilder[HuffLine]
+    var cur = low.toLong
+    var n = 0
+    while (cur < high) {
+      n += 1
+      if (n > 4096) throw new Jbig2Exception("JBIG2: table with absurd line count")
+      val pl = r.nextBits(htps).toInt
+      val rl = r.nextBits(htrs).toInt
+      if (rl > 32) throw new Jbig2Exception("JBIG2: table range too wide")
+      lines += HuffLine(pl, rl, cur.toInt, HNormal)
+      cur += (1L << rl)
+    }
+    lines += HuffLine(r.nextBits(htps).toInt, 32, low - 1, HLower)
+    lines += HuffLine(r.nextBits(htps).toInt, 32, high, HUpper)
+    if (oob) lines += HuffLine(r.nextBits(htps).toInt, 0, 0, HOob)
+    new HuffTable(lines.result())
+  }
+
+  /** Fixture twin of [[parseTableSegment]]: write the segment body for
+    * explicit normal lines plus lower/upper(/OOB) prefix lengths. */
+  def encodeTableSegment(normalLines: Seq[(Int, Int)], low: Int, high: Int,
+      lowerPref: Int, upperPref: Int, oobPref: Int = 0): Array[Byte] = {
+    val htps = normalLines.map(_._1).appendedAll(
+      Seq(lowerPref, upperPref, oobPref).filter(_ > 0)).max
+    val htrs = math.max(1, normalLines.map(_._2).max)
+    def bitsFor(v: Int): Int = { var b = 1; while ((1 << b) <= v && b < 8) b += 1; b }
+    val ps = bitsFor(htps); val rs = bitsFor(htrs)
+    val head = ArrayBuffer[Byte]()
+    head += (((if (oobPref > 0) 1 else 0) | ((ps - 1) << 1) | ((rs - 1) << 4)).toByte)
+    head ++= be32(low.toLong & 0xffffffffL); head ++= be32(high.toLong & 0xffffffffL)
+    val w = new BitWriter
+    normalLines.foreach { case (pl, rl) => w.putBits(pl.toLong, ps); w.putBits(rl.toLong, rs) }
+    w.putBits(lowerPref.toLong, ps)
+    w.putBits(upperPref.toLong, ps)
+    if (oobPref > 0) w.putBits(oobPref.toLong, ps)
+    (head ++ w.result()).toArray
+  }
+
   // ---- arithmetic INTEGER decoding (T.88 Annex A) -------------------
 
   /** One IAx integer-procedure context: 512 adaptive states indexed by
@@ -464,14 +665,15 @@ object Jbig2 {
     * region referring only to this dictionary). Scope: SDHUFF=0,
     * SDREFAGG=0, no imported symbols — the common scanned-text shape;
     * anything else is a declared error. */
-  def decodeSymbolDict(d: Array[Byte]): Vector[Bitmap] = {
+  def decodeSymbolDict(d: Array[Byte],
+      tables: Vector[HuffTable] = Vector.empty): Vector[Bitmap] = {
     if (d.length < 2) throw new Jbig2Exception("JBIG2: short symbol dict")
     val flags = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
     val sdhuff = (flags & 1) != 0
     val sdrefagg = (flags & 2) != 0
     val template = (flags >>> 10) & 3
-    if (sdhuff) throw new Jbig2Exception("JBIG2: Huffman symbol dict unsupported")
     if (sdrefagg) throw new Jbig2Exception("JBIG2: refinement/aggregate symbol dict unsupported")
+    if (sdhuff) return decodeSymbolDictHuff(d, flags, tables)
     var p = 2
     val nAt = if (template == 0) 4 else 1
     // full header = flags + AT pairs + two 4-byte counts
@@ -548,6 +750,152 @@ object Jbig2 {
     ex
   }
 
+  /** HUFFMAN symbol dictionary (SDHUFF=1, SDREFAGG=0, §6.5.9): height
+    * classes carry DH/DW through the selected tables (standard B.4/B.5
+    * for DH, B.2/B.3 for DW, B.1 for BMSIZE, selector 3/1 = the next
+    * CUSTOM table in stream order), and each height class's symbols
+    * arrive as ONE collective bitmap — byte-aligned, uncompressed
+    * (BMSIZE = 0, rows padded to byte boundaries) or MMR-coded
+    * (BMSIZE bytes through the round-4 T.6 decoder) — split by the
+    * decoded widths. Export runs use Table B.1. */
+  private def decodeSymbolDictHuff(d: Array[Byte], flags: Int,
+      tables: Vector[HuffTable]): Vector[Bitmap] = {
+    val dhSel = (flags >>> 2) & 3
+    val dwSel = (flags >>> 4) & 3
+    val bmSel = (flags >>> 6) & 1
+    var tableCursor = 0
+    def nextCustom(): HuffTable = {
+      if (tableCursor >= tables.length)
+        throw new Jbig2Exception("JBIG2: symbol dict refers to a missing custom table")
+      val t = tables(tableCursor); tableCursor += 1; t
+    }
+    val dhTab = dhSel match {
+      case 0 => TableB4; case 1 => TableB5; case 3 => nextCustom()
+      case _ => throw new Jbig2Exception("JBIG2: reserved DH table selector")
+    }
+    val dwTab = dwSel match {
+      case 0 => TableB2; case 1 => TableB3; case 3 => nextCustom()
+      case _ => throw new Jbig2Exception("JBIG2: reserved DW table selector")
+    }
+    val bmTab = if (bmSel == 0) TableB1 else nextCustom()
+    // SDHUFF=1 carries NO AT bytes: header = flags + two 4-byte counts
+    if (d.length < 2 + 8) throw new Jbig2Exception("JBIG2: short symbol dict")
+    val numEx = u32be(d, 2); val numNew = u32be(d, 6)
+    if (numNew < 0 || numNew > 10000 || numEx < 0 || numEx > 10000)
+      throw new Jbig2Exception(s"JBIG2: absurd symbol counts new=$numNew ex=$numEx")
+    val r = new BitReader(d, 10)
+    val newSyms = Vector.newBuilder[Bitmap]
+    var n = 0
+    var hcHeight = 0
+    var heightClasses = 0L
+    var areaBudget = 1L << 26
+    while (n < numNew) {
+      heightClasses += 1
+      if (heightClasses > numNew + 64)
+        throw new Jbig2Exception("JBIG2: symbol dict makes no progress (empty height classes)")
+      hcHeight += dhTab.decode(r)
+      if (hcHeight <= 0 || hcHeight > (1 << 12))
+        throw new Jbig2Exception(s"JBIG2: symbol height out of range $hcHeight")
+      var symWidth = 0
+      val widths = Vector.newBuilder[Int]
+      var nWidths = 0
+      var classDone = false
+      while (!classDone) {
+        val dw = dwTab.decode(r)
+        if (dw == OOB) classDone = true
+        else {
+          symWidth += dw
+          if (symWidth <= 0 || symWidth > (1 << 12))
+            throw new Jbig2Exception(s"JBIG2: symbol width out of range $symWidth")
+          if (n + nWidths >= numNew)
+            throw new Jbig2Exception("JBIG2: more symbols than declared")
+          areaBudget -= symWidth.toLong * hcHeight
+          if (areaBudget < 0)
+            throw new Jbig2Exception("JBIG2: symbol dict exceeds the aggregate area cap")
+          widths += symWidth
+          nWidths += 1
+        }
+      }
+      val ws = widths.result()
+      if (ws.nonEmpty) {
+        val totW = ws.sum
+        val bmSize = bmTab.decode(r)
+        if (bmSize < 0 || bmSize > d.length)
+          throw new Jbig2Exception(s"JBIG2: absurd collective bitmap size $bmSize")
+        r.alignByte()
+        val collective =
+          if (bmSize == 0) {
+            // uncompressed: each ROW padded to a byte boundary
+            val rowBytes = (totW + 7) / 8
+            val start = r.bytePos
+            if (start + rowBytes * hcHeight > d.length)
+              throw new Jbig2Exception("JBIG2: truncated uncompressed collective bitmap")
+            val px = new Array[Byte](totW * hcHeight)
+            var yy = 0
+            while (yy < hcHeight) {
+              var xx = 0
+              while (xx < totW) {
+                val b = d(start + yy * rowBytes + xx / 8) & 0xff
+                px(yy * totW + xx) = ((b >>> (7 - (xx % 8))) & 1).toByte
+                xx += 1
+              }
+              yy += 1
+            }
+            r.seekByte(start + rowBytes * hcHeight)
+            Bitmap(totW, hcHeight, px)
+          } else {
+            val start = r.bytePos
+            if (start + bmSize > d.length)
+              throw new Jbig2Exception("JBIG2: truncated MMR collective bitmap")
+            val gray = CcittFax.decodeG4(d.slice(start, start + bmSize), totW, hcHeight)
+            val px = new Array[Byte](totW * hcHeight)
+            var i = 0
+            while (i < px.length) { px(i) = (if (gray(i) == 0) 1 else 0).toByte; i += 1 }
+            r.seekByte(start + bmSize)
+            Bitmap(totW, hcHeight, px)
+          }
+        // split the collective bitmap by widths, left to right
+        var x0 = 0
+        ws.foreach { wSym =>
+          val px = new Array[Byte](wSym * hcHeight)
+          var yy = 0
+          while (yy < hcHeight) {
+            var xx = 0
+            while (xx < wSym) {
+              px(yy * wSym + xx) = collective.px(yy * totW + x0 + xx)
+              xx += 1
+            }
+            yy += 1
+          }
+          newSyms += Bitmap(wSym, hcHeight, px)
+          n += 1
+          x0 += wSym
+        }
+      }
+    }
+    // export runs (§6.5.10) via Table B.1
+    val all = newSyms.result()
+    val exported = Vector.newBuilder[Bitmap]
+    var i = 0
+    var exFlag = false
+    var runCount = 0
+    while (i < all.length) {
+      runCount += 1
+      if (runCount > 2 * all.length + 2)
+        throw new Jbig2Exception("JBIG2: export runs make no progress")
+      val run = TableB1.decode(r)
+      if (run < 0 || i + run > all.length)
+        throw new Jbig2Exception("JBIG2: bad export run")
+      if (exFlag) exported ++= all.slice(i, i + run)
+      i += run
+      exFlag = !exFlag
+    }
+    val ex = exported.result()
+    if (ex.length != numEx)
+      throw new Jbig2Exception(s"JBIG2: exported ${ex.length} != declared $numEx")
+    ex
+  }
+
   /** Encode the symbol-dictionary segment body (fixture twin of
     * [[decodeSymbolDict]]). `syms` must be sorted by ascending height
     * (the height-class walk); symbol IDs are positional. */
@@ -593,10 +941,52 @@ object Jbig2 {
     * coordinates. */
   final case class TextInstance(id: Int, s: Int, t: Int)
 
+  /** Place one symbol instance: (s0, t0) is the reference corner per
+    * REFCORNER/TRANSPOSED (§6.4.5; transposed S runs vertically, a
+    * BOTTOM corner puts the glyph's bottom row at s0). Shared by the
+    * arithmetic and Huffman text-region decoders. */
+  private def drawInstance(bm: Bitmap, sym: Bitmap, s0: Int, t0: Int,
+      transposed: Boolean, refCorner: Int, combOp: Int): Unit = {
+    val (px0, py0) =
+      if (!transposed) refCorner match {
+        case 0 => (s0, t0 - sym.h + 1) // BOTTOMLEFT
+        case 1 => (s0, t0) // TOPLEFT
+        case 2 => (s0 - sym.w + 1, t0 - sym.h + 1) // BOTTOMRIGHT
+        case _ => (s0 - sym.w + 1, t0) // TOPRIGHT
+      } else refCorner match {
+        case 0 => (t0, s0 - sym.h + 1) // BOTTOMLEFT
+        case 1 => (t0, s0) // TOPLEFT
+        case 2 => (t0 - sym.w + 1, s0 - sym.h + 1) // BOTTOMRIGHT
+        case _ => (t0 - sym.w + 1, s0) // TOPRIGHT
+      }
+    var yy = 0
+    while (yy < sym.h) {
+      var xx = 0
+      while (xx < sym.w) {
+        val tx = px0 + xx; val ty = py0 + yy
+        if (tx >= 0 && tx < bm.w && ty >= 0 && ty < bm.h) {
+          val v = sym.px(yy * sym.w + xx)
+          val old = bm.px(ty * bm.w + tx)
+          val nv = combOp match {
+            case 0 => old | v
+            case 1 => old & v
+            case 2 => old ^ v
+            case _ => 1 - (old ^ v)
+          }
+          bm.px(ty * bm.w + tx) = nv.toByte
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+  }
+
   /** Decode an ARITHMETIC text-region segment body against the symbol
-    * pool. Scope: SBHUFF=0, REFINE=0 (the common shape); TRANSPOSED
-    * and all four REFCORNERs and comb ops are honored. */
-  def decodeTextRegion(d: Array[Byte], syms: Vector[Bitmap]): Region = {
+    * pool. Scope: REFINE=0; SBHUFF=1 routes to the Huffman path
+    * ([[decodeTextRegionHuff]]); TRANSPOSED and all four REFCORNERs
+    * and comb ops are honored. */
+  def decodeTextRegion(d: Array[Byte], syms: Vector[Bitmap],
+      tables: Vector[HuffTable] = Vector.empty): Region = {
     def u8(i: Int) = d(i) & 0xff
     if (d.length < 23) throw new Jbig2Exception("JBIG2: short text region")
     val w = u32be(d, 0).toInt; val h = u32be(d, 4).toInt
@@ -612,8 +1002,10 @@ object Jbig2 {
     val defPixel = (flags >>> 9) & 1
     val dsOffRaw = (flags >>> 10) & 0x1f
     val dsOffset = if (dsOffRaw > 15) dsOffRaw - 32 else dsOffRaw
-    if (sbhuff) throw new Jbig2Exception("JBIG2: Huffman text region unsupported")
     if (refine) throw new Jbig2Exception("JBIG2: refinement text region unsupported")
+    if (sbhuff)
+      return decodeTextRegionHuff(d, syms, tables, w, h, x, y, extCombOp,
+        logStrips, refCorner, transposed, combOp, defPixel, dsOffset)
     if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || w.toLong * h > (1L << 26))
       throw new Jbig2Exception(s"JBIG2 text region dims out of range: ${w}x$h")
     val numInstances = u32be(d, 19).toInt
@@ -628,44 +1020,8 @@ object Jbig2 {
     val bm = Bitmap(w, h, new Array[Byte](w * h))
     if (defPixel == 1) java.util.Arrays.fill(bm.px, 1.toByte)
 
-    def draw(sym: Bitmap, s0: Int, t0: Int): Unit = {
-      // (s0, t0) = the reference corner per REFCORNER/TRANSPOSED
-      val (px0, py0) =
-        if (!transposed) refCorner match {
-          case 0 => (s0, t0 - sym.h + 1) // BOTTOMLEFT
-          case 1 => (s0, t0) // TOPLEFT
-          case 2 => (s0 - sym.w + 1, t0 - sym.h + 1) // BOTTOMRIGHT
-          case _ => (s0 - sym.w + 1, t0) // TOPRIGHT
-        } else refCorner match {
-          // transposed: S runs vertically (y), T horizontally (x) —
-          // a BOTTOM corner puts the glyph's bottom ROW at s0, so the
-          // top row is s0 - h + 1 (§6.4.5 transposed placement)
-          case 0 => (t0, s0 - sym.h + 1) // BOTTOMLEFT
-          case 1 => (t0, s0) // TOPLEFT
-          case 2 => (t0 - sym.w + 1, s0 - sym.h + 1) // BOTTOMRIGHT
-          case _ => (t0 - sym.w + 1, s0) // TOPRIGHT
-        }
-      var yy = 0
-      while (yy < sym.h) {
-        var xx = 0
-        while (xx < sym.w) {
-          val tx = px0 + xx; val ty = py0 + yy
-          if (tx >= 0 && tx < w && ty >= 0 && ty < h) {
-            val v = sym.px(yy * sym.w + xx)
-            val old = bm.px(ty * w + tx)
-            val nv = combOp match {
-              case 0 => old | v
-              case 1 => old & v
-              case 2 => old ^ v
-              case _ => 1 - (old ^ v)
-            }
-            bm.px(ty * w + tx) = nv.toByte
-          }
-          xx += 1
-        }
-        yy += 1
-      }
-    }
+    def draw(sym: Bitmap, s0: Int, t0: Int): Unit =
+      drawInstance(bm, sym, s0, t0, transposed, refCorner, combOp)
 
     var stripT = -decodeInt(dec, iadt) * strips
     var firstS = 0
@@ -702,6 +1058,119 @@ object Jbig2 {
             draw(sym, curS, tI)
           } else {
             draw(sym, curS, tI)
+            curS += span - 1
+          }
+          inst += 1
+        }
+      }
+    }
+    Region(x, y, bm, extCombOp)
+  }
+
+  /** HUFFMAN text region (SBHUFF=1, REFINE=0, §6.4 + §7.4.4): the
+    * 2-byte Huffman-flags field selects FS/DS/DT tables — only the
+    * CUSTOM selector (3) is accepted (see the standard-table scope
+    * note on [[TableB1]]); the symbol-ID code table is decoded from
+    * the stream per §7.4.3.1.2 (35 runcode lengths, runcodes 32-34
+    * repeat-coding the per-symbol code lengths, canonical assignment
+    * over ascending IDs, byte-aligned before the strip data). CURT
+    * arrives as raw log2(SBSTRIPS) bits in this mode. */
+  private def decodeTextRegionHuff(d: Array[Byte], syms: Vector[Bitmap],
+      tables: Vector[HuffTable], w: Int, h: Int, x: Int, y: Int,
+      extCombOp: Int, logStrips: Int, refCorner: Int, transposed: Boolean,
+      combOp: Int, defPixel: Int, dsOffset: Int): Region = {
+    if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) || w.toLong * h > (1L << 26))
+      throw new Jbig2Exception(s"JBIG2 text region dims out of range: ${w}x$h")
+    if (syms.isEmpty) throw new Jbig2Exception("JBIG2: text region with no symbols")
+    if (d.length < 25) throw new Jbig2Exception("JBIG2: short Huffman text region")
+    val hf = ((d(19) & 0xff) << 8) | (d(20) & 0xff)
+    val fsSel = hf & 3; val dsSel = (hf >>> 2) & 3; val dtSel = (hf >>> 4) & 3
+    // RDW/RDH/RDX/RDY (bits 6-13) and RSIZE (bit 14) matter only
+    // under REFINE, which the caller already rejected
+    var cursor = 0
+    def nextCustom(): HuffTable = {
+      if (cursor >= tables.length)
+        throw new Jbig2Exception("JBIG2: text region refers to a missing custom table")
+      val t = tables(cursor); cursor += 1; t
+    }
+    def pick(sel: Int, what: String): HuffTable = sel match {
+      case 3 => nextCustom()
+      case s => throw new Jbig2Exception(
+        s"JBIG2: standard $what table selector $s unsupported " +
+          "(B.6-B.13 declared out of scope; supply a custom table segment)")
+    }
+    val fsTab = pick(fsSel, "FS")
+    val dsTab = pick(dsSel, "DS")
+    val dtTab = pick(dtSel, "DT")
+    val numInstances = u32be(d, 21).toInt
+    if (numInstances < 0 || numInstances.toLong > (1L << 24))
+      throw new Jbig2Exception(s"JBIG2: absurd instance count $numInstances")
+    val r = new BitReader(d, 25)
+    // symbol-ID code table (§7.4.3.1.2)
+    val runLens = Array.fill(35)(r.nextBits(4).toInt)
+    val runTab = new HuffTable(
+      (0 until 35).map(i => HuffLine(runLens(i), 0, i, HNormal)).toVector)
+    val symLens = new Array[Int](syms.length)
+    var si = 0
+    var prev = 0
+    while (si < syms.length) {
+      val c = runTab.decode(r)
+      if (c >= 0 && c < 32) { symLens(si) = c; prev = c; si += 1 }
+      else if (c >= 32 && c <= 34) {
+        if (c == 32 && si == 0)
+          throw new Jbig2Exception("JBIG2: runcode 32 with no previous length")
+        val times = c match {
+          case 32 => r.nextBits(2).toInt + 3
+          case 33 => r.nextBits(3).toInt + 3
+          case _ => r.nextBits(7).toInt + 11
+        }
+        val fill = if (c == 32) prev else 0
+        var k = 0
+        while (k < times) {
+          if (si >= syms.length)
+            throw new Jbig2Exception("JBIG2: symbol code lengths overrun the pool")
+          symLens(si) = fill; si += 1; k += 1
+        }
+      } else throw new Jbig2Exception(s"JBIG2: bad runcode $c")
+    }
+    r.alignByte()
+    val symTab = new HuffTable(syms.indices.filter(symLens(_) > 0)
+      .map(id => HuffLine(symLens(id), 0, id, HNormal)).toVector)
+    val strips = 1 << logStrips
+    val bm = Bitmap(w, h, new Array[Byte](w * h))
+    if (defPixel == 1) java.util.Arrays.fill(bm.px, 1.toByte)
+    var stripT = -dtTab.decode(r) * strips
+    var firstS = 0
+    var inst = 0
+    while (inst < numInstances) {
+      stripT += dtTab.decode(r) * strips
+      var curS = 0
+      var first = true
+      var stripDone = false
+      while (!stripDone && inst < numInstances) {
+        if (first) {
+          firstS += fsTab.decode(r)
+          curS = firstS
+          first = false
+        } else {
+          val ids = dsTab.decode(r)
+          if (ids == OOB) stripDone = true
+          else curS += ids + dsOffset
+        }
+        if (!stripDone) {
+          val curT = if (strips == 1) 0 else r.nextBits(logStrips).toInt
+          val tI = stripT + curT
+          val id = symTab.decode(r)
+          if (id < 0 || id >= syms.length)
+            throw new Jbig2Exception(s"JBIG2: symbol id $id out of range")
+          val sym = syms(id)
+          val span = if (!transposed) sym.w else sym.h
+          if ((!transposed && (refCorner == 2 || refCorner == 3)) ||
+            (transposed && (refCorner == 0 || refCorner == 2))) {
+            curS += span - 1
+            drawInstance(bm, sym, curS, tI, transposed, refCorner, combOp)
+          } else {
+            drawInstance(bm, sym, curS, tI, transposed, refCorner, combOp)
             curS += span - 1
           }
           inst += 1
@@ -868,18 +1337,24 @@ object Jbig2 {
     // the DECLARED error, not wrong pixels.
     var pool = Vector.empty[Bitmap]
     var dictCount = 0
+    // custom Huffman tables (type 53) in STREAM order; each consuming
+    // segment assigns them to its custom selectors in selector order —
+    // the same simplification as the single-dictionary scope (per-
+    // segment referred-to wiring is not tracked)
+    var tables = Vector.empty[HuffTable]
     val regions = Vector.newBuilder[Region]
     segs.foreach { s =>
       s.segType match {
         case 0 =>
-          pool = pool ++ decodeSymbolDict(s.data)
+          pool = pool ++ decodeSymbolDict(s.data, tables)
           dictCount += 1
         case 4 | 6 | 7 =>
           if (dictCount > 1)
             throw new Jbig2Exception(
               "JBIG2: multi-dictionary text streams unsupported (referred-to wiring not tracked)")
-          regions += decodeTextRegion(s.data, pool)
+          regions += decodeTextRegion(s.data, pool, tables)
         case 36 | 38 | 39 => regions += decodeRegionSegment(s.data)
+        case 53 => tables = tables :+ parseTableSegment(s.data)
         case _ => ()
       }
     }
@@ -965,6 +1440,148 @@ object Jbig2 {
     writeSegment(out, 2, 0, 1, Nil, encodeSymbolDict(syms, template))
     writeSegment(out, 3, 6, 1, Seq(2L), encodeTextRegion(w, h, instances, syms))
     writeSegment(out, 4, 49, 1, Nil, Array.emptyByteArray)
+    out.toArray
+  }
+
+  /** Encode a HUFFMAN symbol-dictionary body (fixture twin of
+    * [[decodeSymbolDictHuff]]): selector-0 standard tables (B.4 DH,
+    * B.2 DW, B.1 BMSIZE/EX), collective bitmaps either UNCOMPRESSED
+    * (BMSIZE = 0, rows byte-padded) or MMR via the JDK-cross-validated
+    * T.6 encoder. `syms` must ascend by (height, then width within a
+    * class) — B.2/B.4 encode only non-negative deltas. */
+  def encodeSymbolDictHuff(syms: Vector[Bitmap], mmr: Boolean = false): Array[Byte] = {
+    require(syms.nonEmpty && syms.sliding(2).forall {
+      case Seq(a, b) => a.h < b.h || (a.h == b.h && a.w <= b.w); case _ => true
+    }, "symbols must ascend by (height, width)")
+    val head = ArrayBuffer[Byte]()
+    head += 0.toByte += 1.toByte // flags: SDHUFF=1, all selectors 0
+    head ++= be32(syms.length.toLong) // numEx
+    head ++= be32(syms.length.toLong) // numNew
+    val w = new BitWriter
+    var prevH = 0
+    syms.groupBy(_.h).toVector.sortBy(_._1).foreach { case (hc, group) =>
+      TableB4.encode(w, hc - prevH)
+      prevH = hc
+      var prevW = 0
+      group.foreach { s => TableB2.encode(w, s.w - prevW); prevW = s.w }
+      TableB2.encodeOob(w)
+      val totW = group.map(_.w).sum
+      if (mmr) {
+        val t6 = ImageCodec.encodeCcittT6Bilevel(totW, hc, (x, y) => {
+          // collective bitmap: symbols side by side; encoder wants white()
+          var acc = x; var v = 0
+          group.find { s => if (acc < s.w) { v = s.get(acc, y); true } else { acc -= s.w; false } }
+          v == 0
+        })
+        TableB1.encode(w, t6.length)
+        w.putBytes(t6)
+      } else {
+        TableB1.encode(w, 0) // BMSIZE 0 = uncompressed
+        w.alignByte()
+        var yy = 0
+        while (yy < hc) {
+          var written = 0
+          group.foreach { s =>
+            var xx = 0
+            while (xx < s.w) { w.putBit(s.get(xx, yy)); xx += 1; written += 1 }
+          }
+          while (written % 8 != 0) { w.putBit(0); written += 1 } // row pad
+          yy += 1
+        }
+      }
+    }
+    TableB1.encode(w, 0) // export run: 0 not-exported
+    TableB1.encode(w, syms.length) // then all exported
+    (head ++ w.result()).toArray
+  }
+
+  /** Generic custom tables for Huffman text-region fixtures: one
+    * 15-bit normal range from 0 (FS/DT) plus lower/upper escapes, and
+    * an OOB'd variant for DS. Self-describing (§B.2) — decode needs
+    * no table constants beyond what the segment itself carries. */
+  def fixtureFsTable: Array[Byte] =
+    encodeTableSegment(Seq((1, 15)), 0, 32768, lowerPref = 2, upperPref = 2)
+  def fixtureDsTable: Array[Byte] =
+    encodeTableSegment(Seq((2, 15)), 0, 32768, lowerPref = 3, upperPref = 3, oobPref = 1)
+  def fixtureDtTable: Array[Byte] =
+    encodeTableSegment(Seq((1, 15)), 0, 32768, lowerPref = 2, upperPref = 2)
+
+  /** Encode a HUFFMAN text-region body (fixture twin of
+    * [[decodeTextRegionHuff]]): SBSTRIPS=1, TOPLEFT corner, OR
+    * composition, FS/DS/DT all CUSTOM (selector 3 — pair with the
+    * three fixture table segments above, in that order); the
+    * symbol-ID table assigns every symbol the same code length via a
+    * single-runcode table. */
+  def encodeTextRegionHuff(w: Int, h: Int, instances: Seq[TextInstance],
+      syms: Vector[Bitmap]): Array[Byte] = {
+    require(instances.nonEmpty, "no instances")
+    val fsT = parseTableSegment(fixtureFsTable)
+    val dsT = parseTableSegment(fixtureDsTable)
+    val dtT = parseTableSegment(fixtureDtTable)
+    val head = ArrayBuffer[Byte]()
+    head ++= be32(w.toLong); head ++= be32(h.toLong)
+    head ++= be32(0); head ++= be32(0)
+    head += 0.toByte // external comb op OR
+    val flags = 1 | (1 << 4) // SBHUFF=1, TOPLEFT, LOGSBSTRIPS=0
+    head += ((flags >>> 8) & 0xff).toByte += (flags & 0xff).toByte
+    val hf = 3 | (3 << 2) | (3 << 4) // FS/DS/DT custom
+    head += ((hf >>> 8) & 0xff).toByte += (hf & 0xff).toByte
+    head ++= be32(instances.length.toLong)
+    val bw = new BitWriter
+    // symbol-ID code lengths: all symbols at L via one runcode
+    val L = symCodeLenFor(syms.length)
+    (0 until 35).foreach(i => bw.putBits(if (i == L) 1L else 0L, 4))
+    syms.indices.foreach(_ => bw.putBit(0)) // the single runcode's codeword
+    bw.alignByte()
+    val symTab = new HuffTable(
+      syms.indices.map(id => HuffLine(L, 0, id, HNormal)).toVector)
+    val sorted = instances.sortBy(i => (i.t, i.s))
+    dtT.encode(bw, 0) // STRIPT init
+    var stripT = 0
+    var firstS = 0
+    var i = 0
+    while (i < sorted.length) {
+      val t = sorted(i).t
+      dtT.encode(bw, t - stripT)
+      stripT = t
+      var curS = 0
+      var first = true
+      while (i < sorted.length && sorted(i).t == t) {
+        val inst = sorted(i)
+        if (first) {
+          fsT.encode(bw, inst.s - firstS)
+          firstS = inst.s
+          curS = inst.s
+          first = false
+        } else {
+          dsT.encode(bw, inst.s - curS)
+          curS = inst.s
+        }
+        symTab.encode(bw, inst.id)
+        curS += syms(inst.id).w - 1
+        i += 1
+      }
+      dsT.encodeOob(bw)
+    }
+    (head ++ bw.result()).toArray
+  }
+
+  /** Build an embedded JBIG2 TEXT stream in HUFFMAN form: page info +
+    * the three custom-table segments + Huffman symbol dictionary +
+    * one immediate Huffman text region + EOP. */
+  def buildEmbeddedTextHuff(w: Int, h: Int, syms: Vector[Bitmap],
+      instances: Seq[TextInstance], mmr: Boolean = false): Array[Byte] = {
+    val out = ArrayBuffer[Byte]()
+    val pageInfo = be32(w.toLong) ++ be32(h.toLong) ++
+      be32(0) ++ be32(0) ++ Array[Byte](0) ++ Array[Byte](0, 0)
+    writeSegment(out, 1, 48, 1, Nil, pageInfo)
+    writeSegment(out, 2, 53, 1, Nil, fixtureFsTable)
+    writeSegment(out, 3, 53, 1, Nil, fixtureDsTable)
+    writeSegment(out, 4, 53, 1, Nil, fixtureDtTable)
+    writeSegment(out, 5, 0, 1, Nil, encodeSymbolDictHuff(syms, mmr))
+    writeSegment(out, 6, 6, 1, Seq(5L),
+      encodeTextRegionHuff(w, h, instances, syms))
+    writeSegment(out, 7, 49, 1, Nil, Array.emptyByteArray)
     out.toArray
   }
 

@@ -402,7 +402,8 @@ object PdfBuilder {
     * non-overlapping) on a 32×18 page — every quantity is closed-form
     * so the oracle recomputes black counts analytically. */
   def withJbig2TextPattern(seed: Long, nInst: Int,
-      text: String = "jbig2 text doc"): Array[Byte] = {
+      text: String = "jbig2 text doc", huffman: Boolean = false,
+      huffMmr: Boolean = false): Array[Byte] = {
     val b = new Builder
     b.raw("%PDF-1.7\n%âãÏÓ\n")
     b.obj(1) { b.raw("<< /Type /Catalog /Pages 2 0 R >>") }
@@ -423,7 +424,9 @@ object PdfBuilder {
     }.toVector
     val instances = (0 until nInst).map(i =>
       Jbig2.TextInstance(i % 3, (i % 4) * 8, (i / 4) * 6))
-    val payload = Jbig2.buildEmbeddedText(32, 18, syms, instances)
+    val payload =
+      if (huffman) Jbig2.buildEmbeddedTextHuff(32, 18, syms, instances, mmr = huffMmr)
+      else Jbig2.buildEmbeddedText(32, 18, syms, instances)
     b.streamObj(6, "/Type /XObject /Subtype /Image /Width 32 /Height 18 " +
       "/ColorSpace /DeviceGray /BitsPerComponent 1 /Filter /JBIG2Decode", payload)
     writeClassicXref(b)

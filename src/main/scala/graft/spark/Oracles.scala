@@ -280,6 +280,21 @@ object Oracles {
         | CAST(32 AS INTEGER) AS width, CAST(18 AS INTEGER) AS height, px.black AS black_px
         |FROM imgs JOIN px USING (id) ORDER BY imgs.id""".stripMargin,
 
+    "pdfz_images_jbig2_huff" ->
+      // Huffman coding of the same glyph pattern (standard B.1-B.5 +
+      // custom FS/DS/DT tables + runcode symbol IDs): identical page
+      // bits, so identical analytic black counts; only media_ref's
+      // prefix differs
+      """WITH imgs AS (SELECT i AS id, CAST(8 + i % 3 AS INTEGER) AS n FROM range(12) t(i)),
+        |px AS (SELECT id,
+        |  CAST(sum(CASE WHEN xs.x < 3 + (inst.i % 3) AND ys.y < 2 + (inst.i % 3)
+        |    AND (xs.x + ys.y + (inst.i % 3) + id) % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS black
+        | FROM imgs, range(10) inst(i), range(5) xs(x), range(4) ys(y)
+        | WHERE inst.i < n GROUP BY id)
+        |SELECT imgs.id, printf('hx%04d_1_0.png', imgs.id) AS media_ref,
+        | CAST(32 AS INTEGER) AS width, CAST(18 AS INTEGER) AS height, px.black AS black_px
+        |FROM imgs JOIN px USING (id) ORDER BY imgs.id""".stripMargin,
+
     "pdfz_encrypted" ->
       // expected page texts are closed-form; the md5s match only if
       // the RC4/AES decryption recovered them byte-exactly

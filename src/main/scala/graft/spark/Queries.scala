@@ -220,6 +220,30 @@ object Queries {
     .orderBy("id")
   }
 
+  /** JBIG2 scanned-text in HUFFMAN form (SDHUFF/SBHUFF = 1): the same
+    * closed-form glyph pattern as [[pdfzImagesJbig2Text]], coded
+    * through standard tables B.1-B.5 (symbol dict: DH/DW/BMSIZE/EX),
+    * self-describing CUSTOM table segments (text region FS/DS/DT) and
+    * the §7.4.3.1.2 runcode symbol-ID table; collective bitmaps
+    * alternate uncompressed (even ids) and MMR (odd ids — the
+    * JDK-cross-validated T.6 path). Page bits — and so the analytic
+    * black counts — are identical to the arithmetic twin. */
+  def pdfzImagesJbig2Huff(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).repartition(4).flatMap { id =>
+      val nInst = 8 + (id % 3).toInt
+      val pdf = graft.pdf.PdfBuilder.withJbig2TextPattern(id, nInst,
+        huffman = true, huffMmr = id % 2 == 1)
+      graft.pdf.PdfImages.documentImages(f"hx$id%04d", pdf).map { im =>
+        val (pw, ph, rgba) = graft.pdf.PdfImages.decodePng(im.bytes).get
+        val black = (0 until pw * ph).count(i => (rgba(i * 4) & 0xff) == 0)
+        (id, im.name, im.width, im.height, black.toLong)
+      }
+    }
+    .toDF("id", "media_ref", "width", "height", "black_px")
+    .orderBy("id")
+  }
+
   /** ANNEX-D SIMPLE-FONT ENCODINGS, oracle-pinned: deterministic
     * one-page documents cycling StandardEncoding (implicit base),
     * /MacRomanEncoding and /WinAnsiEncoding, each showing high-range
@@ -1328,6 +1352,7 @@ object Queries {
     "pdfz_images_fax" -> (pdfzImagesFax _),
     "pdfz_images_jbig2" -> (pdfzImagesJbig2 _),
     "pdfz_images_jbig2_text" -> (pdfzImagesJbig2Text _),
+    "pdfz_images_jbig2_huff" -> (pdfzImagesJbig2Huff _),
     "pdfz_encrypted" -> (pdfzEncrypted _),
     "pdfz_encodings" -> (pdfzEncodings _),
     "html_boilerplate" -> (htmlBoilerplate _),

@@ -217,6 +217,107 @@ class Jbig2Spec extends AnyFunSuite {
       assert((gray(y * w + x) == 0) == (exp(y * w + x) == 1), s"($x,$y)")
   }
 
+  test("Huffman tables: B.1-B.5 canonical codewords decode from hand-laid bit patterns") {
+    def read(tab: Jbig2.HuffTable, bytes: Int*): Int =
+      tab.decode(new Jbig2.BitReader(bytes.map(_.toByte).toArray))
+    // B.1: code 0 + 4 range bits (value 5 = 0b0_0101_000...)
+    assert(read(Jbig2.TableB1, 0x28) == 5)
+    // B.1: code 10 + 8 range bits (16 + 3 -> 0b10_00000011)
+    assert(read(Jbig2.TableB1, 0x80, 0xC0) == 19)
+    // B.2: single-bit code 0 -> 0; 10 -> 1; 110 -> 2
+    assert(read(Jbig2.TableB2, 0x00) == 0)
+    assert(read(Jbig2.TableB2, 0x80) == 1)
+    assert(read(Jbig2.TableB2, 0xC0) == 2)
+    // B.2 OOB codeword = 111111
+    assert(read(Jbig2.TableB2, 0xFC) == Jbig2.OOB)
+    // B.4: shifted B.2 (0 -> 1); upper = 11111 + 32 bits
+    assert(read(Jbig2.TableB4, 0x00) == 1)
+    assert(read(Jbig2.TableB4, 0xF8, 0, 0, 0, 0x20) == 76 + 4)
+    // B.3 lower range: 11111111 + 32 bits of 2 -> -257 - 2
+    assert(read(Jbig2.TableB3, 0xFF, 0, 0, 0, 0x02) == -259)
+    // B.5 first line: 1111110 + 8 bits (value -255 + 7)
+    assert(read(Jbig2.TableB5, 0xFC, 0x0E) == -248)
+    // encode/decode round-trip across line kinds
+    Seq(Jbig2.TableB1 -> Seq(0, 15, 16, 271, 272, 70000, 65808, 70000000),
+      Jbig2.TableB2 -> Seq(0, 1, 2, 3, 10, 11, 74, 75, 1000),
+      Jbig2.TableB3 -> Seq(-256, -1, -257, -500, 0, 74, 75, 2000),
+      Jbig2.TableB4 -> Seq(1, 2, 3, 4, 11, 12, 75, 76, 5000),
+      Jbig2.TableB5 -> Seq(-255, -1, -256, -999, 1, 12, 76, 123456)).foreach {
+      case (tab, vals) => vals.foreach { v =>
+        val w = new Jbig2.BitWriter
+        tab.encode(w, v)
+        assert(tab.decode(new Jbig2.BitReader(w.result())) == v, s"value $v")
+      }
+    }
+  }
+
+  test("custom code-table segments (§B.2) round-trip incl. lower/upper/OOB escapes") {
+    val body = Jbig2.encodeTableSegment(Seq((2, 4), (1, 6)), low = -5, high = 75,
+      lowerPref = 3, upperPref = 4, oobPref = 4)
+    val tab = Jbig2.parseTableSegment(body)
+    Seq(-5, 0, 10, 11, 74, -6, -100, 75, 500).foreach { v =>
+      val w = new Jbig2.BitWriter
+      tab.encode(w, v)
+      assert(tab.decode(new Jbig2.BitReader(w.result())) == v, s"value $v")
+    }
+    val w = new Jbig2.BitWriter
+    tab.encodeOob(w)
+    assert(tab.decode(new Jbig2.BitReader(w.result())) == Jbig2.OOB)
+  }
+
+  test("HUFFMAN symbol dictionary round-trips: uncompressed and MMR collective bitmaps") {
+    val syms = Vector(
+      bitmap(3, 2)((x, y) => (x + y) % 2 == 0),
+      bitmap(7, 2)((x, y) => x % 3 == 0),
+      bitmap(4, 3)((x, y) => x == 0 || y == 2),
+      bitmap(5, 4)((x, y) => (x * y) % 3 == 0))
+    for (mmr <- Seq(false, true)) {
+      val got = Jbig2.decodeSymbolDict(Jbig2.encodeSymbolDictHuff(syms, mmr))
+      assert(got.length == syms.length, s"mmr=$mmr")
+      got.zip(syms).zipWithIndex.foreach { case ((g, e), i) =>
+        assert(g.w == e.w && g.h == e.h, s"mmr=$mmr sym $i dims")
+        assert(g.px.toSeq == e.px.toSeq, s"mmr=$mmr sym $i pixels")
+      }
+    }
+  }
+
+  test("HUFFMAN text stream end-to-end ≡ the arithmetic stream's page, custom FS/DS/DT tables") {
+    val syms = Vector(
+      bitmap(3, 2)((x, y) => (x + y) % 2 == 0),
+      bitmap(4, 3)((x, y) => x == 0 || y == 2),
+      bitmap(5, 4)((x, y) => (x * y) % 3 == 0))
+    val instances = Seq(
+      Jbig2.TextInstance(0, 1, 1), Jbig2.TextInstance(2, 10, 0),
+      Jbig2.TextInstance(1, 20, 2), Jbig2.TextInstance(1, 2, 8),
+      Jbig2.TextInstance(0, 12, 9), Jbig2.TextInstance(2, 18, 7))
+    val (w, h) = (26, 14)
+    val arith = Jbig2.decodeEmbedded(Array.emptyByteArray,
+      Jbig2.buildEmbeddedText(w, h, syms, instances))
+    val huff = Jbig2.decodeEmbedded(Array.emptyByteArray,
+      Jbig2.buildEmbeddedTextHuff(w, h, syms, instances))
+    assert(huff._1 == arith._1 && huff._2 == arith._2)
+    assert(huff._3.toSeq == arith._3.toSeq,
+      "Huffman and arithmetic decodes must produce the identical page")
+    // MMR collective-bitmap variant too
+    val huffMmr = Jbig2.decodeEmbedded(Array.emptyByteArray,
+      Jbig2.buildEmbeddedTextHuff(w, h, syms, instances, mmr = true))
+    assert(huffMmr._3.toSeq == arith._3.toSeq)
+  }
+
+  test("standard text-table selectors are a DECLARED error (B.6-B.13 out of scope)") {
+    val syms = Vector(bitmap(3, 2)((x, y) => (x + y) % 2 == 0))
+    val body = Jbig2.encodeTextRegionHuff(10, 6, Seq(Jbig2.TextInstance(0, 1, 1)), syms)
+    // flip the Huffman-flags FS selector from 3 (custom) to 0 (B.6)
+    body(19 + 1) = (body(20) & ~0x03).toByte
+    val e = intercept[Jbig2.Jbig2Exception] {
+      Jbig2.decodeTextRegion(body, syms,
+        Vector(Jbig2.parseTableSegment(Jbig2.fixtureFsTable),
+          Jbig2.parseTableSegment(Jbig2.fixtureDsTable),
+          Jbig2.parseTableSegment(Jbig2.fixtureDtTable)))
+    }
+    assert(e.getMessage.contains("FS"))
+  }
+
   test("PDF end-to-end: scanned-TEXT JBIG2 (symbol dict + text region) → PNG") {
     val pdf = PdfBuilder.withJbig2TextPattern(seed = 5, nInst = 9)
     val images = PdfImages.documentImages("tx", pdf)
@@ -276,11 +377,18 @@ class Jbig2Spec extends AnyFunSuite {
       Jbig2.decodeEmbedded(Array.emptyByteArray, symDict)
     }
     assert(e2.getMessage.contains("symbol dict"))
-    // Huffman-coded symbol dict (SDHUFF=1) is a declared scope boundary
+    // SDHUFF=1 is now SUPPORTED (round 6); the declared boundary moved
+    // to the reserved table selectors (DH selector 2) and to custom
+    // selectors with no table segment in scope
     val e3 = intercept[Jbig2.Jbig2Exception] {
-      Jbig2.decodeSymbolDict(Array[Byte](0, 1, 0, 0, 0, 0, 0, 0, 0, 0))
+      Jbig2.decodeSymbolDict(Array[Byte](0, 9, 0, 0, 0, 0, 0, 0, 0, 0))
     }
-    assert(e3.getMessage.contains("Huffman"))
+    assert(e3.getMessage.contains("reserved DH"))
+    val e3b = intercept[Jbig2.Jbig2Exception] {
+      // DH selector 3 (custom) with an empty table list
+      Jbig2.decodeSymbolDict(Array[Byte](0, 0x0D, 0, 0, 0, 0, 0, 0, 0, 0))
+    }
+    assert(e3b.getMessage.contains("missing custom table"))
     // MULTI-dictionary text streams must be the declared error, never a
     // silent SBSYMCODELEN desynchronization (referred-to wiring untracked)
     val syms1 = Vector(bitmap(3, 2)((x, y) => (x + y) % 2 == 0))
