@@ -326,7 +326,7 @@ object Bench {
       "dedup_simhash_star", "dedup_simhash64", "dedup_embedding", "dedup_embedding_star",
       "dedup_components", "dedup_components_star", "dedup_components_star_chain",
       "dedup_containment",
-      "pipeline_clean_corpus", "sim_topk_brute", "sim_topk_lsh",
+      "pipeline_clean_corpus", "pipeline_seq_pack", "sim_topk_brute", "sim_topk_lsh",
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans",
       "text_stats", "text_langid", "text_distinct_kmv", "text_repetition", "text_gopher_quality",
       "q_events_session_windows", "pdfz_images", "pdfz_images_jbig2",

@@ -996,6 +996,22 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "pipeline_seq_pack" ->
+      // concat-and-chunk manifest: per-shard exclusive running token
+      // offsets, doc -> sequence intersections via aligned ranges
+      """WITH c AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM c),
+        |e AS (SELECT shard, doc_id, n_tokens, off,
+        |  unnest(range(CAST(off // 128 AS BIGINT), CAST((off + n_tokens - 1) // 128 + 1 AS BIGINT))) AS seq_idx FROM o)
+        |SELECT shard, seq_idx, doc_id,
+        | greatest(off - seq_idx * 128, 0) AS seq_begin,
+        | least(off + n_tokens - seq_idx * 128, 128) - 1 AS seq_end,
+        | least(off + n_tokens - seq_idx * 128, 128) - 1
+        |   - greatest(off - seq_idx * 128, 0) + 1 AS tokens_in_seq
+        |FROM e ORDER BY shard, seq_idx, doc_id""".stripMargin,
+
     "text_gopher_quality" ->
       // flags as 0/1 INTs (cross-engine boolean-encoding-proof); the
       // sum-of-token-chars identity length(text) - (n-1) holds because

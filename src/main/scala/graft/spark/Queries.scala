@@ -1022,6 +1022,16 @@ object Queries {
     * Shape at scale: two explode + hash-agg chains (map-side partials
     * collapse a doc's repeated tokens before the shuffle), one join on
     * doc_id. */
+  /** Sequence-packing manifest over the documents table (128-token
+    * sequences, 8 shards — [[graft.operators.Packing.sequencePack]]):
+    * the loader-facing concat-and-chunk layout, DuckDB-replayed
+    * exactly (shard assignment, per-shard running offsets,
+    * doc→sequence intersections). */
+  def pipelineSeqPack(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.sequencePack(
+        rd(s, dir, "documents").select("doc_id", "text"), seqLen = 128, nShards = 8)
+      .orderBy("shard", "seq_idx", "doc_id")
+
   /** GOPHER-style document quality RULES (Rae et al. 2021, appendix A
     * — the published rule set modern pipelines start from), integer-
     * exact so the DuckDB twin replays each flag bit-identically:
@@ -1405,6 +1415,7 @@ object Queries {
     "text_tokens_fp" -> (textTokensFp _),
     "text_repetition" -> (textRepetition _),
     "text_gopher_quality" -> (textGopherQuality _),
+    "pipeline_seq_pack" -> (pipelineSeqPack _),
     "text_redact_pii" -> (textRedactPii _),
     "text_langid" -> (textLangId _),
     "extract_spans" -> (extractSpans _),

@@ -416,6 +416,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain == ckpt)
   }
 
+  test("sequencePack: boundary-crossing docs split across sequences, shards independent, tokens conserved") {
+    // shard 0 (even ids): 5 + 10 + 3 tokens at offsets 0/5/15, seqLen 8
+    val docs = Seq(
+      (0L, "a b c d e"), (1L, "x y z"),
+      (2L, (1 to 10).map("t" + _).mkString(" ")),
+      (3L, "p q"), (4L, "m n o")).toDF("doc_id", "text")
+    val got = graft.operators.Packing.sequencePack(docs, seqLen = 8, nShards = 2)
+      .orderBy("shard", "seq_idx", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L, 0L, 4L, 5L), // doc 0 fills seq 0 positions 0-4
+      (0L, 0L, 2L, 5L, 7L, 3L), // doc 2 starts at 5, CROSSES into seq 1
+      (0L, 1L, 2L, 0L, 6L, 7L),
+      (0L, 1L, 4L, 7L, 7L, 1L), // doc 4 takes the last slot, crosses again
+      (0L, 2L, 4L, 0L, 1L, 2L),
+      (1L, 0L, 1L, 0L, 2L, 3L), // shard 1 offsets restart at 0
+      (1L, 0L, 3L, 3L, 4L, 2L)))
+    // conservation: every document's manifest spans sum to its tokens
+    val perDoc = got.groupBy(_._3).view.mapValues(_.map(_._6).sum).toMap
+    assert(perDoc == Map(0L -> 5L, 1L -> 3L, 2L -> 10L, 3L -> 2L, 4L -> 3L))
+  }
+
   test("exactSubstringSpans: maximal duplicated runs with positions; self-repeats count; unique docs emit nothing") {
     val aToks = (0 until 30).map(i => s"w$i")
     // doc 2 embeds doc 1's tokens 5..24 at offset 2
