@@ -33,11 +33,15 @@ object GraftSql {
     * Views created (all prefixed, default `graft_`):
     * exact_groups, minhash_pairs, minhash_star_pairs,
     * jaccard_capped_pairs, containment_pairs, simhash_star_pairs,
-    * components, components_star. */
+    * exact_substring_spans, seq_pack, components, components_star. */
   def registerDedupViews(spark: SparkSession, docsView: String,
       prefix: String = "graft_"): Unit = {
     val docs = spark.table(docsView)
     Dedup.exactGroups(docs).createOrReplaceTempView(s"${prefix}exact_groups")
+    Dedup.exactSubstringSpans(docs)
+      .createOrReplaceTempView(s"${prefix}exact_substring_spans")
+    graft.operators.Packing.sequencePack(docs, seqLen = 128, nShards = 8)
+      .createOrReplaceTempView(s"${prefix}seq_pack")
     Dedup.minhashLshPairs(docs).createOrReplaceTempView(s"${prefix}minhash_pairs")
     val star = Dedup.minhashLshStarPairs(docs)
     star.createOrReplaceTempView(s"${prefix}minhash_star_pairs")

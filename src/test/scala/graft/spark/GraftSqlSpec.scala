@@ -42,6 +42,11 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rows("SELECT * FROM graft_components_star") ==
       Dedup.componentsStar(Dedup.minhashLshStarPairs(docs))
         .collect().map(_.toSeq).toSet)
+    assert(rows("SELECT * FROM graft_exact_substring_spans") ==
+      Dedup.exactSubstringSpans(docs).collect().map(_.toSeq).toSet)
+    assert(rows("SELECT * FROM graft_seq_pack") ==
+      graft.operators.Packing.sequencePack(docs, seqLen = 128, nShards = 8)
+        .collect().map(_.toSeq).toSet)
     // views COMPOSE with plain SQL (join a view against the source)
     val joined = spark.sql(
       """SELECT c.component, count(*) AS n
