@@ -215,7 +215,8 @@ object TableIO {
     val body = rows.map { r =>
       s"""{"job_id":${js(r.job_id)},"bucket":${r.bucket},"doc_count":${r.doc_count},""" +
         s""""span_count":${r.span_count},"bytes_in":${r.bytes_in},"failed_docs":${r.failed_docs},""" +
-        s""""status":${js(r.status)},"attempt":${r.attempt},"committed_at":${r.committed_at}}"""
+        s""""status":${js(r.status)},"attempt":${r.attempt},"committed_at":${r.committed_at},""" +
+        s""""unmapped_codes":${r.unmapped_codes}}"""
     }.mkString("", "\n", "\n")
     val tmp = dir.resolve(s".tmp-$commitId")
     val fin = dir.resolve(s"commit-$commitId.json")
@@ -255,7 +256,10 @@ object TableIO {
       StructField("doc_count", LongType), StructField("span_count", LongType),
       StructField("bytes_in", LongType), StructField("failed_docs", LongType),
       StructField("status", StringType), StructField("attempt", IntegerType),
-      StructField("committed_at", LongType)))
+      StructField("committed_at", LongType),
+      // round-6 metric; absent in pre-round-6 lineage files -> null,
+      // which sum() skips (schema evolution by nullable append)
+      StructField("unmapped_codes", LongType)))
     val dir = Paths.get(lineageDir(tableDir))
     if (!Files.isDirectory(dir))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -62,6 +62,22 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(noStats.failedDocs == 6, s"expected 6 declared failures, got ${noStats.failedDocs}")
   }
 
+  test("unmapped_codes reaches the lineage table (visible-degradation metric end-to-end)") {
+    import spark.implicits._
+    // one page with two StandardEncoding-undefined bytes (0xFF, 0x7F)
+    val pdf = graft.pdf.PdfBuilder.simple(
+      Seq(graft.pdf.PdfBuilder.tjLine("x\u00FFy\u007Fz")))
+    val b64 = java.util.Base64.getEncoder.encodeToString(pdf)
+    val in = spark.range(3).map(i => InterleavedDoc(f"um$i%08d",
+      Seq(RawSpan("pdf_bytes", b64, "", 0)))).toDF()
+    val t = tmpDir("graft-unmapped")
+    ExtractJob.run(spark, in, t, ExtractJob.Config(numBuckets = 2))
+    val lineage = TableIO.readLineage(spark, t)
+    val total = lineage.agg(org.apache.spark.sql.functions.sum("unmapped_codes"))
+      .head().getLong(0)
+    assert(total == 6L, s"expected 3 docs x 2 unmapped codes in lineage, got $total")
+  }
+
   test("bucketed mode ≡ scan mode output; bucketed lays out bucket=N dirs") {
     val scanT = tmpDir("graft-scan"); val buckT = tmpDir("graft-buck")
     val in = corpusDf(40)
