@@ -81,6 +81,7 @@ object ContentText {
         }
         i += bytesPerCode
       }
+      if (i < bytes.length) { sb.append('�'); ctr.n += 1 } // trailing partial code
       sb.toString
     }
   }
@@ -162,6 +163,7 @@ object ContentText {
         else sb.append(code.toChar)
         i += 2
       }
+      if (i < bytes.length) { sb.append('�'); ctr.n += 1 } // trailing partial code
       sb.toString
     }
   }
@@ -173,7 +175,7 @@ object ContentText {
     * preserving character COUNT — never garbled as 1-byte chars). */
   case object IdentityCidDecoder extends FontDecoder {
     def decode(bytes: Array[Byte], ctr: UnmappedCounter): String = {
-      val n = bytes.length / 2
+      val n = (bytes.length + 1) / 2 // a trailing partial code counts too
       ctr.n += n
       "�" * n
     }
