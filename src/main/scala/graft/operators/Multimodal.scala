@@ -139,6 +139,32 @@ object Multimodal {
       }
   }
 
+  /** Integer-exact PCM audio summary ([[graft.media.Wav]]). */
+  final case class AudioFeatures(doc_id: String, media_ref: String,
+      sample_rate: Int, channels: Int, bits: Int, n_frames: Long,
+      peak_abs: Long, sum_abs: Long)
+
+  /** REAL audio feature extraction over 16-bit PCM WAV payloads: the
+    * RIFF walk and sample scan are pure little-endian arithmetic
+    * ([[graft.media.Wav]]), so rate/channels/frames/peak/energy come
+    * from the actual samples. Non-WAV / non-PCM payloads are SKIPPED
+    * here (they have no PCM samples to summarize — route them through
+    * [[extractFeatures]]'s sniffing path instead); a malformed WAV is
+    * likewise a skip, never a wrong number. */
+  def audioFeatures(spark: SparkSession, media: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("string"), col("media_ref").cast("string"),
+        col("payload").cast("binary"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, ref, bytes) =>
+          graft.media.Wav.decode(bytes).map(w =>
+            AudioFeatures(docId, ref, w.sampleRate, w.channels, w.bitsPerSample,
+              w.nFrames, w.peakAbs, w.sumAbs))
+        }
+      }
+  }
+
   /** One sampled frame of a video-like payload. `frame_off` is the
     * absolute payload offset of the frame's bytes; `frame_ms` the
     * decode timestamp (−1 on the stub-chunker path, which has no

@@ -1159,6 +1159,20 @@ object Oracles {
 
     // frame chunks of the reconstructible synthetic payload
     // (repeat(md5(id), 4) = 4 chunks of 32 bytes; stride 2 -> 0 and 2)
+    "mm_audio_features" ->
+      // closed-form PCM: sample k of doc i = ((k*37 + i) % 2001) - 1000
+      """SELECT printf('au%08d', i) AS doc_id, printf('a_%d.wav', i) AS media_ref,
+        | CAST(8000 + i AS INTEGER) AS sample_rate,
+        | CAST(1 + i % 2 AS INTEGER) AS channels,
+        | CAST(16 AS INTEGER) AS bits,
+        | CAST(256 // (1 + i % 2) AS BIGINT) AS n_frames,
+        | CAST(list_max(list_transform(range(256),
+        |   k -> abs((k*37 + i) % 2001 - 1000))) AS BIGINT) AS peak_abs,
+        | CAST(list_sum(list_transform(range(256),
+        |   k -> abs((k*37 + i) % 2001 - 1000))) AS BIGINT) AS sum_abs
+        |FROM range(60) t(i)
+        |ORDER BY doc_id""".stripMargin,
+
     "mm_frame_sample" ->
       // stub rows: fixed 32-byte chunks, frame_ms = -1. BMFF rows:
       // the fixture's mdat payload starts at 212 (Mp4Demux

@@ -1326,6 +1326,24 @@ object Queries {
     * every 2nd fixed-size frame chunk, max 4, md5-fingerprinted —
     * STUB decode (chunker), REAL plumbing; oracle reconstructs the
     * payload and chunks it in SQL. */
+  /** REAL audio decode, oracle-pinned: deterministic 16-bit PCM WAV
+    * fixtures (sample k of doc i = ((k*37 + i) % 2001) - 1000,
+    * 256 interleaved samples, channels cycling 1/2, rate 8000+i)
+    * through [[graft.operators.Multimodal.audioFeatures]]'s RIFF walk
+    * + sample scan; the DuckDB twin recomputes every aggregate from
+    * the same closed form — a header-parse or sample-decode slip
+    * flips peak/sum exactly. */
+  def mmAudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.range(60).map { i =>
+      val channels = 1 + (i % 2).toInt
+      val samples = Array.tabulate(256)(k => (((k * 37 + i) % 2001) - 1000).toShort)
+      (f"au$i%08d", s"a_$i.wav",
+        graft.media.Wav.encodePcm16(8000 + i.toInt, channels, samples))
+    }.toDF("doc_id", "media_ref", "payload")
+    Multimodal.audioFeatures(s, media).toDF().orderBy("doc_id")
+  }
+
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // stub-path rows (non-BMFF payloads, fixed 32-byte chunks) plus
@@ -1425,5 +1443,6 @@ object Queries {
     "mm_decode_real" -> (mmDecodeReal _),
     "mm_pdf_image_features" -> (mmPdfImageFeatures _),
     "mm_thumbnails" -> (mmThumbnails _),
-    "mm_frame_sample" -> (mmFrameSample _))
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio_features" -> (mmAudioFeatures _))
 }
