@@ -322,7 +322,7 @@ object Bench {
     val headline = Seq(
       "q1_pricing", "q3_top_orders", "q5_region_revenue", "q_window_topn",
       "q_events_hourly", "q_events_sessions", "dedup_exact", "dedup_minhash_lsh",
-      "dedup_minhash_star", "dedup_jaccard", "dedup_jaccard_capped", "dedup_cdc_chunks", "dedup_exact_substring", "dedup_decontaminate", "dedup_simhash",
+      "dedup_minhash_star", "dedup_bloom_incremental", "dedup_jaccard", "dedup_jaccard_capped", "dedup_cdc_chunks", "dedup_exact_substring", "dedup_decontaminate", "dedup_simhash",
       "dedup_simhash_star", "dedup_simhash64", "dedup_embedding", "dedup_embedding_star",
       "dedup_components", "dedup_components_star", "dedup_components_star_chain",
       "dedup_containment",

@@ -612,6 +612,55 @@ object Dedup {
       .where(col("n_docs") >= 2)
   }
 
+  /** k md5-derived Bloom bit positions for a fingerprint — the
+    * CROSS-ENGINE-REPLAYABLE hash family (j-salted md5 prefixes, the
+    * same 32-bit nibble convention as the sketches), so a DuckDB twin
+    * reproduces the exact bit layout, false positives included. */
+  private def bloomBits(fp: Column, mBits: Int, k: Int): Column =
+    array((0 until k).map(j =>
+      conv(substring(md5(concat(lit(s"$j:"), fp)), 1, 8), 16, 10)
+        .cast("long") % mBits): _*)
+
+  /** BLOOM-membership incremental dedup: the 10^12-corpus answer to
+    * "is this new document's fingerprint already in the corpus?" when
+    * even the DISTINCT fingerprint set is too big to broadcast — the
+    * corpus collapses to a FIXED-SIZE bit set (`mBits` positions, ≤
+    * mBits rows after one distinct aggregation, broadcastable at any
+    * corpus size), and each batch document is flagged iff ALL `k` of
+    * its salted-hash bits are occupied. One-sided by construction:
+    * no false negatives (a true duplicate's bits are always set),
+    * deterministic false positives at ≈ occupancy^k — this operator
+    * is the cheap PRE-FILTER; the flagged minority then pays the
+    * exact anti-join ([[graft.spark.Queries.dedupIncremental]]'s
+    * shape) instead of the whole batch.
+    *
+    * Output: (doc_id, bloom_hit, exact_dup) for every batch doc —
+    * `exact_dup` is the ground truth via the exact fingerprint
+    * semi-join, so rows with `bloom_hit = 1, exact_dup = 0` WITNESS
+    * the false-positive band (the DuckDB twin reproduces each one
+    * bit-exactly). */
+  def bloomIncrementalFlags(corpus: DataFrame, batch: DataFrame,
+      mBits: Int = 4096, k: Int = 3): DataFrame = {
+    require(mBits >= 2 && k >= 1, s"bad bloom shape mBits=$mBits k=$k")
+    val corpusFp = corpus.select(TF.fingerprint(col("text")).as("fp"))
+    val bits = corpusFp
+      .select(explode(bloomBits(col("fp"), mBits, k)).as("bit")).distinct()
+    val batchFp = batch.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+    val batchBits = batchFp.select(col("doc_id"),
+      explode(array_distinct(bloomBits(col("fp"), mBits, k))).as("bit"),
+      size(array_distinct(bloomBits(col("fp"), mBits, k))).as("n_bits"))
+    val hits = batchBits.join(broadcast(bits), Seq("bit"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"), max("n_bits").as("n_bits"))
+    val exact = batchFp.join(broadcast(corpusFp.distinct()), Seq("fp"), "left_semi")
+      .select(col("doc_id"), lit(1).as("exact_dup"))
+    batchFp.select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce((col("n_hits") === col("n_bits")).cast("int"), lit(0)).as("bloom_hit"),
+        coalesce(col("exact_dup"), lit(0)).as("exact_dup"))
+  }
+
   /** EXACT-SUBSTRING duplicate spans (the ExactSubstr criterion of
     * Lee et al., "Deduplicating Training Data Makes Language Models
     * Better", ACL 2022 — re-expressed relationally): every MAXIMAL

@@ -592,6 +592,36 @@ object Oracles {
          |FROM cs JOIN ev USING (sh) GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    "dedup_bloom_incremental" -> {
+      val fpExpr =
+        "md5(array_to_string(list_sort(list_distinct(string_split(text,' '))), ' '))"
+      val bitExpr = s"(${md5Fold32("CAST(jj AS VARCHAR) || ':' || fp")}) % 4096"
+      s"""WITH fpc AS (SELECT $fpExpr AS fp FROM documents),
+         |batch AS (
+         | SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0
+         | UNION ALL
+         | SELECT doc_id + 100000 AS doc_id, substr(text, strpos(text,' ')+1) AS text
+         | FROM documents WHERE doc_id % 11 = 0),
+         |fpb AS (SELECT doc_id, $fpExpr AS fp FROM batch),
+         |cbits AS (SELECT DISTINCT $bitExpr AS bit
+         | FROM fpc, (VALUES (0),(1),(2)) j(jj)),
+         |bbits AS (SELECT DISTINCT doc_id, $bitExpr AS bit
+         | FROM fpb, (VALUES (0),(1),(2)) j(jj)),
+         |bn AS (SELECT doc_id, count(*) AS n_bits FROM bbits GROUP BY doc_id),
+         |bhits AS (SELECT doc_id, count(*) AS n_hits
+         | FROM bbits JOIN cbits USING (bit) GROUP BY doc_id),
+         |ex AS (SELECT DISTINCT fpb.doc_id
+         | FROM fpb JOIN (SELECT DISTINCT fp FROM fpc) c USING (fp))
+         |SELECT fpb.doc_id AS doc_id,
+         | CAST(CASE WHEN COALESCE(bhits.n_hits, 0) = bn.n_bits THEN 1 ELSE 0 END AS INTEGER) AS bloom_hit,
+         | CAST(CASE WHEN ex.doc_id IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS exact_dup
+         |FROM fpb
+         |LEFT JOIN bhits ON bhits.doc_id = fpb.doc_id
+         |JOIN bn ON bn.doc_id = fpb.doc_id
+         |LEFT JOIN ex ON ex.doc_id = fpb.doc_id
+         |ORDER BY fpb.doc_id""".stripMargin
+    },
+
     "dedup_exact_substring" -> {
       // ExactSubstr: position covered iff its 15-gram recurs
       // corpus-wide (positions, not docs); aligned unnests pair

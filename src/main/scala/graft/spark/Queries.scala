@@ -741,6 +741,23 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Bloom-membership incremental dedup flags, oracle-pinned: the
+    * corpus collapses to a 4096-bit position set; batch docs (true
+    * duplicates via doc_id%7, non-duplicate shifted copies via
+    * doc_id%11) are flagged iff all 3 salted-hash bits are occupied.
+    * The DuckDB twin replays the md5-positional bit layout, so the
+    * deterministic FALSE POSITIVES (bloom_hit=1, exact_dup=0) match
+    * row for row — the witness that the one-sided-error contract
+    * holds ([[Dedup.bloomIncrementalFlags]]). */
+  def dedupBloomIncremental(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents").select("doc_id", "text")
+    val batch = docs.where(col("doc_id") % 7 === 0)
+      .unionAll(docs.where(col("doc_id") % 11 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          expr("substring(text, instr(text, ' ') + 1)").as("text")))
+    Dedup.bloomIncrementalFlags(docs, batch).orderBy("doc_id")
+  }
+
   /** SimHash near-dup pairs (32-bit sketch, hamming ≤ 3, 8-bit block
     * index — no all-pairs join). */
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
@@ -1403,6 +1420,7 @@ object Queries {
     "q_asof_multi" -> (qAsofMulti _),
     "dedup_exact" -> (dedupExact _),
     "dedup_incremental" -> (dedupIncremental _),
+    "dedup_bloom_incremental" -> (dedupBloomIncremental _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_minhash_star" -> (dedupMinhashStar _),
     "dedup_jaccard" -> (dedupJaccard _),

@@ -416,6 +416,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(plain == ckpt)
   }
 
+  test("bloomIncrementalFlags: ONE-SIDED error — every true duplicate flagged, rejects exist") {
+    val corpus = (0 until 300).map(i => (i.toLong, s"corpus doc $i alpha beta gamma$i"))
+      .toDF("doc_id", "text")
+    val dups = (0 until 40).map(i => (1000L + i, s"corpus doc $i alpha beta gamma$i"))
+    val novel = (0 until 40).map(i => (2000L + i, s"novel doc $i delta epsilon zeta$i"))
+    val batch = (dups ++ novel).toDF("doc_id", "text")
+    val out = Dedup.bloomIncrementalFlags(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(out.length == 80)
+    // no false negatives, ever: exact_dup = 1 implies bloom_hit = 1
+    assert(out.forall { case (_, b, e) => e == 0 || b == 1 },
+      "a true duplicate escaped the bloom filter")
+    assert(out.count(_._3 == 1) == 40, "ground truth must mark exactly the 40 dups")
+    // the filter actually rejects most novel docs (occupancy^k FP rate)
+    val rejected = out.count { case (_, b, e) => e == 0 && b == 0 }
+    assert(rejected >= 30, s"bloom rejected only $rejected/40 novel docs")
+  }
+
   test("sequencePack: boundary-crossing docs split across sequences, shards independent, tokens conserved") {
     // shard 0 (even ids): 5 + 10 + 3 tokens at offsets 0/5/15, seqLen 8
     val docs = Seq(
