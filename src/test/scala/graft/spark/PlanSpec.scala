@@ -141,6 +141,13 @@ class PlanSpec extends AnyFunSuite {
       s"df subtree lost its map-side partial aggregation:\n${plan.take(4000)}")
   }
 
+  test("bloom pre-filter: the bit set and the truth set BROADCAST — the batch side never shuffles for them") {
+    val plan = physical(Queries.dedupBloomIncremental(spark, sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2,
+      s"expected broadcast semi-joins for bits + truth, got $broadcasts:\n${plan.take(4000)}")
+  }
+
   test("CDC chunking is MAP-SIDE: no Window, no token-stream shuffle — the only Exchange is the chunk-fp agg") {
     // round-5 verdict: posexplode + Window.partitionBy(doc_id) shuffled
     // and sorted the fully tokenized corpus (≈3-5× text bytes) twice
