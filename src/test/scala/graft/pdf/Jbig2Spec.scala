@@ -281,6 +281,31 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("custom-table SYMBOL-dict selectors: DH/DW route through table segments (cursor order)") {
+    val syms = Vector(
+      bitmap(3, 2)((x, y) => (x + y) % 2 == 0),
+      bitmap(4, 3)((x, y) => x == 0 || y == 2))
+    // selector-0 encoding, then flip DH and DW to CUSTOM (3): flags
+    // low byte = SDHUFF(1) | DH=3<<2 | DW=3<<4
+    val body = Jbig2.encodeSymbolDictHuff(syms).clone()
+    body(1) = 0x3D.toByte
+    // custom tables whose normal/upper/OOB lines REPRODUCE B.4/B.2's
+    // ranges and canonical codes (the mandatory lower-range line gets
+    // a longer prefix, appearing after — normal-code assignment is
+    // unchanged and the encoder never emits the lower escape)
+    val dhTab = Jbig2.parseTableSegment(Jbig2.encodeTableSegment(
+      Seq((1, 0), (2, 0), (3, 0), (4, 3), (5, 6)), low = 1, high = 76,
+      lowerPref = 6, upperPref = 5))
+    val dwTab = Jbig2.parseTableSegment(Jbig2.encodeTableSegment(
+      Seq((1, 0), (2, 0), (3, 0), (4, 3), (5, 6)), low = 0, high = 75,
+      lowerPref = 7, upperPref = 6, oobPref = 6))
+    val got = Jbig2.decodeSymbolDict(body, Vector(dhTab, dwTab))
+    assert(got.length == syms.length)
+    got.zip(syms).foreach { case (g, e) =>
+      assert(g.w == e.w && g.h == e.h && g.px.toSeq == e.px.toSeq)
+    }
+  }
+
   test("HUFFMAN text stream end-to-end ≡ the arithmetic stream's page, custom FS/DS/DT tables") {
     val syms = Vector(
       bitmap(3, 2)((x, y) => (x + y) % 2 == 0),
