@@ -148,12 +148,17 @@ object Mp4Demux {
       si += 1
     }
 
-    // per-sample decode times from stts runs
+    // per-sample decode times from stts runs — expansion CAPPED at the
+    // sample count (a hostile 32-bit run count would otherwise drive a
+    // multi-billion-element build before any bounds check fires)
     val dts = Vector.newBuilder[Long]
     var t = 0L
+    var produced = 0
     stts.foreach { case (count, delta) =>
       var i = 0L
-      while (i < count) { dts += t; t += delta; i += 1 }
+      while (i < count && produced < sizes.length) {
+        dts += t; t += delta; i += 1; produced += 1
+      }
     }
     val dtsArr = dts.result()
     if (dtsArr.length < sizes.length) return None

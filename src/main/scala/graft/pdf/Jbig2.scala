@@ -847,7 +847,10 @@ object Jbig2 {
             val start = r.bytePos
             if (start + bmSize > d.length)
               throw new Jbig2Exception("JBIG2: truncated MMR collective bitmap")
-            val gray = CcittFax.decodeG4(d.slice(start, start + bmSize), totW, hcHeight)
+            val gray =
+              try CcittFax.decodeG4(d.slice(start, start + bmSize), totW, hcHeight)
+              catch { case e: CcittFax.CcittException =>
+                throw new Jbig2Exception(s"JBIG2: MMR collective bitmap: ${e.getMessage}") }
             val px = new Array[Byte](totW * hcHeight)
             var i = 0
             while (i < px.length) { px(i) = (if (gray(i) == 0) 1 else 0).toByte; i += 1 }
@@ -1309,7 +1312,12 @@ object Jbig2 {
     val payload = d.drop(p)
     val bm =
       if (mmr) {
-        val gray = CcittFax.decodeG4(payload, w, h)
+        // declared-type contract: an MMR slip surfaces as the JBIG2
+        // error every fail-soft caller already handles
+        val gray =
+          try CcittFax.decodeG4(payload, w, h)
+          catch { case e: CcittFax.CcittException =>
+            throw new Jbig2Exception(s"JBIG2: MMR region: ${e.getMessage}") }
         val px = new Array[Byte](w * h)
         var i = 0
         while (i < px.length) { px(i) = (if (gray(i) == 0) 1 else 0).toByte; i += 1 }
