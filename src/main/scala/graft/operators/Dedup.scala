@@ -631,33 +631,58 @@ object Dedup {
     * no false negatives (a true duplicate's bits are always set),
     * deterministic false positives at ≈ occupancy^k — this operator
     * is the cheap PRE-FILTER; the flagged minority then pays the
-    * exact anti-join ([[graft.spark.Queries.dedupIncremental]]'s
-    * shape) instead of the whole batch.
+    * exact membership check ([[bloomIncrementalExact]]) instead of
+    * the whole batch.
     *
-    * Output: (doc_id, bloom_hit, exact_dup) for every batch doc —
-    * `exact_dup` is the ground truth via the exact fingerprint
-    * semi-join, so rows with `bloom_hit = 1, exact_dup = 0` WITNESS
-    * the false-positive band (the DuckDB twin reproduces each one
-    * bit-exactly). */
+    * Output: (doc_id, bloom_hit) for every batch doc. The plan
+    * contains NO join against the corpus fingerprint set — ONLY the
+    * fixed-size bit set crosses to the batch side (one broadcast
+    * outer join below one hash aggregation); that absence is exactly
+    * this operator's reason to exist and is plan-pinned. Ground
+    * truth for the false-positive band lives in the opt-in
+    * [[bloomIncrementalExact]]. */
   def bloomIncrementalFlags(corpus: DataFrame, batch: DataFrame,
       mBits: Int = 4096, k: Int = 3): DataFrame = {
     require(mBits >= 2 && k >= 1, s"bad bloom shape mBits=$mBits k=$k")
-    val corpusFp = corpus.select(TF.fingerprint(col("text")).as("fp"))
-    val bits = corpusFp
+    val bits = corpus.select(TF.fingerprint(col("text")).as("fp"))
       .select(explode(bloomBits(col("fp"), mBits, k)).as("bit")).distinct()
-    val batchFp = batch.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
-    val batchBits = batchFp.select(col("doc_id"),
-      explode(array_distinct(bloomBits(col("fp"), mBits, k))).as("bit"),
-      size(array_distinct(bloomBits(col("fp"), mBits, k))).as("n_bits"))
-    val hits = batchBits.join(broadcast(bits), Seq("bit"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"), max("n_bits").as("n_bits"))
-    val exact = batchFp.join(broadcast(corpusFp.distinct()), Seq("fp"), "left_semi")
+      .withColumn("occupied", lit(1))
+    // bloom_hit = every salted bit occupied = min over the k probes;
+    // duplicate probe positions cannot change a min, so no
+    // array_distinct / probe-count bookkeeping is needed
+    batch.select(col("doc_id"),
+        explode(bloomBits(TF.fingerprint(col("text")), mBits, k)).as("bit"))
+      .join(broadcast(bits), Seq("bit"), "left")
+      .groupBy("doc_id")
+      .agg(min(coalesce(col("occupied"), lit(0))).as("bloom_hit"))
+  }
+
+  /** The exact-membership companion of [[bloomIncrementalFlags]]:
+    * ONLY the bloom-flagged minority pays the exact fingerprint
+    * semi-join against the corpus — the non-flagged majority is
+    * guaranteed novel by the filter's one-sided error, so
+    * `exact_dup = 0` for it by construction. The corpus-fp join is
+    * deliberately NOT a forced broadcast: at the 10^12-doc design
+    * point the distinct fingerprint set exceeds broadcast limits and
+    * AQE falls back to a shuffle semi-join of the (already
+    * bloom-thinned) flagged stream — the scale shape this operator
+    * family exists for. Rows with `bloom_hit = 1, exact_dup = 0`
+    * WITNESS the false-positive band; the DuckDB twin reproduces
+    * each one bit-exactly.
+    *
+    * Output: (doc_id, bloom_hit, exact_dup) for every batch doc. */
+  def bloomIncrementalExact(corpus: DataFrame, batch: DataFrame,
+      mBits: Int = 4096, k: Int = 3): DataFrame = {
+    val flags = bloomIncrementalFlags(corpus, batch, mBits, k)
+    val flaggedFp = flags.where(col("bloom_hit") === 1)
+      .join(batch.select(col("doc_id"), TF.fingerprint(col("text")).as("fp")),
+        Seq("doc_id"))
+    val exact = flaggedFp
+      .join(corpus.select(TF.fingerprint(col("text")).as("fp")).distinct(),
+        Seq("fp"), "left_semi")
       .select(col("doc_id"), lit(1).as("exact_dup"))
-    batchFp.select("doc_id")
-      .join(hits, Seq("doc_id"), "left")
-      .join(exact, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce((col("n_hits") === col("n_bits")).cast("int"), lit(0)).as("bloom_hit"),
+    flags.join(exact, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
         coalesce(col("exact_dup"), lit(0)).as("exact_dup"))
   }
 
@@ -675,25 +700,34 @@ object Dedup {
     * location.
     *
     * Plan (the 100 TB shape): grams are map-side
-    * ([[graft.functions.ShingleMd5s]] + posexplode); the corpus-wide
-    * gram frequency is ONE hash aggregation (map-side partials — the
-    * inherent shuffle every sketch operator pays); covered positions
-    * are a semi-join against the (much smaller) duplicated-gram set,
-    * and run-merging is a window PARTITIONED BY doc_id over only the
-    * COVERED positions — per-entity, parallel across docs, and sparse
-    * (duplicated grams only), unlike the retired CDC token-window
-    * which sorted every token of every doc.
+    * ([[graft.functions.ShingleMd5s]] + posexplode) and the corpus is
+    * scanned + shingled ONCE — a single per-gram aggregation carries
+    * BOTH consumers' needs (the corpus-wide frequency AND the
+    * occurrence positions), so the ≥2 filter and the covered-position
+    * explode read the same shuffled stream instead of re-scanning the
+    * corpus for a semi-join (the round-6 plan paid a second full
+    * corpus read + shingle pass here). Run-merging is a window
+    * PARTITIONED BY doc_id over only the COVERED positions —
+    * per-entity, parallel across docs, and sparse (duplicated grams
+    * only), unlike the retired CDC token-window which sorted every
+    * token of every doc. Skew posture: the per-gram occurrence buffer
+    * is O(df(gram)) — the same inherent tail every positional
+    * duplicate finder has (the occurrences ARE the output); the hash
+    * aggregate's sort-based fallback spills it rather than OOM.
     *
     * Output: (doc_id, start_pos, end_pos, n_grams, n_tokens), one row
     * per maximal duplicated run. */
   def exactSubstringSpans(docs: DataFrame, minTokens: Int = 15): DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
     import org.apache.spark.sql.expressions.Window
-    def grams = docs.select(col("doc_id"),
+    val grams = docs.select(col("doc_id"),
       posexplode(TF.shingles(col("text"), minTokens)).as(Seq("pos", "gh")))
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("n"))
-      .where(col("n") >= 2).select("gh")
-    val covered = grams.join(dup, Seq("gh"), "left_semi")
+    val covered = grams.groupBy("gh")
+      .agg(count(lit(1)).as("n"),
+        collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .where(col("n") >= 2)
+      .select(explode(col("occ")).as("o"))
+      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     covered.withColumn("island", col("pos") - row_number().over(w))
       .groupBy("doc_id", "island")

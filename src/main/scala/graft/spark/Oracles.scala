@@ -1031,8 +1031,8 @@ object Oracles {
       // offsets, doc -> sequence intersections via aligned ranges
       """WITH c AS (SELECT doc_id, doc_id % 8 AS shard,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
-        |o AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off FROM c),
+        |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off FROM c),
         |e AS (SELECT shard, doc_id, n_tokens, off,
         |  unnest(range(CAST(off // 128 AS BIGINT), CAST((off + n_tokens - 1) // 128 + 1 AS BIGINT))) AS seq_idx FROM o)
         |SELECT shard, seq_idx, doc_id,

@@ -748,14 +748,16 @@ object Queries {
     * The DuckDB twin replays the md5-positional bit layout, so the
     * deterministic FALSE POSITIVES (bloom_hit=1, exact_dup=0) match
     * row for row — the witness that the one-sided-error contract
-    * holds ([[Dedup.bloomIncrementalFlags]]). */
+    * holds. Runs the opt-in [[Dedup.bloomIncrementalExact]] witness
+    * path; the production pre-filter ([[Dedup.bloomIncrementalFlags]])
+    * never joins the corpus fingerprint set at all. */
   def dedupBloomIncremental(s: SparkSession, dir: String): DataFrame = {
     val docs = rd(s, dir, "documents").select("doc_id", "text")
     val batch = docs.where(col("doc_id") % 7 === 0)
       .unionAll(docs.where(col("doc_id") % 11 === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           expr("substring(text, instr(text, ' ') + 1)").as("text")))
-    Dedup.bloomIncrementalFlags(docs, batch).orderBy("doc_id")
+    Dedup.bloomIncrementalExact(docs, batch).orderBy("doc_id")
   }
 
   /** SimHash near-dup pairs (32-bit sketch, hamming ≤ 3, 8-bit block

@@ -422,7 +422,7 @@ class OperatorsSpec extends AnyFunSuite {
     val dups = (0 until 40).map(i => (1000L + i, s"corpus doc $i alpha beta gamma$i"))
     val novel = (0 until 40).map(i => (2000L + i, s"novel doc $i delta epsilon zeta$i"))
     val batch = (dups ++ novel).toDF("doc_id", "text")
-    val out = Dedup.bloomIncrementalFlags(corpus, batch)
+    val out = Dedup.bloomIncrementalExact(corpus, batch)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
     assert(out.length == 80)
     // no false negatives, ever: exact_dup = 1 implies bloom_hit = 1
@@ -432,6 +432,11 @@ class OperatorsSpec extends AnyFunSuite {
     // the filter actually rejects most novel docs (occupancy^k FP rate)
     val rejected = out.count { case (_, b, e) => e == 0 && b == 0 }
     assert(rejected >= 30, s"bloom rejected only $rejected/40 novel docs")
+    // the production pre-filter agrees with the witness path's flags
+    val flagsOnly = Dedup.bloomIncrementalFlags(corpus, batch)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(out.forall { case (id, b, _) => flagsOnly(id) == b },
+      "flags-only path disagrees with the witness path")
   }
 
   test("sequencePack: boundary-crossing docs split across sequences, shards independent, tokens conserved") {

@@ -141,11 +141,43 @@ class PlanSpec extends AnyFunSuite {
       s"df subtree lost its map-side partial aggregation:\n${plan.take(4000)}")
   }
 
-  test("bloom pre-filter: the bit set and the truth set BROADCAST — the batch side never shuffles for them") {
-    val plan = physical(Queries.dedupBloomIncremental(spark, sf))
+  test("bloom pre-filter: production plan joins ONLY the bit set — no corpus-fingerprint join at all") {
+    // round-6 verdict: the old single operator broadcast
+    // corpusFp.distinct() — the exact thing the bloom filter exists
+    // to avoid — into EVERY caller's plan. The production path now
+    // touches the corpus only to build the fixed-size bit set.
+    val docs = Queries.docsPlus(spark, sf).select("doc_id", "text")
+    val batch = docs.where(col("doc_id") % 7 === 0)
+    val plan = physical(graft.operators.Dedup.bloomIncrementalFlags(docs, batch))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
-    assert(broadcasts >= 2,
-      s"expected broadcast semi-joins for bits + truth, got $broadcasts:\n${plan.take(4000)}")
+    val allJoins = "Join".r.findAllIn(plan).size
+    assert(broadcasts == 1 && allJoins == broadcasts,
+      s"expected exactly ONE broadcast join (the bit set), got $broadcasts broadcast / $allJoins total:\n${plan.take(4000)}")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus fingerprint join leaked into the bloom-only plan:\n${plan.take(4000)}")
+  }
+
+  test("bloom witness path: exact truth joins ONLY the flagged minority, without a forced broadcast") {
+    val plan = physical(Queries.dedupBloomIncremental(spark, sf))
+    // the flagged-minority filter must sit below the exact fp join
+    assert(plan.contains("bloom_hit"), s"witness plan lost the flag column:\n${plan.take(4000)}")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 1,
+      s"expected the bit-set broadcast at minimum, got $broadcasts:\n${plan.take(4000)}")
+  }
+
+  test("exact-substring: the corpus is scanned and shingled ONCE (single gram aggregation feeds both consumers)") {
+    // round-6 verdict: `def grams` instantiated twice — a second full
+    // corpus read + shingle pass at 100 TB. The single per-gram
+    // aggregation now carries count + occurrence positions together.
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val plan = physical(graft.operators.Dedup.exactSubstringSpans(docs, minTokens = 15))
+    val shingles = "shingle_md5s".r.findAllIn(plan).size
+    assert(shingles == 1,
+      s"expected ONE shingle evaluation, got $shingles:\n${plan.take(4000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).size
+    assert(scans <= 1, s"corpus scanned $scans times:\n${plan.take(4000)}")
   }
 
   test("CDC chunking is MAP-SIDE: no Window, no token-stream shuffle — the only Exchange is the chunk-fp agg") {
