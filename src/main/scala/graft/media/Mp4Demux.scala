@@ -163,7 +163,12 @@ object Mp4Demux {
     val dtsArr = dts.result()
     if (dtsArr.length < sizes.length) return None
 
-    // per-sample file offsets: walk chunks, accumulate sizes
+    // per-sample file offsets: walk chunks, accumulate sizes. Every
+    // sample must lie INSIDE the file — a chunk offset past EOF (or a
+    // size walking past it) marks a corrupt/truncated sample table and
+    // fails the whole track soft (None → caller's declared fallback),
+    // never a crash in the consumer's copyOfRange, and never a silent
+    // 32-bit truncation of a >2 GiB offset
     val samples = Vector.newBuilder[Sample]
     var idx = 0
     var chunk = 0
@@ -171,8 +176,11 @@ object Mp4Demux {
       var off = chunkOffsets(chunk)
       var k = 0L
       while (k < perChunk(chunk) && idx < sizes.length) {
-        samples += Sample(idx, off, sizes(idx), dtsArr(idx) * 1000L / timescale)
-        off += sizes(idx)
+        val sz = sizes(idx)
+        if (off < 0L || sz < 0L || sz > b.length.toLong ||
+          off > b.length.toLong - sz) return None
+        samples += Sample(idx, off, sz, dtsArr(idx) * 1000L / timescale)
+        off += sz
         idx += 1
         k += 1
       }

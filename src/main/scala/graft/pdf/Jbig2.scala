@@ -1134,6 +1134,10 @@ object Jbig2 {
             throw new Jbig2Exception("JBIG2: symbol code lengths overrun the pool")
           symLens(si) = fill; si += 1; k += 1
         }
+        // "previous code length" (§7.4.3.1.2) means the LAST ASSIGNED
+        // length including zero fills — after a 33/34 zero-run, a
+        // following runcode 32 repeats 0, not the stale pre-run value
+        prev = fill
       } else throw new Jbig2Exception(s"JBIG2: bad runcode $c")
     }
     r.alignByte()
@@ -1521,7 +1525,8 @@ object Jbig2 {
     * symbol-ID table assigns every symbol the same code length via a
     * single-runcode table. */
   def encodeTextRegionHuff(w: Int, h: Int, instances: Seq[TextInstance],
-      syms: Vector[Bitmap]): Array[Byte] = {
+      syms: Vector[Bitmap],
+      symLenRuns: Seq[(Int, Int)] = Nil): Array[Byte] = {
     require(instances.nonEmpty, "no instances")
     val fsT = parseTableSegment(fixtureFsTable)
     val dsT = parseTableSegment(fixtureDsTable)
@@ -1536,13 +1541,50 @@ object Jbig2 {
     head += ((hf >>> 8) & 0xff).toByte += (hf & 0xff).toByte
     head ++= be32(instances.length.toLong)
     val bw = new BitWriter
-    // symbol-ID code lengths: all symbols at L via one runcode
-    val L = symCodeLenFor(syms.length)
-    (0 until 35).foreach(i => bw.putBits(if (i == L) 1L else 0L, 4))
-    syms.indices.foreach(_ => bw.putBit(0)) // the single runcode's codeword
-    bw.alignByte()
-    val symTab = new HuffTable(
-      syms.indices.map(id => HuffLine(L, 0, id, HNormal)).toVector)
+    // symbol-ID code table (§7.4.3.1.2). Default: all symbols at one
+    // directly-coded length L via a single runcode. `symLenRuns`
+    // overrides with an explicit runcode script — (code, operand)
+    // pairs where code <32 assigns that length directly (operand
+    // ignored) and codes 32/33/34 emit a repeat/zero run of `operand`
+    // total fills — so tests can pin run-interaction semantics (e.g.
+    // a zero run followed by runcode 32 repeating ZERO, §7.4.3.1.2).
+    val symTab: HuffTable =
+      if (symLenRuns.isEmpty) {
+        val L = symCodeLenFor(syms.length)
+        (0 until 35).foreach(i => bw.putBits(if (i == L) 1L else 0L, 4))
+        syms.indices.foreach(_ => bw.putBit(0)) // the single runcode's codeword
+        bw.alignByte()
+        new HuffTable(
+          syms.indices.map(id => HuffLine(L, 0, id, HNormal)).toVector)
+      } else {
+        val used = symLenRuns.map(_._1).distinct.sorted
+        val bits = math.max(1,
+          32 - Integer.numberOfLeadingZeros(math.max(1, used.size - 1)))
+        (0 until 35).foreach(i =>
+          bw.putBits(if (used.contains(i)) bits.toLong else 0L, 4))
+        val runTab = new HuffTable(
+          used.map(c => HuffLine(bits, 0, c, HNormal)).toVector)
+        val symLens = new Array[Int](syms.length)
+        var si = 0
+        var prev = 0
+        symLenRuns.foreach { case (c, arg) =>
+          runTab.encode(bw, c)
+          if (c < 32) { symLens(si) = c; prev = c; si += 1 }
+          else {
+            val (base, nb) = c match {
+              case 32 => (3, 2); case 33 => (3, 3); case _ => (11, 7) }
+            require(arg >= base && arg < base + (1 << nb), s"run $arg out of range for code $c")
+            bw.putBits((arg - base).toLong, nb)
+            val fill = if (c == 32) prev else 0
+            (0 until arg).foreach { _ => symLens(si) = fill; si += 1 }
+            prev = fill
+          }
+        }
+        require(si == syms.length, s"script covered $si of ${syms.length} symbols")
+        bw.alignByte()
+        new HuffTable(syms.indices.filter(symLens(_) > 0)
+          .map(id => HuffLine(symLens(id), 0, id, HNormal)).toVector)
+      }
     val sorted = instances.sortBy(i => (i.t, i.s))
     dtT.encode(bw, 0) // STRIPT init
     var stripT = 0
@@ -1578,7 +1620,8 @@ object Jbig2 {
     * the three custom-table segments + Huffman symbol dictionary +
     * one immediate Huffman text region + EOP. */
   def buildEmbeddedTextHuff(w: Int, h: Int, syms: Vector[Bitmap],
-      instances: Seq[TextInstance], mmr: Boolean = false): Array[Byte] = {
+      instances: Seq[TextInstance], mmr: Boolean = false,
+      symLenRuns: Seq[(Int, Int)] = Nil): Array[Byte] = {
     val out = ArrayBuffer[Byte]()
     val pageInfo = be32(w.toLong) ++ be32(h.toLong) ++
       be32(0) ++ be32(0) ++ Array[Byte](0) ++ Array[Byte](0, 0)
@@ -1588,7 +1631,7 @@ object Jbig2 {
     writeSegment(out, 4, 53, 1, Nil, fixtureDtTable)
     writeSegment(out, 5, 0, 1, Nil, encodeSymbolDictHuff(syms, mmr))
     writeSegment(out, 6, 6, 1, Seq(5L),
-      encodeTextRegionHuff(w, h, instances, syms))
+      encodeTextRegionHuff(w, h, instances, syms, symLenRuns))
     writeSegment(out, 7, 49, 1, Nil, Array.emptyByteArray)
     out.toArray
   }

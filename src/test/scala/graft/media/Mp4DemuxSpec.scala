@@ -60,6 +60,28 @@ class Mp4DemuxSpec extends AnyFunSuite {
     assert(track.samples.map(_.dtsMs) == Vector(0L, 200L, 400L, 600L, 800L))
   }
 
+  test("sample table pointing OUTSIDE the file is a fail-soft None, never a crash or 32-bit truncation") {
+    // valid fixture, then corrupt the single stco chunk offset in place:
+    // (a) just past EOF, (b) far past EOF, (c) a >2^31 offset that a
+    // naive .toInt would silently truncate into wrong-but-valid bounds
+    val samples = (0 until 3).map(j => s"sample-$j".getBytes("US-ASCII"))
+    val good = Mp4Demux.buildFixture(samples, timescale = 1000L, delta = 40L)
+    val goodOff = Mp4Demux.mdatPayloadStart(3)
+    // locate the 4-byte big-endian stco entry holding goodOff
+    val needle = be32(goodOff)
+    val at = good.indices.indexWhere(i => i + 4 <= good.length &&
+      good.slice(i, i + 4).sameElements(needle))
+    assert(at >= 0, "fixture stco entry not found")
+    def corrupted(off: Long): Array[Byte] = {
+      val c = good.clone(); be32(off).copyToArray(c, at); c }
+    // first sample starts at EOF: its size walks past the file end
+    assert(Mp4Demux.demux(corrupted(good.length.toLong)).isEmpty)
+    assert(Mp4Demux.demux(corrupted(0xFFFFFF00L)).isEmpty)
+    assert(Mp4Demux.demux(corrupted(0x80000010L)).isEmpty)
+    // sanity: the uncorrupted fixture still demuxes
+    assert(Mp4Demux.demux(good).nonEmpty)
+  }
+
   test("non-BMFF and truncated input are fail-soft Nones") {
     assert(!Mp4Demux.isIsoBmff("not a video at all".getBytes))
     assert(Mp4Demux.demux("not a video at all".getBytes).isEmpty)

@@ -24,14 +24,24 @@ class ParserFuzzSpec extends AnyFunSuite {
     }
   }
 
-  test("Mp4Demux.demux: random and mutated-valid input → Some or None, never a throw") {
+  test("Mp4Demux.demux: random and mutated-valid input → Some or None, never a throw; samples stay in-bounds") {
+    // the in-bounds invariant is what keeps the consumer's
+    // copyOfRange(bytes, offset.toInt, ...) total: every returned
+    // sample must address real file bytes (no EOF overrun, no >2^31
+    // offset a .toInt would truncate)
+    def inBounds(bytes: Array[Byte]): Unit =
+      Mp4Demux.demux(bytes).foreach(_.samples.foreach { s =>
+        assert(s.offset >= 0L && s.size >= 0L &&
+          s.offset + s.size <= bytes.length.toLong,
+          s"sample out of bounds: off=${s.offset} size=${s.size} len=${bytes.length}")
+      })
     val valid = Mp4Demux.buildFixture((0 until 4).map(j => s"s$j".getBytes))
     (0 until 400).foreach { i =>
-      Mp4Demux.demux(randomBytes(rnd.nextInt(200)))
+      inBounds(randomBytes(rnd.nextInt(200)))
       val mut = valid.clone()
       mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
-      Mp4Demux.demux(mut)
-      Mp4Demux.demux(valid.take(rnd.nextInt(valid.length)))
+      inBounds(mut)
+      inBounds(valid.take(rnd.nextInt(valid.length)))
     }
   }
 

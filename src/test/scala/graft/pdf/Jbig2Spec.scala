@@ -329,6 +329,28 @@ class Jbig2Spec extends AnyFunSuite {
     assert(huffMmr._3.toSeq == arith._3.toSeq)
   }
 
+  test("runcode 32 after a 33/34 zero-run repeats ZERO, not the stale pre-run length (§7.4.3.1.2)") {
+    // 7-symbol pool, only symbol 0 carries a code: length 1 directly,
+    // then a 3-zero run (code 33), then code 32 ×3 — which must repeat
+    // the zero fill. A decoder repeating the stale pre-run length 1
+    // would give four length-1 codes (an invalid prefix code) and
+    // could never reproduce the page.
+    val syms = Vector.tabulate(7)(k =>
+      bitmap(3, 2)((x, y) => (x + y + k) % 2 == 0))
+    val instances = Seq(
+      Jbig2.TextInstance(0, 1, 1), Jbig2.TextInstance(0, 8, 3),
+      Jbig2.TextInstance(0, 15, 0))
+    val (w, h) = (20, 8)
+    val script = Seq((1, 0), (33, 3), (32, 3))
+    val arith = Jbig2.decodeEmbedded(Array.emptyByteArray,
+      Jbig2.buildEmbeddedText(w, h, syms, instances))
+    val huff = Jbig2.decodeEmbedded(Array.emptyByteArray,
+      Jbig2.buildEmbeddedTextHuff(w, h, syms, instances, symLenRuns = script))
+    assert(huff._1 == arith._1 && huff._2 == arith._2)
+    assert(huff._3.toSeq == arith._3.toSeq,
+      "zero-run + repeat-run symbol-ID lengths must reproduce the page")
+  }
+
   test("standard text-table selectors are a DECLARED error (B.6-B.13 out of scope)") {
     val syms = Vector(bitmap(3, 2)((x, y) => (x + y) % 2 == 0))
     val body = Jbig2.encodeTextRegionHuff(10, 6, Seq(Jbig2.TextInstance(0, 1, 1)), syms)
