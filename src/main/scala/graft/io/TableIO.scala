@@ -137,6 +137,11 @@ object TableIO {
     * in-order: "\\\"" is backslash-then-quote-terminator, not
     * escaped-quote). */
   private def parseJsonStringArray(s: String): Seq[String] = {
+    // every read is bounds-checked: a TRUNCATED manifest (unterminated
+    // string, trailing backslash, short \u escape) must be a declared
+    // manifest-corruption error, not a raw StringIndexOutOfBounds
+    def bad(what: String): Nothing =
+      throw new IllegalStateException(s"corrupt snapshot manifest: $what")
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var i = 0
     while (i < s.length) {
@@ -145,13 +150,19 @@ object TableIO {
         i += 1
         var done = false
         while (!done) {
+          if (i >= s.length) bad("unterminated string")
           s.charAt(i) match {
             case '"' => done = true; i += 1
             case '\\' =>
+              if (i + 1 >= s.length) bad("trailing backslash")
               s.charAt(i + 1) match {
                 case 'n' => sb.append('\n'); i += 2
                 case 'u' =>
-                  sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+                  if (i + 6 > s.length) bad("short \\u escape")
+                  val hex = s.substring(i + 2, i + 6)
+                  if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                    bad(s"bad \\u escape '$hex'")
+                  sb.append(Integer.parseInt(hex, 16).toChar)
                   i += 6
                 case c => sb.append(c); i += 2 // \" \\ and any future pass-through
               }

@@ -1235,7 +1235,7 @@ object Jbig2 {
   }
 
   final case class Segment(number: Long, segType: Int, pageAssoc: Long,
-      data: Array[Byte])
+      data: Array[Byte], refs: Vector[Long] = Vector.empty)
 
   /** Parse an embedded-format segment sequence (no file header). */
   def parseSegments(b: Array[Byte]): Vector[Segment] = {
@@ -1271,6 +1271,20 @@ object Jbig2 {
       // past the end after a hostile count walk
       if (qAfterRefs + (if (pageAssoc4) 4 else 1) + 4 > b.length)
         throw new Jbig2Exception("JBIG2: truncated segment header")
+      // the referred-to segment NUMBERS carry the custom-table (and
+      // dictionary) wiring — consuming segments see only the tables
+      // they refer to, in referred order (§7.4.3.1.6)
+      val refs = Vector.newBuilder[Long]
+      var ri = 0
+      while (ri < count) {
+        val rp = q + ri * refSize
+        refs += (refSize match {
+          case 1 => u8(rp).toLong
+          case 2 => u16(rp).toLong
+          case _ => u32(rp)
+        })
+        ri += 1
+      }
       q = qAfterRefs.toInt
       val pageAssoc = if (pageAssoc4) { val v = u32(q); q += 4; v }
       else { val v = u8(q).toLong; q += 1; v }
@@ -1279,7 +1293,8 @@ object Jbig2 {
         throw new Jbig2Exception("JBIG2: unknown segment data length unsupported")
       if (q + dataLen > b.length)
         throw new Jbig2Exception("JBIG2: segment data past end of stream")
-      out += Segment(number, segType, pageAssoc, b.slice(q, q + dataLen.toInt))
+      out += Segment(number, segType, pageAssoc, b.slice(q, q + dataLen.toInt),
+        refs.result())
       p = q + dataLen.toInt
     }
     out.result()
@@ -1341,32 +1356,36 @@ object Jbig2 {
     unsupported.foreach(s => throw new Jbig2Exception(
       s"JBIG2: unsupported segment type ${s.segType} (halftone/refinement)"))
     // walk in stream order: symbol dictionaries grow the symbol pool;
-    // text regions consume it. Scope: per-segment referred-to wiring
-    // is not tracked, so a text region sees THE dictionary — with
-    // several dictionaries the encoder's SBSYMCODELEN (sized from the
+    // text regions consume it. Scope: SYMBOL wiring is still
+    // pool-level (a text region sees THE dictionary) — with several
+    // dictionaries the encoder's SBSYMCODELEN (sized from the
     // referred subset) would disagree with a pool-sized decode and
     // every symbol ID would silently desynchronize; that case must be
-    // the DECLARED error, not wrong pixels.
+    // the DECLARED error, not wrong pixels. Custom-TABLE wiring is
+    // per-segment via the referred-to list (below).
     var pool = Vector.empty[Bitmap]
     var dictCount = 0
-    // custom Huffman tables (type 53) in STREAM order; each consuming
-    // segment assigns them to its custom selectors in selector order —
-    // the same simplification as the single-dictionary scope (per-
-    // segment referred-to wiring is not tracked)
-    var tables = Vector.empty[HuffTable]
+    // custom Huffman tables (type 53) keyed by segment NUMBER; a
+    // consuming segment sees exactly the tables it refers to, in
+    // referred order (§7.4.3.1.6) — so a symbol dict and a text
+    // region with distinct custom tables in one stream each bind
+    // their own, never each other's
+    var tableByNum = Map.empty[Long, HuffTable]
+    def refTables(s: Segment): Vector[HuffTable] =
+      s.refs.flatMap(tableByNum.get)
     val regions = Vector.newBuilder[Region]
     segs.foreach { s =>
       s.segType match {
         case 0 =>
-          pool = pool ++ decodeSymbolDict(s.data, tables)
+          pool = pool ++ decodeSymbolDict(s.data, refTables(s))
           dictCount += 1
         case 4 | 6 | 7 =>
           if (dictCount > 1)
             throw new Jbig2Exception(
               "JBIG2: multi-dictionary text streams unsupported (referred-to wiring not tracked)")
-          regions += decodeTextRegion(s.data, pool, tables)
+          regions += decodeTextRegion(s.data, pool, refTables(s))
         case 36 | 38 | 39 => regions += decodeRegionSegment(s.data)
-        case 53 => tables = tables :+ parseTableSegment(s.data)
+        case 53 => tableByNum += (s.number -> parseTableSegment(s.data))
         case _ => ()
       }
     }
@@ -1630,9 +1649,41 @@ object Jbig2 {
     writeSegment(out, 3, 53, 1, Nil, fixtureDsTable)
     writeSegment(out, 4, 53, 1, Nil, fixtureDtTable)
     writeSegment(out, 5, 0, 1, Nil, encodeSymbolDictHuff(syms, mmr))
-    writeSegment(out, 6, 6, 1, Seq(5L),
+    // the text region REFERS to its three custom tables (FS, DS, DT
+    // in selector order) and the dictionary — table binding follows
+    // the referred-to list, not stream position
+    writeSegment(out, 6, 6, 1, Seq(2L, 3L, 4L, 5L),
       encodeTextRegionHuff(w, h, instances, syms, symLenRuns))
     writeSegment(out, 7, 49, 1, Nil, Array.emptyByteArray)
+    out.toArray
+  }
+
+  /** Fixture: BOTH the symbol dictionary and the text region bind
+    * CUSTOM tables in one stream — decodable only with real
+    * referred-to wiring (a shared stream-ordered table pool would
+    * bind the dict's DH/DW tables to the region's FS/DS selectors).
+    * `dhTable`/`dwTable` are custom table-segment bodies for the
+    * dict; the region uses the standard fixture FS/DS/DT tables. */
+  def buildEmbeddedTextHuffCustomDict(w: Int, h: Int, syms: Vector[Bitmap],
+      instances: Seq[TextInstance], dhTable: Array[Byte],
+      dwTable: Array[Byte]): Array[Byte] = {
+    val out = ArrayBuffer[Byte]()
+    val pageInfo = be32(w.toLong) ++ be32(h.toLong) ++
+      be32(0) ++ be32(0) ++ Array[Byte](0) ++ Array[Byte](0, 0)
+    writeSegment(out, 1, 48, 1, Nil, pageInfo)
+    writeSegment(out, 2, 53, 1, Nil, dhTable)
+    writeSegment(out, 3, 53, 1, Nil, dwTable)
+    writeSegment(out, 4, 53, 1, Nil, fixtureFsTable)
+    writeSegment(out, 5, 53, 1, Nil, fixtureDsTable)
+    writeSegment(out, 6, 53, 1, Nil, fixtureDtTable)
+    // selector-0 encoding, then flip DH and DW to CUSTOM (3):
+    // flags low byte = SDHUFF(1) | DH=3<<2 | DW=3<<4
+    val dictBody = encodeSymbolDictHuff(syms).clone()
+    dictBody(1) = 0x3D.toByte
+    writeSegment(out, 7, 0, 1, Seq(2L, 3L), dictBody)
+    writeSegment(out, 8, 6, 1, Seq(4L, 5L, 6L, 7L),
+      encodeTextRegionHuff(w, h, instances, syms))
+    writeSegment(out, 9, 49, 1, Nil, Array.emptyByteArray)
     out.toArray
   }
 

@@ -113,6 +113,30 @@ class TableIOSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"paths mangled: ${snap.dataFiles}")
   }
 
+  test("TRUNCATED snapshot manifest is a declared corruption error, not an index crash") {
+    // a commit cut mid-write (unterminated string / trailing backslash /
+    // short \u escape) must surface as a descriptive manifest error
+    val dir = tmpDir("tio-corrupt")
+    val md = java.nio.file.Paths.get(TableIO.metadataDir(dir))
+    Files.createDirectories(md)
+    def write(body: String): Unit =
+      Files.write(md.resolve("v1.json"),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val head = """{"version":1,"parent_version":0,"committed_at":5,"data_files":["""
+    Seq("\"data/unterminated", "\"data/trailing\\", "\"data/short\\u00")
+      .foreach { frag =>
+        write(head + frag + "]}")
+        val e = intercept[IllegalStateException] {
+          TableIO.readSnapshot(dir, 1)
+        }
+        assert(e.getMessage.contains("corrupt snapshot manifest"),
+          s"got: ${e.getMessage}")
+      }
+    // sanity: a well-formed manifest still parses
+    write(head + "\"data/ok-part.parquet\"]}")
+    assert(TableIO.readSnapshot(dir, 1).dataFiles == Seq("data/ok-part.parquet"))
+  }
+
   test("job resume after kill continues the version chain, not forks it") {
     val table = tmpDir("graft-snapresume")
     val input = corpusDf(16)

@@ -351,6 +351,39 @@ class Jbig2Spec extends AnyFunSuite {
       "zero-run + repeat-run symbol-ID lengths must reproduce the page")
   }
 
+  test("dict AND region custom tables in ONE stream bind per referred-to wiring, not stream order") {
+    // the dict's DH/DW tables precede the region's FS/DS/DT tables in
+    // the stream; a shared stream-ordered pool (each consumer
+    // restarting at index 0) would hand the region the dict's tables
+    // and corrupt — or error — the decode. Referred-to wiring binds
+    // each segment exactly the tables it names.
+    val syms = Vector(
+      bitmap(3, 2)((x, y) => (x + y) % 2 == 0),
+      bitmap(4, 3)((x, y) => x == 0 || y == 2),
+      bitmap(5, 4)((x, y) => (x * y) % 3 == 0))
+    val instances = Seq(
+      Jbig2.TextInstance(0, 1, 1), Jbig2.TextInstance(2, 10, 0),
+      Jbig2.TextInstance(1, 20, 2), Jbig2.TextInstance(1, 2, 8))
+    val (w, h) = (26, 14)
+    // custom DH/DW tables reproducing B.4/B.2's ranges and codes (as
+    // in the SYMBOL-dict selector test) so the selector-0-encoded
+    // dict body decodes identically through the custom route
+    val dhTable = Jbig2.encodeTableSegment(
+      Seq((1, 0), (2, 0), (3, 0), (4, 3), (5, 6)), low = 1, high = 76,
+      lowerPref = 6, upperPref = 5)
+    val dwTable = Jbig2.encodeTableSegment(
+      Seq((1, 0), (2, 0), (3, 0), (4, 3), (5, 6)), low = 0, high = 75,
+      lowerPref = 7, upperPref = 6, oobPref = 6)
+    val arith = Jbig2.decodeEmbedded(Array.emptyByteArray,
+      Jbig2.buildEmbeddedText(w, h, syms, instances))
+    val got = Jbig2.decodeEmbedded(Array.emptyByteArray,
+      Jbig2.buildEmbeddedTextHuffCustomDict(w, h, syms, instances,
+        dhTable, dwTable))
+    assert(got._1 == arith._1 && got._2 == arith._2)
+    assert(got._3.toSeq == arith._3.toSeq,
+      "custom-dict + custom-region stream must reproduce the arithmetic page")
+  }
+
   test("standard text-table selectors are a DECLARED error (B.6-B.13 out of scope)") {
     val syms = Vector(bitmap(3, 2)((x, y) => (x + y) % 2 == 0))
     val body = Jbig2.encodeTextRegionHuff(10, 6, Seq(Jbig2.TextInstance(0, 1, 1)), syms)
