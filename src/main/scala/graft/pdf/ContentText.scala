@@ -235,14 +235,31 @@ object ContentText {
   }
 
   /** Extract the text of one page per the pinned reassembly rule. */
-  def extractPageText(doc: PdfDocument, page: PDict): String =
-    extractPageTextCounted(doc, page)._1
+  /** Depth cap on Form-XObject recursion (a hostile chain of forms
+    * must terminate; real documents nest shallowly). */
+  val MaxFormDepth = 8
+
+  def extractPageText(doc: PdfDocument, page: PDict,
+      recurseForms: Boolean = false): String =
+    extractPageTextCounted(doc, page, recurseForms)._1
 
   /** [[extractPageText]] plus the page's `unmapped_codes` count —
     * bytes/CIDs the font's encoding left undefined (decoded as U+FFFD,
     * tallied so a Standard/MacRoman high-range document degrades
-    * VISIBLY in metrics instead of silently losing glyphs). */
-  def extractPageTextCounted(doc: PdfDocument, page: PDict): (String, Long) = {
+    * VISIBLY in metrics instead of silently losing glyphs).
+    *
+    * `recurseForms = true` is a DECLARED EXTENSION: a `Do` of a
+    * `/Subtype /Form` XObject executes the form's content stream at
+    * that point (its own `/Resources`, falling back to the caller's
+    * per §8.10.1; the current font carries in), so letterheads /
+    * stamps / generated-PDF form text contributes. The parity default
+    * stays page-stream-only, matching the reference's lopdf
+    * `extract_text` blindness
+    * (/root/reference/extractor/src/engine/mod.rs:100-103). Cycles
+    * (self- or mutually-referencing forms) and chains deeper than
+    * [[MaxFormDepth]] drop the recursive `Do` — never a hang. */
+  def extractPageTextCounted(doc: PdfDocument, page: PDict,
+      recurseForms: Boolean = false): (String, Long) = {
     val streams: Vector[Array[Byte]] = doc.dictGet(page, "Contents") match {
       case s: PStream => Vector(doc.streamData(s).getOrElse(Array.emptyByteArray))
       case PArr(xs) =>
@@ -266,31 +283,14 @@ object ContentText {
         out
       }
 
-    // font name → decoder, resolved lazily from /Resources /Font
-    val fontDict: Map[String, PdfObj] = doc.dictGet(page, "Resources") match {
-      case r: PDict => doc.dictGet(r, "Font") match {
-        case f: PDict => f.m
-        case _        => Map.empty
-      }
-      case _ => Map.empty
-    }
-    val decoders = mutable.HashMap.empty[String, FontDecoder]
-    def decoderFor(name: String): FontDecoder =
-      decoders.getOrElseUpdate(name, fontDict.get(name).map(doc.resolve) match {
-        case Some(f: PDict) => fontDecoder(doc, f)
-        case _              => stdDecoder
-      })
-
-    val toks = new Lexer(content, 0).tokenizeContent()
     val sb = new java.lang.StringBuilder
-    var curFont = ""
-    var leading = 0.0
-    var lineY = 0.0
+    val unmapped = new UnmappedCounter
+    // show-state is SHARED across the page and its forms (the form's
+    // text lands inline at the Do point); text-position state is
+    // per-stream
     var lastShowY = 0.0
     var hasShown = false
-    val operands = mutable.ArrayBuffer.empty[PdfObj]
-
-    def show(text: String): Unit = {
+    def show(text: String, lineY: Double): Unit = {
       if (text.nonEmpty) {
         if (hasShown && lineY != lastShowY) sb.append('\n')
         sb.append(text)
@@ -298,40 +298,98 @@ object ContentText {
         lastShowY = lineY
       }
     }
-    val unmapped = new UnmappedCounter
-    def dec(s: PStr): String = decoderFor(curFont).decode(s.bytes, unmapped)
-    def num(o: PdfObj): Double = o.asNum.getOrElse(0.0)
+    // forms on the recursion STACK by object number — a self- or
+    // mutually-referencing form terminates (the guard drops the Do)
+    val visiting = mutable.HashSet.empty[Int]
 
-    toks.foreach {
-      case op: POp =>
-        op.op match {
-          case "BT" => lineY = 0.0
-          case "ET" =>
-          case "Tf" => operands.headOption.foreach { case PName(n) => curFont = n; case _ => () }
-          case "TL" => if (operands.nonEmpty) leading = num(operands(0))
-          case "Td" => if (operands.length >= 2) lineY += num(operands(1))
-          case "TD" => if (operands.length >= 2) { leading = -num(operands(1)); lineY += num(operands(1)) }
-          case "Tm" => if (operands.length >= 6) lineY = num(operands(5))
-          case "T*" => lineY -= leading
-          case "Tj" => operands.headOption.foreach { case s: PStr => show(dec(s)); case _ => () }
-          case "'" =>
-            lineY -= leading
-            operands.headOption.foreach { case s: PStr => show(dec(s)); case _ => () }
-          case "\"" =>
-            lineY -= leading
-            operands.lastOption.foreach { case s: PStr => show(dec(s)); case _ => () }
-          case "TJ" =>
-            operands.headOption.foreach {
-              case PArr(items) =>
-                val text = items.collect { case s: PStr => dec(s) }.mkString // numbers: no space (pin)
-                show(text)
-              case _ => ()
-            }
-          case _ => // graphics / color / marked-content operators: ignored
+    def mapOf(res: Option[PDict], key: String): Map[String, PdfObj] =
+      res match {
+        case Some(r) => doc.dictGet(r, key) match {
+          case f: PDict => f.m
+          case _        => Map.empty
         }
-        operands.clear()
-      case operand => operands += operand
+        case None => Map.empty
+      }
+
+    def walk(content: Array[Byte], res: Option[PDict], startFont: String,
+        depth: Int): Unit = {
+      // font name → decoder, resolved lazily from THIS stream's
+      // /Resources /Font (forms scope their own resources)
+      val fontDict = mapOf(res, "Font")
+      val xobjDict =
+        if (recurseForms) mapOf(res, "XObject") else Map.empty[String, PdfObj]
+      val decoders = mutable.HashMap.empty[String, FontDecoder]
+      def decoderFor(name: String): FontDecoder =
+        decoders.getOrElseUpdate(name, fontDict.get(name).map(doc.resolve) match {
+          case Some(f: PDict) => fontDecoder(doc, f)
+          case _              => stdDecoder
+        })
+
+      val toks = new Lexer(content, 0).tokenizeContent()
+      var curFont = startFont
+      var leading = 0.0
+      var lineY = 0.0
+      val operands = mutable.ArrayBuffer.empty[PdfObj]
+      def dec(s: PStr): String = decoderFor(curFont).decode(s.bytes, unmapped)
+      def num(o: PdfObj): Double = o.asNum.getOrElse(0.0)
+
+      def doForm(name: String): Unit = {
+        val ref = xobjDict.get(name)
+        val objNum = ref match { case Some(PRef(n, _)) => Some(n); case _ => None }
+        ref.map(doc.resolve).foreach {
+          case s: PStream if doc.dictGet(s.dict, "Subtype") == PName("Form") =>
+            if (depth < MaxFormDepth && objNum.forall(visiting.add)) {
+              try {
+                val formRes = doc.dictGet(s.dict, "Resources") match {
+                  case r: PDict => Some(r)
+                  case _        => res // §8.10.1: absent → caller's scope
+                }
+                doc.streamData(s).foreach(d => walk(d, formRes, curFont, depth + 1))
+              } finally objNum.foreach(visiting.remove)
+            }
+          case _ => () // image XObjects: handled by the media path
+        }
+      }
+
+      toks.foreach {
+        case op: POp =>
+          op.op match {
+            case "BT" => lineY = 0.0
+            case "ET" =>
+            case "Tf" => operands.headOption.foreach { case PName(n) => curFont = n; case _ => () }
+            case "TL" => if (operands.nonEmpty) leading = num(operands(0))
+            case "Td" => if (operands.length >= 2) lineY += num(operands(1))
+            case "TD" => if (operands.length >= 2) { leading = -num(operands(1)); lineY += num(operands(1)) }
+            case "Tm" => if (operands.length >= 6) lineY = num(operands(5))
+            case "T*" => lineY -= leading
+            case "Tj" => operands.headOption.foreach { case s: PStr => show(dec(s), lineY); case _ => () }
+            case "'" =>
+              lineY -= leading
+              operands.headOption.foreach { case s: PStr => show(dec(s), lineY); case _ => () }
+            case "\"" =>
+              lineY -= leading
+              operands.lastOption.foreach { case s: PStr => show(dec(s), lineY); case _ => () }
+            case "TJ" =>
+              operands.headOption.foreach {
+                case PArr(items) =>
+                  val text = items.collect { case s: PStr => dec(s) }.mkString // numbers: no space (pin)
+                  show(text, lineY)
+                case _ => ()
+              }
+            case "Do" if recurseForms =>
+              operands.headOption.foreach { case PName(n) => doForm(n); case _ => () }
+            case _ => // graphics / color / marked-content operators: ignored
+          }
+          operands.clear()
+        case operand => operands += operand
+      }
     }
+
+    val pageRes = doc.dictGet(page, "Resources") match {
+      case r: PDict => Some(r)
+      case _        => None
+    }
+    walk(content, pageRes, "", 0)
     (sb.toString, unmapped.n)
   }
 

@@ -220,6 +220,49 @@ object PdfBuilder {
     s"BT /F1 12 Tf 72 720 Td [$arr] TJ ET"
   }
 
+  /** Document whose page shows text, then `Do`s a Form XObject
+    * carrying its own text under its OWN `/Resources` — the
+    * text-inside-forms class (letterheads, stamps, generated PDFs)
+    * a page-stream-only walk cannot see. Options:
+    * `nestedText` — the form `Do`s a second, nested form (depth-2
+    * chain, resources inherited from the outer form per §8.10.1);
+    * `cyclic` — the form `Do`s ITSELF, so extraction must terminate
+    * via the visited guard. Object layout: 1-3 header, 4 page,
+    * 5 content, 6 form, 7 nested form (when present). */
+  def withFormXObject(pageText: String, formText: String,
+      nestedText: Option[String] = None,
+      cyclic: Boolean = false): Array[Byte] = {
+    require(!(cyclic && nestedText.isDefined), "pick one topology")
+    val b = new Builder
+    writeHeaderObjects(b, 1)
+    b.obj(4) {
+      b.raw("<< /Type /Page /Parent 2 0 R /Contents 5 0 R " +
+        "/Resources << /Font << /F1 3 0 R >> /XObject << /Fm0 6 0 R >> >> >>")
+    }
+    b.streamObj(5, "",
+      s"${tjLine(pageText)}\n/Fm0 Do".getBytes(ISO_8859_1))
+    val innerRef =
+      if (nestedText.isDefined) " /XObject << /Fm1 7 0 R >>"
+      else if (cyclic) " /XObject << /Fm1 6 0 R >>"
+      else ""
+    val formBody =
+      if (nestedText.isDefined || cyclic) s"${tjLine(formText, 700)}\n/Fm1 Do"
+      else tjLine(formText, 700)
+    b.streamObj(6,
+      "/Type /XObject /Subtype /Form /BBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >>$innerRef >>",
+      formBody.getBytes(ISO_8859_1))
+    // the nested form has NO /Resources of its own: it inherits the
+    // caller's scope (§8.10.1 fallback) — the /F1 it names resolves
+    // through form 6's resources
+    nestedText.foreach { t =>
+      b.streamObj(7,
+        "/Type /XObject /Subtype /Form /BBox [0 0 612 792]",
+        tjLine(t, 680).getBytes(ISO_8859_1))
+    }
+    writeClassicXref(b)
+  }
+
   /** Document whose body objects live in a /Type /ObjStm object stream
     * addressed through a Flate+predictor-12 xref stream (§7.5.7-7.5.8).
     * Content stream stays top-level (streams cannot be compressed

@@ -324,6 +324,19 @@ object Oracles {
         |FROM range(24) t(i)
         |ORDER BY id""".stripMargin,
 
+    "pdfz_form_text" ->
+      // closed-form expected text for the three form topologies; the
+      // parity column re-derives the page-stream-only decode
+      """SELECT i AS id,
+        | CASE i % 3 WHEN 0 THEN 'plain' WHEN 1 THEN 'nested' ELSE 'cyclic' END AS mode,
+        | md5('body text ' || CAST(i AS VARCHAR) || chr(10)
+        |   || 'stamp ' || CAST(i * 7 AS VARCHAR)
+        |   || CASE i % 3 WHEN 1 THEN chr(10) || 'inner ' || CAST(i + 100 AS VARCHAR)
+        |      ELSE '' END) AS form_text_md5,
+        | md5('body text ' || CAST(i AS VARCHAR)) AS parity_text_md5
+        |FROM range(12) t(i)
+        |ORDER BY id""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

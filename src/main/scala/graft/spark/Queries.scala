@@ -287,6 +287,41 @@ object Queries {
       .orderBy("id")
   }
 
+  /** FORM-XOBJECT text extraction, oracle-pinned (DECLARED EXTENSION
+    * — the reference's lopdf `extract_text` walks only the page's own
+    * content streams, engine/mod.rs:100-103): deterministic documents
+    * cycling the three form topologies — a plain form, a depth-2
+    * nested chain (inner form inheriting resources per §8.10.1), and
+    * a SELF-REFERENCING form whose recursive `Do` the visited guard
+    * must drop. Both the extension decode (forms recursed) and the
+    * parity decode (page-stream-only) are emitted, witnessing that
+    * parity semantics stay untouched while the extension sees the
+    * stamp text. The DuckDB twin recomputes both md5s from the same
+    * closed-form strings. */
+  def pdfzFormText(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).repartition(4).map { id =>
+      val page = s"body text $id"
+      val form = s"stamp ${id * 7}"
+      val (mode, pdf) = (id % 3) match {
+        case 0 => ("plain", graft.pdf.PdfBuilder.withFormXObject(page, form))
+        case 1 => ("nested", graft.pdf.PdfBuilder.withFormXObject(page, form,
+          nestedText = Some(s"inner ${id + 100}")))
+        case _ => ("cyclic", graft.pdf.PdfBuilder.withFormXObject(page, form,
+          cyclic = true))
+      }
+      val doc = graft.pdf.PdfDocument.load(pdf)
+      val ext = graft.pdf.ContentText.extractPageText(doc, doc.pages.head,
+        recurseForms = true)
+      val par = graft.pdf.ContentText.extractPageText(doc, doc.pages.head)
+      (id, mode, ext, par)
+    }.toDF("id", "mode", "ext", "par")
+      .select(col("id"), col("mode"),
+        md5(col("ext")).as("form_text_md5"),
+        md5(col("par")).as("parity_text_md5"))
+      .orderBy("id")
+  }
+
   /** ENCRYPTED-PDF extraction, oracle-pinned: 12 documents through
     * the ISO 32000 standard security handler (empty user password —
     * the openable-but-encrypted web-PDF class the reference fails
@@ -1402,6 +1437,7 @@ object Queries {
     "pdfz_images_jbig2_huff" -> (pdfzImagesJbig2Huff _),
     "pdfz_encrypted" -> (pdfzEncrypted _),
     "pdfz_encodings" -> (pdfzEncodings _),
+    "pdfz_form_text" -> (pdfzFormText _),
     "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),

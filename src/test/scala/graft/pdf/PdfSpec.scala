@@ -244,4 +244,30 @@ class PdfSpec extends AnyFunSuite {
     assert(text.contains("before image") && text.contains("after image"))
     assert(!text.contains("Tj"), "binary decoy must not leak into text")
   }
+
+  test("pdf_form_xobject: Do of a /Subtype /Form contributes its text (extension), parity stays blind") {
+    val pdf = PdfBuilder.withFormXObject("body text", "letterhead stamp")
+    val doc = PdfDocument.load(pdf)
+    // extension mode: the form's text lands inline at the Do point,
+    // on its own line (different Td y)
+    assert(ContentText.extractPageText(doc, doc.pages.head, recurseForms = true)
+      == "body text\nletterhead stamp")
+    // parity default: page-stream-only, like the reference's lopdf walk
+    assert(ContentText.extractPageText(doc, doc.pages.head) == "body text")
+  }
+
+  test("pdf_form_nested: a form Do'ing a second form recurses; inner /Resources inherit (§8.10.1)") {
+    val pdf = PdfBuilder.withFormXObject("body", "outer form",
+      nestedText = Some("inner form"))
+    val doc = PdfDocument.load(pdf)
+    assert(ContentText.extractPageText(doc, doc.pages.head, recurseForms = true)
+      == "body\nouter form\ninner form")
+  }
+
+  test("pdf_form_cycle: a self-referencing form TERMINATES — visited guard drops the recursive Do") {
+    val pdf = PdfBuilder.withFormXObject("body", "once only", cyclic = true)
+    val doc = PdfDocument.load(pdf)
+    assert(ContentText.extractPageText(doc, doc.pages.head, recurseForms = true)
+      == "body\nonce only")
+  }
 }
