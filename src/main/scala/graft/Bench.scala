@@ -358,6 +358,7 @@ object Bench {
       "dedup_minhash_star", "dedup_bloom_incremental", "dedup_jaccard", "dedup_jaccard_capped", "dedup_cdc_chunks", "dedup_exact_substring", "dedup_decontaminate", "dedup_simhash",
       "dedup_simhash_star", "dedup_simhash64", "dedup_embedding", "dedup_embedding_star",
       "dedup_components", "dedup_components_star", "dedup_components_star_chain",
+      "dedup_components_star_adaptive",
       "dedup_containment",
       "pipeline_clean_corpus", "pipeline_seq_pack", "sim_topk_brute", "sim_topk_lsh",
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans",

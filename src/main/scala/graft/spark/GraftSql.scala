@@ -33,7 +33,8 @@ object GraftSql {
     * Views created (all prefixed, default `graft_`):
     * exact_groups, minhash_pairs, minhash_star_pairs,
     * jaccard_capped_pairs, containment_pairs, simhash_star_pairs,
-    * exact_substring_spans, seq_pack, components, components_star. */
+    * exact_substring_spans, seq_pack, components, components_star,
+    * components_star_adaptive (labels + `rounds_used`). */
   def registerDedupViews(spark: SparkSession, docsView: String,
       prefix: String = "graft_"): Unit = {
     val docs = spark.table(docsView)
@@ -56,6 +57,11 @@ object GraftSql {
     Dedup.components(star, checkpointRounds = true)
       .createOrReplaceTempView(s"${prefix}components")
     Dedup.componentsStar(star).createOrReplaceTempView(s"${prefix}components_star")
+    // adaptive variant: rounds run to the fixpoint at registration and
+    // the data-dependent count rides every row as `rounds_used`
+    val (adaptive, roundsUsed) = Dedup.componentsStarAdaptive(star)
+    adaptive.withColumn("rounds_used", org.apache.spark.sql.functions.lit(roundsUsed))
+      .createOrReplaceTempView(s"${prefix}components_star_adaptive")
   }
 
   /** Register the ANN views over `embView(vec_id, embedding)`:

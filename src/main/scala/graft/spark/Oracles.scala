@@ -709,6 +709,41 @@ object Oracles {
          | UNION ALL SELECT a, a FROM es5) GROUP BY doc_id
          |ORDER BY doc_id""".stripMargin,
 
+    "dedup_components_star_adaptive" -> {
+      // same chain graph, but the ROUND COUNT is part of the contract:
+      // replay star rounds to the engine's maxRounds bound (8) and
+      // detect the first round-over-round fixpoint with the identical
+      // count + set-difference probes the Spark loop runs; labels read
+      // off es8 (≡ the fixpoint — a converged star forest reproduces
+      // itself, so every later round is a no-op)
+      val eqs = (1 to 8).map { k =>
+        s"((SELECT count(*) FROM es$k) = (SELECT count(*) FROM es${k - 1}) AND " +
+          s"NOT EXISTS (SELECT 1 FROM (SELECT a, b FROM es$k EXCEPT SELECT a, b FROM es${k - 1}))) AS e$k"
+      }.mkString(", ")
+      val cases = (1 to 8).map(k => s"WHEN e$k THEN $k").mkString(" ")
+      s"""WITH ids AS (SELECT doc_id FROM documents),
+         |chain AS (SELECT a.doc_id AS a, a.doc_id + 1 AS b
+         |  FROM ids a JOIN ids b ON b.doc_id = a.doc_id + 1
+         |  WHERE a.doc_id % 32 <> 31),
+         |es0 AS MATERIALIZED (SELECT DISTINCT a, b FROM chain),
+         |${starRound(1, "es0")},
+         |${starRound(2, "es1")},
+         |${starRound(3, "es2")},
+         |${starRound(4, "es3")},
+         |${starRound(5, "es4")},
+         |${starRound(6, "es5")},
+         |${starRound(7, "es6")},
+         |${starRound(8, "es7")},
+         |eqs AS (SELECT $eqs),
+         |ru AS (SELECT CAST(CASE $cases ELSE 8 END AS INTEGER) AS rounds_used FROM eqs)
+         |SELECT l.doc_id, l.component, r.rounds_used FROM (
+         | SELECT doc_id, min(component) AS component FROM (
+         |  SELECT b AS doc_id, a AS component FROM es8
+         |  UNION ALL SELECT a, a FROM es8) GROUP BY doc_id) l
+         |CROSS JOIN ru r
+         |ORDER BY l.doc_id""".stripMargin
+    },
+
     "pipeline_clean_corpus" ->
       s"""WITH $docsPlus,
          |${qualityCte("docs_plus", "qual")},

@@ -949,6 +949,29 @@ object Queries {
     Dedup.componentsStar(chain, rounds = 5).orderBy("doc_id")
   }
 
+  /** CONVERGENCE-ADAPTIVE components over the same diameter-31 chain
+    * graph as [[dedupComponentsStarChain]] — the production shape when
+    * the graph's diameter is unknown:
+    * [[Dedup.componentsStarAdaptive]] runs large-star/small-star
+    * rounds until the edge set reaches its fixpoint (a converged
+    * min-rooted star forest reproduces itself exactly) instead of a
+    * caller-guessed schedule, and SURFACES the data-dependent round
+    * count as a `rounds_used` output column — the lineage/metrics
+    * contract the fixed-round twin can't carry. On this chain the
+    * schedule is 5 productive rounds + 1 confirming no-op = 6; the
+    * DuckDB twin replays the rounds AND detects the first
+    * round-over-round fixpoint with the same count + set-difference
+    * probes, so `rounds_used` itself is oracle-checked, not asserted. */
+  def dedupComponentsStarAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val ids = rd(s, dir, "documents").select(col("doc_id"))
+    val cand = ids.where(col("doc_id") % 32 =!= 31)
+      .select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"))
+    val chain = cand.join(ids.select(col("doc_id").as("b_id")), Seq("b_id"), "left_semi")
+      .select("a_id", "b_id")
+    val (labels, rounds) = Dedup.componentsStarAdaptive(chain, maxRounds = 8)
+    labels.withColumn("rounds_used", lit(rounds)).orderBy("doc_id")
+  }
+
   /** MinHash CLUSTER signatures: element-wise min of member signatures
     * per bucket — the signature-merge that lets re-clustering run over
     * cluster representatives instead of members (custom ArrayMinAgg
@@ -1473,6 +1496,7 @@ object Queries {
     "dedup_components" -> (dedupComponents _),
     "dedup_components_star" -> (dedupComponentsStar _),
     "dedup_components_star_chain" -> (dedupComponentsStarChain _),
+    "dedup_components_star_adaptive" -> (dedupComponentsStarAdaptive _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "dedup_exact_substring" -> (dedupExactSubstring _),
     "dedup_decontaminate" -> (dedupDecontaminate _),

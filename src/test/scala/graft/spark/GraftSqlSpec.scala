@@ -47,6 +47,18 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(rows("SELECT * FROM graft_seq_pack") ==
       graft.operators.Packing.sequencePack(docs, seqLen = 128, nShards = 8)
         .collect().map(_.toSeq).toSet)
+    // adaptive view: labels ≡ the fixed-round fixpoint, and every row
+    // carries the data-dependent round count (star pairs are
+    // near-stars — converges in 1 productive round + the confirm)
+    val adaptiveRows = spark.sql(
+      "SELECT doc_id, component, rounds_used FROM graft_components_star_adaptive")
+      .collect()
+    assert(adaptiveRows.map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Dedup.componentsStar(Dedup.minhashLshStarPairs(docs))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val ru = adaptiveRows.map(_.getInt(2)).distinct
+    assert(ru.length == 1 && ru.head >= 1 && ru.head <= 3,
+      s"expected a small adaptive round count on a near-star graph, got ${ru.toSeq}")
     // views COMPOSE with plain SQL (join a view against the source)
     val joined = spark.sql(
       """SELECT c.component, count(*) AS n
