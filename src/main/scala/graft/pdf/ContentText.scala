@@ -321,8 +321,18 @@ object ContentText {
       val decoders = mutable.HashMap.empty[String, FontDecoder]
       def decoderFor(name: String): FontDecoder =
         decoders.getOrElseUpdate(name, fontDict.get(name).map(doc.resolve) match {
-          case Some(f: PDict) => fontDecoder(doc, f)
-          case _              => stdDecoder
+          case Some(f: PDict) =>
+            // doc-level memo: the same font object serves every page,
+            // so the build (ToUnicode inflate + CMap parse) runs once
+            // per document, not once per page
+            val hit = doc.fontDecoderCache.get(f)
+            if (hit != null) hit
+            else {
+              val d = fontDecoder(doc, f)
+              doc.fontDecoderCache.put(f, d)
+              d
+            }
+          case _ => stdDecoder
         })
 
       val toks = new Lexer(content, 0).tokenizeContent()

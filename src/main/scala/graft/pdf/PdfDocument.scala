@@ -20,6 +20,20 @@ final class PdfDocument private (
   private val objStmCache = mutable.HashMap.empty[Int, Map[Int, PdfObj]]
   private val loading = mutable.HashSet.empty[Int] // cycle guard
 
+  /** Font decoders memoized per font OBJECT for the document's
+    * lifetime: fonts are shared across pages, but the decoder build
+    * (ToUnicode CMap inflate + parse, or a 256-entry table with
+    * /Differences applied) ran once per page before this cache — a
+    * 32-page document re-inflated each font's ToUnicode stream 32
+    * times. Keyed by instance identity: indirect fonts resolve to the
+    * one cached [[PdfObj]], so identity is exact and cheaper than
+    * structural equality; a (rare) direct font dict embedded per page
+    * misses and just rebuilds, which is the pre-cache behavior.
+    * Decoders are immutable; a document is driven by one task thread
+    * (the fan-out path loads its own instance per chunk). */
+  private[pdf] val fontDecoderCache =
+    new java.util.IdentityHashMap[PDict, ContentText.FontDecoder]()
+
   /** Standard-security-handler decryption (ISO 32000-1 §7.6; empty
     * user password — [[PdfCrypt]]). Initialized EAGERLY so stream
     * parsing can consult it; while it is being built (resolving the

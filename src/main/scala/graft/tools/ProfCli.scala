@@ -54,8 +54,10 @@ object ProfCli {
       def allocOf(tag: String, reps: Int)(f: => Unit): Unit = {
         (0 until 50).foreach(_ => f) // warm
         val a0 = tmx.getThreadAllocatedBytes(tid)
+        val t0 = System.nanoTime()
         (0 until reps).foreach(_ => f)
-        println(f"  phase $tag%-18s ${(tmx.getThreadAllocatedBytes(tid) - a0) / reps / 1024.0}%8.2f KB")
+        val us = (System.nanoTime() - t0) / 1e3 / reps
+        println(f"  phase $tag%-18s ${(tmx.getThreadAllocatedBytes(tid) - a0) / reps / 1024.0}%8.2f KB $us%8.1f us")
       }
       allocOf("load", 200) { PdfDocument.load(bytes) }
       allocOf("load+pages", 200) { PdfDocument.load(bytes).pages }
@@ -65,6 +67,24 @@ object ProfCli {
         d.pages.foreach(p => ContentText.extractPageText(d, p))
       }
       allocOf("fulldoc", 50) { Extractor.extractDoc(heavy, ExtractOptions()) }
+      // finer split of the pageText phase on the loaded document:
+      // stream decode (Flate) alone, then content lexing alone on the
+      // pre-decoded bytes — extractPageText minus the sum is the
+      // interpreter loop + font decode + string assembly
+      import graft.pdf.{Lexer, PDict, PStream}
+      val contents: Vector[PStream] = doc.pages.toVector.flatMap { p =>
+        doc.dictGet(p, "Contents") match { case s: PStream => Some(s); case _ => None }
+      }
+      allocOf(s"flate   x$nPages", 100) {
+        contents.foreach(s => doc.streamData(s))
+      }
+      val decoded = contents.map(s => doc.streamData(s).toOption.get)
+      allocOf(s"lexer   x$nPages", 100) {
+        decoded.foreach(b => new Lexer(b, 0).tokenizeContent())
+      }
+      allocOf(s"allText x$nPages", 100) {
+        doc.pages.foreach(p => ContentText.extractPageText(doc, p))
+      }
     }
 
     // multithreaded scaling (no Spark, extraction only — docs are

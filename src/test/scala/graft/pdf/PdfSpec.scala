@@ -138,6 +138,22 @@ class PdfSpec extends AnyFunSuite {
     assert(dec.decode("ABC".getBytes) == "01C")
   }
 
+  test("font decoders are memoized per document: one build serves every page") {
+    // a dict-encoded font forces a real decoder build (256-entry table
+    // + /Differences applied); pre-cache that ran once PER PAGE
+    val pdf = PdfBuilder.simple(
+      Seq(PdfBuilder.tjLine("AB"), PdfBuilder.tjLine("BA")),
+      fontExtra = "/Encoding << /Differences [ 65 /zero /one ] >>")
+    val doc = PdfDocument.load(pdf)
+    val texts = doc.pages.map(p => ContentText.extractPageText(doc, p))
+    assert(texts == Vector("01", "10"))
+    assert(doc.fontDecoderCache.size == 1)
+    val built = doc.fontDecoderCache.values.iterator.next()
+    ContentText.extractPageText(doc, doc.pages.head)
+    assert(doc.fontDecoderCache.size == 1 &&
+      (doc.fontDecoderCache.values.iterator.next() eq built))
+  }
+
   test("StandardEncoding high range decodes per Annex D (quotes at 047/140, publishing glyphs)") {
     // bytes: 0x27 quoteright, 0xAA quotedblleft, 0xBA quotedblright,
     // 0xB1 endash, 0xB2 dagger, 0xB7 bullet, 0xFB germandbls, 0xF1 ae
