@@ -767,6 +767,90 @@ object Dedup {
       .agg(count(lit(1)).as("contaminated_ngrams"))
   }
 
+  /** CLUSTER RESOLUTION — keep the BEST member of every near-dup
+    * cluster (the step after candidate pairs + connected components:
+    * Lee et al. 2022 and the CCNet/RefinedWeb pipelines keep one
+    * representative per duplicate cluster, by quality, not by
+    * arbitrary min-id). `labels` is a (doc_id, component) frame from
+    * [[components]] / [[componentsStar]]; docs absent from it (never
+    * in any candidate pair) are singleton clusters of themselves.
+    * `score` is an integer-exact quality expression over `docs`'
+    * columns; the kept member is the max score, ties broken toward
+    * the SMALLEST doc_id (deterministic, engine-replayable).
+    *
+    * Plan (the 100 TB shape): one left join docs→labels (both sides
+    * shuffle on doc_id — or broadcast when the label side is the
+    * post-dedup minority) and ONE hash aggregation per cluster whose
+    * argmax rides a struct max — map-side partial maxes collapse a
+    * mega-cluster's rows BEFORE the shuffle, so a 10k-member
+    * duplicate cluster costs one combined row per map partition. A
+    * `row_number().over(Window.partitionBy(cluster))` formulation
+    * would serialize that cluster into ONE unsplittable window task —
+    * the same scale-killer class as the retired jaccard window-df.
+    *
+    * Output: (cluster, keep_id, best_score, n_members), one row per
+    * cluster (singletons included: n_members = 1, keep_id = itself). */
+  def keepBestPerCluster(docs: DataFrame, labels: DataFrame,
+      score: Column): DataFrame = {
+    val scored = docs.select(col("doc_id"), score.cast("long").as("score"))
+    val labeled = scored
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("score"),
+        coalesce(col("component"), col("doc_id")).as("cluster"))
+    // argmax via struct max: (score, -doc_id) orders lexicographically
+    // to (max score, then MIN doc_id) — associative/commutative, so
+    // map-side combine applies; negation is exact on doc_id longs
+    labeled.groupBy("cluster")
+      .agg(max(struct(col("score"), (-col("doc_id")).as("nid"))).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), (-col("best.nid")).as("keep_id"),
+        col("best.score").as("best_score"), col("n_members"))
+  }
+
+  /** Per-document DUPLICATED-TOKEN COVERAGE from the exact-substring
+    * spans of [[exactSubstringSpans]] — the doc-level decision signal
+    * ExactSubstr pipelines filter on (Lee et al. 2022 cut the spans;
+    * corpus curators ALSO drop docs that are mostly duplicated text).
+    * Adjacent maximal runs can OVERLAP in token space (each run
+    * extends `minTokens-1` past its last covered gram start, and two
+    * islands of gram starts can sit closer than that), so coverage is
+    * the exact INTERVAL-UNION length per doc: spans sorted by
+    * start_pos, each contributing `end - max(start-1, max prev end)`
+    * when positive — the classic running-max sweep. The window is
+    * PARTITIONED BY doc_id over only that doc's SPAN rows (sparse:
+    * duplicated runs only, typically a handful per doc), so the sweep
+    * is per-entity-parallel and never sees the token stream — the
+    * same posture as the island merge inside the span operator
+    * itself.
+    *
+    * Output: (doc_id, n_tokens, dup_tokens, dup_permille, keep) for
+    * EVERY doc — span-free docs report 0 coverage, keep = 1 iff
+    * dup_permille ≤ maxPermille. */
+  def dupSpanCoverage(docs: DataFrame, minTokens: Int = 15,
+      maxPermille: Int = 300): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = exactSubstringSpans(docs, minTokens)
+    val w = Window.partitionBy("doc_id").orderBy("start_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cov = spans
+      .withColumn("prev_end", max(col("end_pos")).over(w))
+      .withColumn("gain",
+        greatest(lit(0L), col("end_pos") -
+          greatest(col("start_pos") - 1, coalesce(col("prev_end"), lit(-1L)))))
+      .groupBy("doc_id")
+      .agg(sum(col("gain")).as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"))
+      .withColumn("dup_permille",
+        floor(col("dup_tokens") * 1000L / col("n_tokens")).cast("long"))
+      .withColumn("keep",
+        (col("dup_permille") <= maxPermille).cast("int"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ tPct/100, exact
     * integer test over milliunit-quantized vectors, bucketed by
     * sign-LSH so the pair join is per-bucket, not all-pairs. Sign-LSH

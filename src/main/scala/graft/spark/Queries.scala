@@ -931,6 +931,36 @@ object Queries {
     Dedup.exactSubstringSpans(docsPlus(s, dir), minTokens = 15)
       .orderBy("doc_id", "start_pos")
 
+  /** KEEP-BEST cluster resolution over the MinHash-LSH near-dup
+    * clusters — the representative-selection step real cleaning
+    * pipelines run after components (keep the highest-QUALITY member,
+    * not the min id): score = quality bucket (×100000) then token
+    * count, ties toward the smallest doc_id. Originals beat their
+    * first-token-dropped copies on token count, so the kept member is
+    * content-determined, and the argmax is a splittable struct-max
+    * aggregation, not a per-cluster window
+    * ([[Dedup.keepBestPerCluster]]). */
+  def dedupKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsPlus(s, dir)
+    val labels = Dedup.components(
+      Dedup.minhashLshStarPairs(docs, shingleN = 3, numHashes = 8, bands = 4),
+      iterations = 3, checkpointRounds = true)
+    Dedup.keepBestPerCluster(docs, labels,
+      TF.qualityBucket(col("text")).cast("long") * 100000L +
+        size(split(col("text"), " ")))
+      .orderBy("cluster")
+  }
+
+  /** Per-doc duplicated-token coverage from the exact-substring spans
+    * — interval-union length of each doc's maximal duplicated runs,
+    * as a permille of its token count, with the ≤300‰ keep flag
+    * ([[Dedup.dupSpanCoverage]]). Every +100000 copy shares its whole
+    * suffix with its original, so both members of a pair report
+    * near-total coverage while organic docs report 0. */
+  def textDupCoverage(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanCoverage(docsPlus(s, dir), minTokens = 15, maxPermille = 300)
+      .orderBy("doc_id")
+
   /** Connected components on a HIGH-DIAMETER graph — chains of up to
     * 32 consecutive doc_ids — where [[Dedup.componentsStar]]'s
     * O(log n) round count actually BINDS: 5 alternating rounds label
@@ -1499,6 +1529,8 @@ object Queries {
     "dedup_components_star_adaptive" -> (dedupComponentsStarAdaptive _),
     "dedup_cdc_chunks" -> (dedupCdcChunks _),
     "dedup_exact_substring" -> (dedupExactSubstring _),
+    "dedup_keep_best" -> (dedupKeepBest _),
+    "text_dup_coverage" -> (textDupCoverage _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "sim_topk_brute" -> (simTopkBrute _),

@@ -531,6 +531,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("keepBestPerCluster: max score wins, ties break to min doc_id, absent docs are singletons") {
+    val d = docs(
+      (1L, "aaaa"), (2L, "bbbbbb"), (3L, "cccc"), // cluster 1: 2 wins on length
+      (5L, "xx"), (6L, "xx"),                     // cluster 5: tie -> min id 5
+      (4L, "zzz"))                                // never paired -> singleton
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "component")
+    val got = Dedup.keepBestPerCluster(d, labels, length($"text"))
+      .orderBy("cluster")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 6L, 3L), // best_score = len("bbbbbb")
+      (4L, 4L, 3L, 1L), // singleton keeps itself
+      (5L, 5L, 2L, 2L))) // tie at score 2 -> smaller id
+  }
+
+  test("dupSpanCoverage: interval-UNION coverage — overlapping spans are not double-counted") {
+    // docX's covered gram starts are {0} and {3} (two islands): spans
+    // [0,4] and [3,7] OVERLAP in token space; union = all 8 tokens,
+    // the naive per-span sum would claim 10
+    val tx = (0 until 8).map(i => s"t$i")
+    val d = docs(
+      (1L, tx.mkString(" ")),                   // docX
+      (2L, tx.take(5).mkString(" ")),           // = gram start 0 of docX
+      (3L, tx.slice(3, 8).mkString(" ")),       // = gram start 3 of docX
+      (9L, (0 until 10).map(i => s"u$i").mkString(" "))) // span-free
+    val got = Dedup.dupSpanCoverage(d, minTokens = 5, maxPermille = 300)
+      .orderBy("doc_id")
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, 8L, 8L, 1000L, 0),  // union 8, NOT 10
+      (2L, 5L, 5L, 1000L, 0),
+      (3L, 5L, 5L, 1000L, 0),
+      (9L, 10L, 0L, 0L, 1)))   // no spans -> zero coverage, kept
+  }
+
   test("componentsStar: a 32-node path labels in 5 alt-star rounds (min-propagation would need 31)") {
     // the worst case for per-hop min propagation: diameter = n-1; the
     // contracting star rounds close it in O(log n)
