@@ -263,6 +263,70 @@ object PdfBuilder {
     writeClassicXref(b)
   }
 
+  /** Document with a trailer /Info dictionary (§14.3.3) and per-page
+    * /Link annotations carrying /URI actions (§12.5.6.5, §12.6.4.7).
+    * `infoBody` is the raw /Info dict body (caller writes the string
+    * syntax — literal, hex-with-BOM, …); `links(i)` lists page i's
+    * (uri, rect) pairs, rects written in the GIVEN corner order so a
+    * caller can exercise the min/max normalization. With `decoys`,
+    * page 0 additionally gets a /Text note annotation and a URI-less
+    * /GoTo link — both must be skipped by link extraction. Object
+    * layout: 1-3 header, 4+2i/5+2i page/content, then annotations,
+    * then /Info last. */
+  def withInfoAndLinks(pageContents: Seq[String], infoBody: String,
+      links: Seq[Seq[(String, (Int, Int, Int, Int))]],
+      decoys: Boolean = true): Array[Byte] = {
+    require(links.length == pageContents.length, "links per page")
+    val b = new Builder
+    writeHeaderObjects(b, pageContents.length)
+    var next = 4 + 2 * pageContents.length
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    val annotRefs: Seq[Seq[String]] = links.zipWithIndex.map { case (pl, i) =>
+      val real = pl.map { case (uri, (x0, y0, x1, y1)) =>
+        val n = next; next += 1
+        b.obj(n) {
+          b.raw(s"<< /Type /Annot /Subtype /Link /Rect [$x0 $y0 $x1 $y1] " +
+            s"/A << /S /URI /URI (${esc(uri)}) >> >>")
+        }
+        s"$n 0 R"
+      }
+      val extra = if (decoys && i == 0) {
+        val note = next; next += 1
+        b.obj(note) {
+          b.raw("<< /Type /Annot /Subtype /Text /Rect [0 0 10 10] " +
+            "/Contents (a sticky note, not a link) >>")
+        }
+        val goto = next; next += 1
+        b.obj(goto) {
+          b.raw("<< /Type /Annot /Subtype /Link /Rect [5 5 15 15] " +
+            "/A << /S /GoTo /D [4 0 R /Fit] >> >>")
+        }
+        Seq(s"$note 0 R", s"$goto 0 R")
+      } else Seq.empty
+      real ++ extra
+    }
+    pageContents.zipWithIndex.foreach { case (content, i) =>
+      val pageNum = 4 + 2 * i; val contNum = 5 + 2 * i
+      val annots =
+        if (annotRefs(i).nonEmpty) s" /Annots [${annotRefs(i).mkString(" ")}]"
+        else ""
+      b.obj(pageNum) {
+        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contNum 0 R " +
+          s"/Resources << /Font << /F1 3 0 R >> >>$annots >>")
+      }
+      b.streamObj(contNum, "", tjLine(content).getBytes(ISO_8859_1))
+    }
+    val infoNum = next
+    b.obj(infoNum) { b.raw(s"<< $infoBody >>") }
+    writeClassicXref(b, trailerExtra = s" /Info $infoNum 0 R")
+  }
+
+  /** UTF-16BE hex string WITH byte-order mark — the §7.9.2.2 Unicode
+    * branch of the text-string type, as writers emit it in /Info. */
+  def utf16HexString(s: String): String =
+    "<FEFF" + hexStr(s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)) + ">"
+
   /** Document whose body objects live in a /Type /ObjStm object stream
     * addressed through a Flate+predictor-12 xref stream (§7.5.7-7.5.8).
     * Content stream stays top-level (streams cannot be compressed

@@ -72,6 +72,11 @@ final class PdfDocument private (
     h
   }
 
+  /** True when the document has a standard-security handler — the
+    * boundary [[PdfMeta]] declares string-object extraction out of
+    * scope behind (streams decrypt; top-level strings do not). */
+  def isEncrypted: Boolean = crypt.isDefined
+
   def getObject(num: Int): PdfObj = cache.getOrElseUpdate(num, {
     if (!loading.add(num)) throw new PdfParseException(s"reference cycle at obj $num")
     try entries.get(num) match {

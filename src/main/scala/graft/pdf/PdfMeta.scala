@@ -1,0 +1,116 @@
+package graft.pdf
+
+/** Document-information metadata and link-annotation extraction — a
+  * DECLARED EXTENSION over the reference's surface (its lopdf
+  * `extract_text` path, /root/reference/extractor/src/engine/mod.rs:100-103,
+  * reads page text only; no /Info or /Annots access anywhere in the
+  * extractor). Written from the public spec: ISO 32000-1 §14.3.3
+  * (document information dictionary), §7.9.2.2 (text string type:
+  * UTF-16BE when the FE FF byte-order mark leads, PDFDocEncoding
+  * otherwise), §12.5.6.5 (link annotations), §12.6.4.7 (URI actions).
+  *
+  * Both surfaces matter to a training-data pipeline: /Info carries the
+  * provenance columns (producer toolchain, creation date) corpus
+  * curation filters on, and /Link /URI actions are the document→web
+  * edge set — the link-graph signal crawl-based corpora get from HTML
+  * anchors.
+  *
+  * Encrypted documents are out of scope BY THE SAME declared boundary
+  * as [[PdfCrypt]]'s string scope: the handler decrypts stream
+  * payloads (the whole extraction surface) but not top-level string
+  * objects, so /Info and /URI strings in an encrypted file would
+  * surface as ciphertext. Rather than emit garbage, both entry points
+  * return empty on an encrypted document. */
+object PdfMeta {
+
+  final case class DocInfo(
+      title: Option[String], author: Option[String],
+      subject: Option[String], keywords: Option[String],
+      producer: Option[String], creationDate: Option[String])
+
+  /** §7.9.2.2 text string: UTF-16BE when the two-byte BOM leads, else
+    * PDFDocEncoding (Annex D.3) with undefined codes surfacing as
+    * U+FFFD — the same never-silent-drop posture as the content-text
+    * decoders. */
+  def decodeTextString(bytes: Array[Byte]): String =
+    if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+      new String(bytes, 2, bytes.length - 2,
+        java.nio.charset.StandardCharsets.UTF_16BE)
+    else {
+      val sb = new StringBuilder(bytes.length)
+      bytes.foreach { b =>
+        val s = Encodings.pdfDoc(b & 0xff)
+        sb.append(if (s.isEmpty) "\uFFFD" else s)
+      }
+      sb.toString
+    }
+
+  /** The trailer /Info dictionary's standard text-string entries
+    * (§14.3.3, Table 317). Missing dict or entries → None; dates are
+    * returned verbatim (the `D:YYYYMMDDHHmmSS` ASCII form is its own
+    * exchange format, §7.9.4). */
+  def info(doc: PdfDocument): DocInfo = {
+    if (doc.isEncrypted) return DocInfo(None, None, None, None, None, None)
+    val d = doc.dictGet(doc.trailer, "Info") match {
+      case pd: PDict => pd
+      case _         => PDict(Map.empty)
+    }
+    def str(k: String): Option[String] = doc.dictGet(d, k) match {
+      case PStr(bs) => Some(decodeTextString(bs))
+      case _        => None
+    }
+    DocInfo(str("Title"), str("Author"), str("Subject"), str("Keywords"),
+      str("Producer"), str("CreationDate"))
+  }
+
+  /** One extracted link: 0-based page, min/max-normalized /Rect
+    * corners (§12.5.2 — conforming writers may emit either corner
+    * order), and the action URI. */
+  final case class Link(page: Int, x0: Double, y0: Double,
+      x1: Double, y1: Double, uri: String)
+
+  /** Every /Subtype /Link annotation carrying a /A /S /URI action,
+    * page order then annotation-array order. Links whose action is
+    * not a URI (GoTo, named destinations) and non-link annotations
+    * (text notes, highlights) are skipped — declared scope: the
+    * outbound web-edge set. URI bytes are 7-bit ASCII by §12.6.4.7
+    * (writers percent-encode beyond ASCII), read as Latin-1. */
+  def links(doc: PdfDocument): Vector[Link] = {
+    if (doc.isEncrypted) return Vector.empty
+    doc.pages.iterator.zipWithIndex.flatMap { case (pg, idx) =>
+      val annots = doc.dictGet(pg, "Annots") match {
+        case PArr(items) => items
+        case _           => Vector.empty
+      }
+      annots.flatMap { a =>
+        doc.resolve(a) match {
+          case ad: PDict if doc.dictGet(ad, "Subtype") == PName("Link") =>
+            uriOf(doc, ad).map { u =>
+              val (x0, y0, x1, y1) = rectOf(doc, ad)
+              Link(idx, x0, y0, x1, y1, u)
+            }
+          case _ => None
+        }
+      }
+    }.toVector
+  }
+
+  private def uriOf(doc: PdfDocument, annot: PDict): Option[String] =
+    doc.dictGet(annot, "A") match {
+      case act: PDict if doc.dictGet(act, "S") == PName("URI") =>
+        doc.dictGet(act, "URI") match {
+          case PStr(bs) => Some(bs.map(b => (b & 0xff).toChar).mkString)
+          case _        => None
+        }
+      case _ => None
+    }
+
+  private def rectOf(doc: PdfDocument, annot: PDict): (Double, Double, Double, Double) =
+    doc.dictGet(annot, "Rect") match {
+      case PArr(items) if items.length == 4 =>
+        val n = items.map(o => doc.resolve(o).asNum.getOrElse(0.0))
+        (math.min(n(0), n(2)), math.min(n(1), n(3)),
+          math.max(n(0), n(2)), math.max(n(1), n(3)))
+      case _ => (0.0, 0.0, 0.0, 0.0)
+    }
+}

@@ -337,6 +337,40 @@ object Oracles {
         |FROM range(12) t(i)
         |ORDER BY id""".stripMargin,
 
+    "pdfz_metadata" ->
+      // expected strings closed-form via chr() codepoints: chr(233)=é
+      // through the UTF-16BE/BOM branch, chr(8364)=€ = PDFDocEncoding
+      // 0o240 (Annex D.3) — a wrong table byte flips the compare;
+      // /Keywords absent on odd ids must surface as NULL
+      """SELECT i AS id,
+        | 'Title' || chr(233) || ' doc ' || CAST(i AS VARCHAR) AS title,
+        | 'J' || chr(8364) || 'Smith ' || CAST(i AS VARCHAR) AS author,
+        | 'subject ' || CAST(i * 3 AS VARCHAR) AS subject,
+        | CASE WHEN i % 2 = 0 THEN 'k' || CAST(i AS VARCHAR) || ' corpus'
+        |      ELSE NULL END AS keywords,
+        | 'graft ' || CAST(i % 5 AS VARCHAR) AS producer,
+        | 'D:2026081' || CAST(i % 10 AS VARCHAR) || '120000Z' AS creation_date
+        |FROM range(12) t(i) ORDER BY id""".stripMargin,
+
+    "pdfz_links" ->
+      // the full (doc, page, rect, uri) edge set closed-form; rects
+      // min/max-normalized (the k=1 fixture rect is corner-reversed),
+      // decoy /Text and /GoTo annotations contribute nothing
+      """WITH p0 AS (
+        | SELECT i AS id, 0 AS page,
+        |  CAST(10 + 5 * k AS BIGINT) AS x0, CAST(20 AS BIGINT) AS y0,
+        |  CAST(110 + 5 * k AS BIGINT) AS x1, CAST(40 AS BIGINT) AS y1,
+        |  'https://ex.org/d' || CAST(i AS VARCHAR) || '/l' || CAST(k AS VARCHAR) AS uri
+        | FROM range(12) t(i), range(2) s(k) WHERE k < i % 3),
+        |p1 AS (
+        | SELECT i AS id, 1 AS page, CAST(30 AS BIGINT) AS x0,
+        |  CAST(40 AS BIGINT) AS y0, CAST(200 AS BIGINT) AS x1,
+        |  CAST(60 AS BIGINT) AS y1,
+        |  'https://ex.org/d' || CAST(i AS VARCHAR) || '/p1' AS uri
+        | FROM range(12) t(i))
+        |SELECT * FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
+        |ORDER BY id, page, uri""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

@@ -322,6 +322,61 @@ object Queries {
       .orderBy("id")
   }
 
+  /** DOCUMENT-INFORMATION metadata extraction, oracle-pinned
+    * (DECLARED EXTENSION — the reference reads page text only): 12
+    * documents with trailer /Info dictionaries exercising BOTH
+    * §7.9.2.2 text-string branches — /Title as UTF-16BE hex with BOM
+    * (é through the Unicode path), /Author as PDFDocEncoding with a
+    * high byte (0o240 → the Annex-D Euro) — plus ASCII subject/
+    * producer, the §7.9.4 date form, and /Keywords present only on
+    * even ids (absent entries surface as NULL, not ""). The DuckDB
+    * twin recomputes every string closed-form (chr() codepoints, so
+    * a wrong encoding-table byte flips the compare). */
+  def pdfzMetadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).repartition(4).map { id =>
+      val title = graft.pdf.PdfBuilder.utf16HexString(s"Title\u00E9 doc $id")
+      val kw = if (id % 2 == 0) s" /Keywords (k$id corpus)" else ""
+      val infoBody =
+        s"/Title $title /Author (J\u00A0Smith $id) /Subject (subject ${id * 3})" +
+          s"$kw /Producer (graft ${id % 5}) /CreationDate (D:2026081${id % 10}120000Z)"
+      val pdf = graft.pdf.PdfBuilder.withInfoAndLinks(
+        Seq(s"meta body $id"), infoBody, Seq(Seq.empty), decoys = false)
+      val info = graft.pdf.PdfMeta.info(graft.pdf.PdfDocument.load(pdf))
+      (id, info.title, info.author, info.subject, info.keywords,
+        info.producer, info.creationDate)
+    }.toDF("id", "title", "author", "subject", "keywords", "producer",
+        "creation_date")
+      .orderBy("id")
+  }
+
+  /** LINK-ANNOTATION extraction, oracle-pinned (DECLARED EXTENSION):
+    * 12 two-page documents; page 0 carries id%3 URI links (the k=1
+    * rect written corner-REVERSED — extraction must normalize to
+    * min/max per §12.5.2) plus two decoys a correct reader skips (a
+    * /Text note and a URI-less /GoTo link), page 1 one more link. The
+    * DuckDB twin regenerates the full (doc, page, rect, uri) edge set
+    * closed-form. */
+  def pdfzLinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).repartition(4).flatMap { id =>
+      val p0 = (0 until (id % 3).toInt).map { k =>
+        val r = (10 + 5 * k, 20, 110 + 5 * k, 40)
+        val rect = if (k == 1) (r._3, r._4, r._1, r._2) else r
+        (s"https://ex.org/d$id/l$k", rect)
+      }
+      val p1 = Seq((s"https://ex.org/d$id/p1", (30, 40, 200, 60)))
+      val pdf = graft.pdf.PdfBuilder.withInfoAndLinks(
+        Seq(s"links a $id", s"links b $id"),
+        s"/Producer (graft links $id)", Seq(p0, p1))
+      graft.pdf.PdfMeta.links(graft.pdf.PdfDocument.load(pdf)).map { l =>
+        (id, l.page, math.round(l.x0), math.round(l.y0),
+          math.round(l.x1), math.round(l.y1), l.uri)
+      }
+    }.toDF("id", "page", "x0", "y0", "x1", "y1", "uri")
+      .orderBy("id", "page", "uri")
+  }
+
   /** ENCRYPTED-PDF extraction, oracle-pinned: 12 documents through
     * the ISO 32000 standard security handler (empty user password —
     * the openable-but-encrypted web-PDF class the reference fails
@@ -1491,6 +1546,8 @@ object Queries {
     "pdfz_encrypted" -> (pdfzEncrypted _),
     "pdfz_encodings" -> (pdfzEncodings _),
     "pdfz_form_text" -> (pdfzFormText _),
+    "pdfz_metadata" -> (pdfzMetadata _),
+    "pdfz_links" -> (pdfzLinks _),
     "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),

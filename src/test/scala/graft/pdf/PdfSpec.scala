@@ -286,4 +286,49 @@ class PdfSpec extends AnyFunSuite {
     assert(ContentText.extractPageText(doc, doc.pages.head, recurseForms = true)
       == "body\nonce only")
   }
+
+  test("pdf_meta_textstring: UTF-16BE-with-BOM branch, PDFDoc branch, undefined code -> U+FFFD") {
+    // BOM branch: FE FF then UTF-16BE payload
+    val u16 = Array[Byte](0xFE.toByte, 0xFF.toByte, 0x00, 0x41, 0x00, 0xE9.toByte)
+    assert(PdfMeta.decodeTextString(u16) == "A\u00E9")
+    // PDFDoc branch: ASCII + 0o240 = Euro (Annex D.3)
+    val pd = "Ja".getBytes("ISO-8859-1") ++ Array[Byte](0xA0.toByte)
+    assert(PdfMeta.decodeTextString(pd) == "Ja\u20AC")
+    // 0o255 is UNDEFINED in PDFDocEncoding (unlike WinAnsi): U+FFFD
+    assert(PdfMeta.decodeTextString(Array[Byte](0xAD.toByte)) == "\uFFFD")
+  }
+
+  test("pdf_meta_info: /Info entries decode per branch; absent entries are None") {
+    val title = PdfBuilder.utf16HexString("T\u00E9st")
+    val pdf = PdfBuilder.withInfoAndLinks(Seq("m"),
+      s"/Title $title /Author (J\u00A0D) /Producer (graft)",
+      Seq(Seq.empty), decoys = false)
+    val info = PdfMeta.info(PdfDocument.load(pdf))
+    assert(info.title.contains("T\u00E9st"))
+    assert(info.author.contains("J\u20ACD"))
+    assert(info.producer.contains("graft"))
+    assert(info.subject.isEmpty && info.keywords.isEmpty && info.creationDate.isEmpty)
+  }
+
+  test("pdf_meta_links: URI links per page, rect corner order normalized, decoys skipped") {
+    val pdf = PdfBuilder.withInfoAndLinks(
+      Seq("p0", "p1"), "/Producer (x)",
+      Seq(Seq(("https://a.example/one", (10, 20, 110, 40)),
+              // corner-reversed on write: extraction must normalize
+              ("https://a.example/two", (115, 45, 15, 25))),
+          Seq(("https://a.example/three", (30, 40, 200, 60)))))
+    val links = PdfMeta.links(PdfDocument.load(pdf))
+    assert(links == Vector(
+      PdfMeta.Link(0, 10, 20, 110, 40, "https://a.example/one"),
+      PdfMeta.Link(0, 15, 25, 115, 45, "https://a.example/two"),
+      PdfMeta.Link(1, 30, 40, 200, 60, "https://a.example/three")))
+  }
+
+  test("pdf_meta_encrypted: declared string-scope boundary - empty info and links, never ciphertext") {
+    val pdf = PdfBuilder.withEncryption(aes = false)
+    val doc = PdfDocument.load(pdf)
+    assert(doc.isEncrypted)
+    assert(PdfMeta.info(doc) == PdfMeta.DocInfo(None, None, None, None, None, None))
+    assert(PdfMeta.links(doc).isEmpty)
+  }
 }
