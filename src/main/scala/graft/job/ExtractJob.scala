@@ -114,8 +114,12 @@ object ExtractJob {
     * EXCEPT `model`, where a null cell in a present column means
     * "no model" (None is a meaningful option value of its own, so a
     * present model column governs absolutely). The streaming face
-    * (`ExtractStream.extract`) implements the identical contract. */
-  val OptionColumns: Seq[String] = Seq("start_page", "page_count", "engine", "model")
+    * (`ExtractStream.extract`) implements the identical contract.
+    * `password` (a PER-DOCUMENT decryption password — corpora mix
+    * differently-protected files) follows the fallback family: null
+    * cell → job-level default. */
+  val OptionColumns: Seq[String] =
+    Seq("start_page", "page_count", "engine", "model", "password")
   /** One page-range chunk of a giant document (startPage < 0 marks an
     * unparseable/empty doc recorded fail-soft). */
   final case class ChunkRow(doc_id: String, b64: String, startPage: Int,
@@ -149,7 +153,9 @@ object ExtractJob {
         optCol("page_count", lit(cfg.opts.pageCount)).cast("int").as("page_count"),
         optCol("engine", lit(cfg.opts.engine)).cast("string").as("engine"),
         (if (input.columns.contains("model")) col("model").cast("string")
-         else lit(cfg.opts.ocrModel.orNull).cast("string")).as("model"))
+         else lit(cfg.opts.ocrModel.orNull).cast("string")).as("model"),
+        optCol("password", lit(cfg.opts.password.orNull).cast("string"))
+          .as("password"))
       .withColumn("bucket", pmod(xxhash64($"doc_id"), lit(cfg.numBuckets)).cast("int"))
       .withColumn("salt", pmod(xxhash64($"doc_id", lit(7)), lit(cfg.saltsPerBucket)).cast("int"))
 
@@ -197,7 +203,8 @@ object ExtractJob {
       // scan's UTF8 bytes and never materialized as a java.lang.String.
       // Column positions are pinned by the select below.
       val arranged = repartitioned
-        .select("doc_id", "spans", "start_page", "page_count", "engine", "model", "bucket")
+        .select("doc_id", "spans", "start_page", "page_count", "engine", "model",
+          "password", "bucket")
       val outSchema = org.apache.spark.sql.Encoders.product[OutRow].schema
       val rddOut = arranged.queryExecution.toRdd.mapPartitions { it =>
         import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -242,8 +249,11 @@ object ExtractJob {
             (if (row.isNullAt(5)) None else Some(row.getUTF8String(5).toString))
               .filter(_.nonEmpty),
             base.parityStartOffByOne,
-            password = base.password)
-          val bucket = row.getInt(6)
+            // null survived the coalesce against the job default, so
+            // there is no password anywhere for this doc
+            password =
+              if (row.isNullAt(6)) None else Some(row.getUTF8String(6).toString))
+          val bucket = row.getInt(7)
           val res = Extractor.extractCore(docId, spanIns, bytesIn, opts)
           acc.add(bucket -> BucketStats(
             docCount = 1,

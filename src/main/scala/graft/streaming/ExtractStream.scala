@@ -34,14 +34,15 @@ object ExtractStream {
   /** public: Spark's generated encoder projections cannot access a
     * private class */
   final case class OptRow(doc_id: String, spans: Seq[RawSpan],
-      start_page: Int, page_count: Int, engine: String, model: Option[String])
+      start_page: Int, page_count: Int, engine: String, model: Option[String],
+      password: Option[String])
 
   /** The extraction transform, shared by batch and streaming plans —
     * one typed map-only stage (no shuffle in the streaming plan).
     * Per-document OPTION COLUMNS (`start_page`/`page_count`/`engine`/
-    * `model`) override the job-level `opts` row-wise when present;
-    * null `start_page`/`page_count`/`engine` cells fall back to the
-    * job default. `model` is the deliberate EXCEPTION: when a model
+    * `model`/`password`) override the job-level `opts` row-wise when
+    * present; null `start_page`/`page_count`/`engine`/`password`
+    * cells fall back to the job default. `model` is the deliberate EXCEPTION: when a model
     * column exists, a null cell means "no model" (None is itself a
     * meaningful option value, distinct from the default) — the same
     * contract as the batch job ([[graft.job.ExtractJob.OptionColumns]];
@@ -64,12 +65,14 @@ object ExtractStream {
           optCol("page_count", lit(opts.pageCount)).cast("int").as("page_count"),
           optCol("engine", lit(opts.engine)).cast("string").as("engine"),
           (if (input.columns.contains("model")) col("model").cast("string")
-           else lit(opts.ocrModel.orNull).cast("string")).as("model"))
+           else lit(opts.ocrModel.orNull).cast("string")).as("model"),
+          optCol("password", lit(opts.password.orNull).cast("string"))
+            .as("password"))
         .as[OptRow].mapPartitions { it =>
           it.flatMap { r =>
             val rowOpts = ExtractOptions(r.start_page, r.page_count, r.engine,
               r.model.filter(_.nonEmpty), opts.parityStartOffByOne,
-              password = opts.password)
+              password = r.password)
             Extractor.extractDoc(InterleavedDoc(r.doc_id, r.spans), rowOpts).doc
           }
         }

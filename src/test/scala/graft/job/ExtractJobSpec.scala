@@ -293,6 +293,26 @@ class ExtractJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!got.contains("badengine") && stats.failedDocs == 1)
   }
 
+  test("per-doc password column decrypts row-wise; wrong password fails soft; null falls back") {
+    import spark.implicits._
+    def row(id: String, pdf: Array[Byte], pw: Option[String]) =
+      (id, Seq(RawSpan("pdf_bytes", InterleavedGen.b64(pdf), "", 0)), pw)
+    val rows = Seq(
+      row("pwdoc", graft.pdf.PdfBuilder.withEncryption(aes = true,
+        texts = Seq("locked a", "locked b"), userPw = "s3cret"), Some("s3cret")),
+      row("plain", graft.pdf.PdfBuilder.simple(
+        Seq(graft.pdf.PdfBuilder.tjLine("open page"))), None),
+      row("wrongpw", graft.pdf.PdfBuilder.withEncryption(aes = false,
+        texts = Seq("locked c"), userPw = "right"), Some("wrong")))
+    val input = rows.toDF("doc_id", "spans", "password")
+    val table = tmpDir("graft-perdoc-pw")
+    val stats = ExtractJob.run(spark, input, table, ExtractJob.Config(numBuckets = 4))
+    val got = readSpans(table)
+    assert(got("pwdoc").map(_.text) == Seq("locked a", "locked b"))
+    assert(got("plain").map(_.text) == Seq("open page"))
+    assert(!got.contains("wrongpw") && stats.failedDocs == 1)
+  }
+
   test("readDocJson emits the reference's serde_json pretty format (file_helper.rs:55-77)") {
     val table = tmpDir("graft-json")
     import spark.implicits._

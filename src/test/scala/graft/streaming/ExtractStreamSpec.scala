@@ -112,6 +112,35 @@ class ExtractStreamSpec extends AnyFunSuite {
     assert(got2("nullrow").map(_.text) == Seq(1, 2, 3).map(p => s"nullrow page $p"))
   }
 
+  test("streaming per-row password column matches the batch contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    import graft.fixtures.InterleavedGen
+    def row(id: String, pdf: Array[Byte], pw: Option[String]) =
+      (id, Seq(RawSpan("pdf_bytes", InterleavedGen.b64(pdf), "", 0)), pw)
+    val rows = Seq(
+      row("spw", graft.pdf.PdfBuilder.withEncryption(aes = true,
+        texts = Seq("stream locked"), userPw = "k3y"), Some("k3y")),
+      row("splain", graft.pdf.PdfBuilder.simple(
+        Seq(graft.pdf.PdfBuilder.tjLine("stream open"))), None),
+      row("sbad", graft.pdf.PdfBuilder.withEncryption(aes = false,
+        texts = Seq("never seen"), userPw = "right"), Some("wrong")))
+    val input = rows.toDF("doc_id", "spans", "password")
+    val src = tmp("pw-src"); val out = tmp("pw-out"); val ck = tmp("pw-ck")
+    input.coalesce(1).write.parquet(s"$src/f1")
+    val stream = spark.readStream.schema(input.schema).parquet(s"$src/f*")
+    val q = ExtractStream.extract(spark, stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out).as[ExtractedDoc]
+      .collect().map(d => d.doc_id -> d.spans.sortBy(_.order)).toMap
+    assert(got("spw").map(_.text) == Seq("stream locked"))
+    assert(got("splain").map(_.text) == Seq("stream open"))
+    assert(!got.contains("sbad"))
+  }
+
   test("restart with same checkpoint is exactly-once: new files only, no duplicates") {
     import spark.implicits._
     val corpus = tmp("corpus2"); val out = tmp("out2"); val ck = tmp("ck2")
