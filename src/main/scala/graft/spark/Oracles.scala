@@ -761,6 +761,65 @@ object Oracles {
          |FROM docs_plus d LEFT JOIN covn c USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    "pipeline_curate" ->
+      // keep-best over the components chain, quality gate, residual
+      // exact-substring coverage — the three stages' twins composed
+      s"""WITH $docsPlus, $sh3,
+         |sigs AS (SELECT doc_id, $minhashMins FROM sh3 GROUP BY doc_id),
+         |banded AS ($bandedUnion),
+         |canon AS (SELECT band, sig, min(doc_id) AS canon FROM banded GROUP BY 1, 2),
+         |pairs AS (SELECT DISTINCT c.canon AS a_id, b.doc_id AS b_id
+         | FROM banded b JOIN canon c USING (band, sig) WHERE b.doc_id <> c.canon),
+         |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+         | UNION ALL SELECT b_id AS src, a_id AS dst FROM pairs),
+         |l0 AS (SELECT DISTINCT src AS id, src AS component FROM edges),
+         |${bspRound("l0", "l1")},
+         |${bspRound("l1", "l2")},
+         |${bspRound("l2", "l3")},
+         |${qualityCte("docs_plus", "qual")},
+         |scored AS (SELECT doc_id,
+         |  CAST(quality AS BIGINT) * 100000
+         |   + CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+         | FROM qual),
+         |lab AS (SELECT s.doc_id, s.score,
+         |  COALESCE(l.component, s.doc_id) AS cluster
+         | FROM scored s LEFT JOIN l3 l ON l.id = s.doc_id),
+         |best AS (SELECT cluster, max(score) AS best_score
+         | FROM lab GROUP BY cluster),
+         |bestk AS (SELECT b.cluster, min(l.doc_id) AS keep_id, b.best_score
+         | FROM best b JOIN lab l
+         |  ON l.cluster = b.cluster AND l.score = b.best_score
+         | GROUP BY b.cluster, b.best_score),
+         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM docs_plus),
+         |g AS (SELECT doc_id,
+         |  unnest(range(0, greatest(len(toks) - 14, 0))) AS pos,
+         |  unnest(list_transform(range(0, greatest(len(toks) - 14, 0)),
+         |    i -> md5(array_to_string(toks[i+1:i+15], ' ')))) AS gh
+         | FROM t),
+         |dup AS (SELECT gh FROM g GROUP BY gh HAVING count(*) >= 2),
+         |cov AS (SELECT doc_id, pos FROM g JOIN dup USING (gh)),
+         |isl AS (SELECT doc_id, pos,
+         |  pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         | FROM cov),
+         |spans AS (SELECT doc_id, min(pos) AS start_pos, max(pos) + 14 AS end_pos
+         | FROM isl GROUP BY doc_id, island),
+         |sweep AS (SELECT doc_id, start_pos, end_pos,
+         |  max(end_pos) OVER (PARTITION BY doc_id ORDER BY start_pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         | FROM spans),
+         |covn AS (SELECT doc_id,
+         |  CAST(SUM(greatest(0, end_pos
+         |    - greatest(start_pos - 1, COALESCE(prev_end, -1)))) AS BIGINT) AS dup_tokens
+         | FROM sweep GROUP BY doc_id)
+         |SELECT b.keep_id AS doc_id, b.cluster, b.best_score,
+         | CAST(len(string_split(q.text, ' ')) AS BIGINT) AS n_tokens,
+         | CAST(floor(COALESCE(c.dup_tokens, 0) * 1000
+         |   / len(string_split(q.text, ' '))) AS BIGINT) AS dup_permille
+         |FROM bestk b
+         |JOIN qual q ON q.doc_id = b.keep_id AND q.quality >= 2
+         |LEFT JOIN covn c ON c.doc_id = b.keep_id
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_cdc_chunks" -> {
       // 32-bit token hash = first 8 md5 nibbles (Horner fold — conv()
       // does not exist in DuckDB); boundary token ends a chunk; chunk

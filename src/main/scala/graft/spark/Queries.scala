@@ -923,6 +923,37 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** COMPOSED CURATION pipeline — the full representative-selection
+    * shape real corpus curation runs, three operators chained:
+    * (1) near-dup clusters (MinHash-LSH star pairs → components) are
+    * resolved to their BEST member ([[Dedup.keepBestPerCluster]],
+    * quality-then-token-count score); (2) kept representatives pass
+    * the quality gate; (3) each survivor carries its RESIDUAL
+    * exact-substring duplication against the whole corpus
+    * ([[Dedup.dupSpanCoverage]]) — the provenance column downstream
+    * span-cutting consumes. Every stage is the splittable shape its
+    * operator documents (struct-max agg, map-side quality, sparse
+    * span sweep); the joins key on doc_id. The DuckDB twin replays
+    * all three stages from the shared CTE chains. */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val docs = docsPlus(s, dir)
+    val labels = Dedup.components(
+      Dedup.minhashLshStarPairs(docs, shingleN = 3, numHashes = 8, bands = 4),
+      iterations = 3, checkpointRounds = true)
+    val best = Dedup.keepBestPerCluster(docs, labels,
+      TF.qualityBucket(col("text")).cast("long") * 100000L +
+        size(split(col("text"), " ")))
+    val kept = docs
+      .join(best.select(col("keep_id").as("doc_id"), col("cluster"),
+        col("best_score")), Seq("doc_id"))
+      .where(TF.qualityBucket(col("text")) >= 2)
+    val cov = Dedup.dupSpanCoverage(docs, minTokens = 15, maxPermille = 300)
+      .select("doc_id", "n_tokens", "dup_permille")
+    kept.join(cov, Seq("doc_id"))
+      .select("doc_id", "cluster", "best_score", "n_tokens", "dup_permille")
+      .orderBy("doc_id")
+  }
+
   /** Connected components over the MinHash-LSH star pairs — the
     * keep-min union pass of the dedup pipeline (3 BSP min-propagation
     * rounds, deterministic; the DuckDB twin replays the same rounds). */
@@ -1590,6 +1621,7 @@ object Queries {
     "text_dup_coverage" -> (textDupCoverage _),
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
+    "pipeline_curate" -> (pipelineCurate _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_lsh_multi" -> (simTopkLshMulti _),
