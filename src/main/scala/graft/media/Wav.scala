@@ -71,6 +71,30 @@ object Wav {
     Some(WavInfo(sampleRate, channels, bits, nSamples / channels, peak, sum))
   }
 
+  /** Raw 16-bit PCM samples (channels interleaved) with rate and
+    * channel count — the sample-level access [[decode]]'s aggregates
+    * are built on, for consumers that need the waveform itself
+    * (autocorrelation, resampling). Same fail-soft contract: None for
+    * non-WAV / non-PCM / malformed input. */
+  def samples(b: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    decode(b).map { w =>
+      // re-walk to the data chunk (decode validated the layout)
+      var p = 12
+      var dataFrom = -1
+      var dataLen = 0L
+      while (p + 8 <= b.length && dataFrom < 0) {
+        val id = new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        val len = u32le(b, p + 4)
+        if (id == "data") { dataFrom = p + 8; dataLen = len }
+        p += 8 + len.toInt + (len.toInt & 1)
+      }
+      val n = (dataLen / 2).toInt
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) { out(i) = u16le(b, dataFrom + i * 2).toShort; i += 1 }
+      (w.sampleRate, w.channels, out)
+    }
+
   /** Fixture twin: a minimal conformant 16-bit PCM WAV. */
   def encodePcm16(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
     require(channels >= 1 && samples.length % channels == 0, "partial frame")

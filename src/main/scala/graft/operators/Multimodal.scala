@@ -165,6 +165,60 @@ object Multimodal {
       }
   }
 
+  /** Integer autocorrelation pitch probe of one PCM payload:
+    * `best_lag` maximizes R(lag) = Σ x[i]·x[i+lag] over channel-0
+    * samples (ties toward the SMALLEST lag — the fundamental, not a
+    * multiple), `energy` = R(0). */
+  final case class AudioPitch(doc_id: String, media_ref: String,
+      n_frames: Long, energy: Long, best_lag: Int, best_corr: Long)
+
+  /** PITCH/PERIODICITY probe over 16-bit PCM WAV payloads by exact
+    * INTEGER autocorrelation — the classic time-domain pitch detector
+    * (autocorrelation method; Rabiner, IEEE TASSP 1977), in integer
+    * arithmetic so the DuckDB twin replays every product: R(lag) over
+    * channel 0 for lag = 1..maxLag, argmax with ties to the smallest
+    * lag. A periodic waveform peaks at its period (in frames);
+    * `sample_rate / best_lag` is then the pitch estimate. Products
+    * are |x|² ≤ 2^30 per term in Long — no overflow below 2^33
+    * frames. Per-payload map-side work, same skip contract as
+    * [[audioFeatures]]: non-WAV/non-PCM rows (or payloads shorter
+    * than 2 frames) are skipped, never a wrong number. */
+  def audioPitch(spark: SparkSession, media: DataFrame,
+      maxLag: Int = 32): Dataset[AudioPitch] = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    import spark.implicits._
+    media.select(col("doc_id").cast("string"), col("media_ref").cast("string"),
+        col("payload").cast("binary"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, ref, bytes) =>
+          graft.media.Wav.samples(bytes).flatMap { case (_, channels, all) =>
+            val n = all.length / channels
+            if (n < 2) None
+            else {
+              val x = new Array[Long](n)
+              var i = 0
+              while (i < n) { x(i) = all(i * channels).toLong; i += 1 }
+              var energy = 0L
+              i = 0
+              while (i < n) { energy += x(i) * x(i); i += 1 }
+              var bestLag = 0
+              var bestCorr = Long.MinValue
+              var lag = 1
+              while (lag <= math.min(maxLag, n - 1)) {
+                var r = 0L
+                var j = 0
+                while (j < n - lag) { r += x(j) * x(j + lag); j += 1 }
+                if (r > bestCorr) { bestCorr = r; bestLag = lag }
+                lag += 1
+              }
+              Some(AudioPitch(docId, ref, n.toLong, energy, bestLag, bestCorr))
+            }
+          }
+        }
+      }
+  }
+
   /** One sampled frame of a video-like payload. `frame_off` is the
     * absolute payload offset of the frame's bytes; `frame_ms` the
     * decode timestamp (−1 on the stub-chunker path, which has no

@@ -1412,6 +1412,30 @@ object Oracles {
         |FROM range(60) t(i)
         |ORDER BY doc_id""".stripMargin,
 
+    "mm_audio_pitch" ->
+      // full replay: regenerate the samples, every lag's correlation,
+      // and the argmax (max corr, ties to the smallest lag) in SQL
+      """WITH s AS (
+        | SELECT i, list_transform(range(240), k ->
+        |   CAST(CASE WHEN (k // (2 + i % 4)) % 2 = 0 THEN 1000 ELSE -1000 END
+        |     + (k * 7 + i) % 11 - 5 AS BIGINT)) AS xs
+        | FROM range(48) t(i)),
+        |r AS (
+        | SELECT i, lag, CAST(list_sum(list_transform(range(240 - lag),
+        |   j -> xs[j + 1] * xs[j + lag + 1])) AS BIGINT) AS corr
+        | FROM s, range(1, 33) l(lag)),
+        |bm AS (SELECT i, max(corr) AS best_corr FROM r GROUP BY i),
+        |bl AS (SELECT r.i, min(r.lag) AS best_lag, bm.best_corr
+        | FROM r JOIN bm ON bm.i = r.i AND r.corr = bm.best_corr
+        | GROUP BY r.i, bm.best_corr)
+        |SELECT printf('ap%08d', s.i) AS doc_id, printf('p_%d.wav', s.i) AS media_ref,
+        | CAST(240 AS BIGINT) AS n_frames,
+        | CAST(list_sum(list_transform(s.xs, x -> x * x)) AS BIGINT) AS energy,
+        | CAST(bl.best_lag AS INTEGER) AS best_lag,
+        | CAST(bl.best_corr AS BIGINT) AS best_corr
+        |FROM s JOIN bl ON bl.i = s.i
+        |ORDER BY doc_id""".stripMargin,
+
     "mm_frame_sample" ->
       // stub rows: fixed 32-byte chunks, frame_ms = -1. BMFF rows:
       // the fixture's mdat payload starts at 212 (Mp4Demux

@@ -1537,6 +1537,25 @@ object Queries {
     Multimodal.audioFeatures(s, media).toDF().orderBy("doc_id")
   }
 
+  /** Integer-autocorrelation pitch probe over synthesized PCM square
+    * waves (period 4/6/8/10 frames + deterministic jitter): best_lag
+    * recovers each wave's period, and every product is exact Long
+    * arithmetic, so the DuckDB twin REPLAYS the full R(lag) surface —
+    * samples, products, argmax — rather than trusting a closed form
+    * ([[Multimodal.audioPitch]]). */
+  def mmAudioPitch(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.range(48).map { i =>
+      val halfP = 2 + (i % 4).toInt // period p = 4 + 2*(i%4)
+      val samples = Array.tabulate(240) { k =>
+        val sq = if ((k / halfP) % 2 == 0) 1000 else -1000
+        (sq + (k * 7 + i.toInt) % 11 - 5).toShort
+      }
+      (f"ap$i%08d", s"p_$i.wav", graft.media.Wav.encodePcm16(8000, 1, samples))
+    }.toDF("doc_id", "media_ref", "payload")
+    Multimodal.audioPitch(s, media).toDF().orderBy("doc_id")
+  }
+
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // stub-path rows (non-BMFF payloads, fixed 32-byte chunks) plus
@@ -1645,5 +1664,6 @@ object Queries {
     "mm_pdf_image_features" -> (mmPdfImageFeatures _),
     "mm_thumbnails" -> (mmThumbnails _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_audio_features" -> (mmAudioFeatures _))
+    "mm_audio_features" -> (mmAudioFeatures _),
+    "mm_audio_pitch" -> (mmAudioPitch _))
 }

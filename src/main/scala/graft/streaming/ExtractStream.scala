@@ -153,6 +153,44 @@ object ExtractStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming NEAR-dedup at SIGNATURE precision: the doc's full
+    * MinHash signature (md5 of all `numHashes` minhash values — the
+    * batch [[graft.operators.Dedup]] sketch via the same native
+    * expression) is the dedup key, so an arriving document whose
+    * whole signature matches any earlier one is suppressed across
+    * micro-batches and restarts. This is the HIGH-PRECISION tier of
+    * streaming near-dedup — all hashes agreeing ≈ resemblance near 1
+    * (Broder 1997); the banded-LSH recall tiers stay batch operators,
+    * where the bucket join and its candidate verification are
+    * replayable against the oracle. State is ONE row per distinct
+    * signature (not per band), map-side computed, no shuffle beyond
+    * the dedup state partitioning. Docs below `shingleN` tokens have
+    * no signature and fall back to the EXACT content fingerprint —
+    * never a shared-null key that would collapse all short docs. */
+  def nearDedupStream(spark: SparkSession, docs: DataFrame,
+      shingleN: Int = 3, numHashes: Int = 8): DataFrame =
+    docs
+      .withColumn("near_key", coalesce(
+        md5(array_join(graft.functions.TextFunctions.minhashSigs(
+          col("text"), shingleN, numHashes), "|")),
+        graft.functions.TextFunctions.fingerprint(col("text"))))
+      .dropDuplicates("near_key")
+
+  /** BOUNDED-STATE [[nearDedupStream]] — the 10^12-doc path: same
+    * signature key, state pruned to the watermark horizon (a
+    * signature-duplicate arriving within `delay` of the original is
+    * suppressed; the long tail belongs to the batch pass). */
+  def nearDedupStreamWithinWatermark(spark: SparkSession, docs: DataFrame,
+      tsCol: String, delay: String = "1 hour",
+      shingleN: Int = 3, numHashes: Int = 8): DataFrame =
+    docs
+      .withColumn("near_key", coalesce(
+        md5(array_join(graft.functions.TextFunctions.minhashSigs(
+          col("text"), shingleN, numHashes), "|")),
+        graft.functions.TextFunctions.fingerprint(col("text"))))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("near_key")
+
   /** Event-time windowed aggregation with a watermark over the events
     * stream table — the engine's late-data-tolerant streaming agg
     * (absent from the reference, which has no time semantics:

@@ -40,4 +40,13 @@ class WavSpec extends AnyFunSuite {
     bad(20) = 2
     assert(Wav.decode(bad).isEmpty)
   }
+
+  test("samples: raw waveform round-trips exactly; interleaving preserved; fail-soft None") {
+    val src = Array.tabulate(120)(k => ((k * 57) % 3001 - 1500).toShort)
+    val wav = Wav.encodePcm16(16000, 2, src)
+    val (rate, ch, got) = Wav.samples(wav).getOrElse(fail("samples returned None"))
+    assert(rate == 16000 && ch == 2)
+    assert(got.toSeq == src.toSeq)
+    assert(Wav.samples("RIFFnope".getBytes("US-ASCII")).isEmpty)
+  }
 }

@@ -568,6 +568,24 @@ class OperatorsSpec extends AnyFunSuite {
       (9L, 10L, 0L, 0L, 1)))   // no spans -> zero coverage, kept
   }
 
+  test("audioPitch: autocorrelation argmax recovers a square wave's period; non-WAV skipped") {
+    import spark.implicits._
+    val media = Seq(4, 6, 8, 10).zipWithIndex.map { case (p, i) =>
+      val samples = Array.tabulate(240)(k =>
+        (if ((k / (p / 2)) % 2 == 0) 1000 else -1000).toShort)
+      (s"pw$p", s"pw_$p.wav", graft.media.Wav.encodePcm16(8000, 1, samples))
+    } :+ (("junk", "x.bin", "not audio at all".getBytes("US-ASCII")))
+    val got = Multimodal.audioPitch(spark, media.toDF("doc_id", "media_ref", "payload"))
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(!got.contains("junk"))
+    for (p <- Seq(4, 6, 8, 10)) {
+      assert(got(s"pw$p").best_lag == p, s"period $p detected as ${got(s"pw$p").best_lag}")
+      // clean square wave: R(p) = A^2 * (n - p) exactly
+      assert(got(s"pw$p").best_corr == 1000L * 1000L * (240 - p))
+      assert(got(s"pw$p").energy == 1000L * 1000L * 240)
+    }
+  }
+
   test("componentsStar: a 32-node path labels in 5 alt-star rounds (min-propagation would need 31)") {
     // the worst case for per-hop min propagation: diameter = n-1; the
     // contracting star rounds close it in O(log n)

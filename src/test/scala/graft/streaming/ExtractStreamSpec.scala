@@ -45,6 +45,39 @@ class ExtractStreamSpec extends AnyFunSuite {
     assert((kept & Set(1L, 3L)).size == 1)
   }
 
+  test("streaming NEAR-dedup: signature duplicates suppressed across batches; short docs fall back to exact fp") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val base = (0 until 40).map(i => s"tok${i * 13 % 17}x$i").mkString(" ")
+    val variant = "zzz " + base.split(" ").drop(1).mkString(" ")
+    // expectation derived from the SAME native sketch the stream keys on
+    val sigs = Seq(base, variant).toDF("text")
+      .select(md5(array_join(graft.functions.TextFunctions.minhashSigs(
+        col("text"), 3, 8), "|")).as("s")).as[String].collect()
+    val variantIsDup = sigs(0) == sigs(1)
+    val src = tmp("ndd-src"); val out = tmp("ndd-out"); val ck = tmp("ndd-ck")
+    Seq((1L, base), (5L, "x")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/f1")
+    Seq((2L, base), (3L, variant), (6L, "x"), (7L, "y")).toDF("doc_id", "text")
+      .coalesce(1).write.parquet(s"$src/f2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f*")
+    val q = ExtractStream.nearDedupStream(spark, stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L)) // identical text: one signature
+    assert(kept.contains(3L) != variantIsDup) // streaming ≡ the sketch's own verdict
+    assert((kept & Set(5L, 6L)).size == 1) // short docs dedup by exact fp, not a shared null
+    assert(kept.contains(7L))
+  }
+
   test("streaming extraction over the corpus equals the by-construction goldens (S1 queue ≡ file stream)") {
     import spark.implicits._
     val n = 60
