@@ -33,8 +33,9 @@ object GraftSql {
     * Views created (all prefixed, default `graft_`):
     * exact_groups, minhash_pairs, minhash_star_pairs,
     * jaccard_capped_pairs, containment_pairs, simhash_star_pairs,
-    * exact_substring_spans, seq_pack, components, components_star,
-    * components_star_adaptive (labels + `rounds_used`). */
+    * exact_substring_spans, dup_coverage, seq_pack, components,
+    * components_star, components_star_adaptive (labels +
+    * `rounds_used`), keep_best (one row per near-dup cluster). */
   def registerDedupViews(spark: SparkSession, docsView: String,
       prefix: String = "graft_"): Unit = {
     val docs = spark.table(docsView)
@@ -62,6 +63,17 @@ object GraftSql {
     val (adaptive, roundsUsed) = Dedup.componentsStarAdaptive(star)
     adaptive.withColumn("rounds_used", org.apache.spark.sql.functions.lit(roundsUsed))
       .createOrReplaceTempView(s"${prefix}components_star_adaptive")
+    // cluster resolution over the eager components labels: quality-
+    // then-token-count score, the library default (lazy like the pair
+    // views — re-derives docs and coverage per query)
+    import org.apache.spark.sql.functions.{col, size, split}
+    import graft.functions.{TextFunctions => TF}
+    Dedup.keepBestPerCluster(docs, spark.table(s"${prefix}components"),
+        TF.qualityBucket(col("text")).cast("long") * 100000L +
+          size(split(col("text"), " ")))
+      .createOrReplaceTempView(s"${prefix}keep_best")
+    Dedup.dupSpanCoverage(docs)
+      .createOrReplaceTempView(s"${prefix}dup_coverage")
   }
 
   /** Register the ANN views over `embView(vec_id, embedding)`:

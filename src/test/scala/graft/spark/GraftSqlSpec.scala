@@ -59,6 +59,18 @@ class GraftSqlSpec extends AnyFunSuite {
     val ru = adaptiveRows.map(_.getInt(2)).distinct
     assert(ru.length == 1 && ru.head >= 1 && ru.head <= 3,
       s"expected a small adaptive round count on a near-star graph, got ${ru.toSeq}")
+    // keep-best view: one row per cluster, SQL ≡ Scala
+    import org.apache.spark.sql.functions.{col, size, split}
+    import graft.functions.{TextFunctions => TF}
+    val labels = Dedup.components(Dedup.minhashLshStarPairs(docs),
+      checkpointRounds = true)
+    assert(rows("SELECT * FROM graft_keep_best") ==
+      Dedup.keepBestPerCluster(docs, labels,
+          TF.qualityBucket(col("text")).cast("long") * 100000L +
+            size(split(col("text"), " ")))
+        .collect().map(_.toSeq).toSet)
+    assert(rows("SELECT * FROM graft_dup_coverage") ==
+      Dedup.dupSpanCoverage(docs).collect().map(_.toSeq).toSet)
     // views COMPOSE with plain SQL (join a view against the source)
     val joined = spark.sql(
       """SELECT c.component, count(*) AS n

@@ -123,6 +123,17 @@ class PlanSpec extends AnyFunSuite {
       s"canon lost its map-side partial min aggregation:\n${plan.take(4000)}")
   }
 
+  test("keep-best: per-cluster argmax is a struct-max hash aggregation (map-side combine), NOT a window") {
+    val plan = physical(Queries.dedupKeepBest(spark, sf))
+    // row_number().over(partitionBy(cluster)) would serialize a
+    // mega-cluster into one unsplittable window task; the struct-max
+    // form partial-aggregates a 10k-member cluster's rows map-side
+    assert(!plan.contains("Window"),
+      s"window argmax scale-killer in keep-best:\n${plan.take(4000)}")
+    assert(plan.contains("partial_max"),
+      s"argmax lost its map-side partial max:\n${plan.take(4000)}")
+  }
+
   test("jaccard: shingle df is a hash aggregation (map-side partials), NOT a window over sh") {
     val plan = physical(Queries.dedupJaccardCapped(spark, sf))
     // a window over partitionBy(sh) forces ALL rows of a hot shingle
