@@ -360,7 +360,9 @@ object Bench {
       "dedup_components", "dedup_components_star", "dedup_components_star_chain",
       "dedup_components_star_adaptive",
       "dedup_containment",
-      "pipeline_clean_corpus", "pipeline_seq_pack", "sim_topk_brute", "sim_topk_lsh",
+      "dedup_keep_best", "text_dup_coverage",
+      "pipeline_clean_corpus", "pipeline_curate", "pipeline_seq_pack",
+      "sim_topk_brute", "sim_topk_lsh",
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans",
       "text_stats", "text_langid", "text_distinct_kmv", "text_repetition", "text_gopher_quality",
       "pdfz_form_text",

@@ -65,7 +65,12 @@ object ScaleProbe {
       }),
       "dedup_containment_capped" ->
         (d => Dedup.ngramContainmentPairs(d, minPermille = 800, maxDf = 10)),
-      "dedup_exact_substring" -> (d => Dedup.exactSubstringSpans(d, minTokens = 15)))
+      "dedup_exact_substring" -> (d => Dedup.exactSubstringSpans(d, minTokens = 15)),
+      "dedup_keep_best" -> (d => Dedup.keepBestPerCluster(d,
+        Dedup.components(Dedup.minhashLshStarPairs(d), checkpointRounds = true),
+        graft.functions.TextFunctions.qualityBucket(col("text")).cast("long") * 100000L +
+          size(split(col("text"), " ")))),
+      "text_dup_coverage" -> (d => Dedup.dupSpanCoverage(d, minTokens = 15)))
 
     val results = ops.map { case (name, op) =>
       runPlan(op(scaled(1))) // warmup (codegen + JIT)
