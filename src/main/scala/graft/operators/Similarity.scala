@@ -179,6 +179,89 @@ object Similarity {
       .select("query_id", "item_id", "dot", "rnk")
   }
 
+  /** IVF-ADC product-quantization top-k (Jégou, Douze, Schmid,
+    * "Product Quantization for Nearest Neighbor Search", TPAMI 2011) —
+    * the memory-compressed 10^12-scale ANN path: after the coarse IVF
+    * partition, each item is stored as `numSub` small codebook CODES
+    * (here 4 codes of 4 bits each vs 64×8-byte quantized coordinates —
+    * a ~100× shrink), and queries score items via an
+    * asymmetric-distance lookup table (ADC) instead of a full dot
+    * product. Everything is exact integer arithmetic so an external
+    * engine can replay it:
+    *
+    *  - coarse stage: identical to [[ivfTopK]] (deterministic seed
+    *    centroids, exact integer L2² assignment, `nProbe` probing);
+    *  - codebooks: subspace `m` covers dims `[m·subDim, (m+1)·subDim)`;
+    *    its `codebookSize` codewords are the subvectors of the first
+    *    `codebookSize` item vectors (deterministic seeds — a production
+    *    deployment would persist per-subspace k-means output, exactly
+    *    like the coarse stage of [[ivfTopKKmeans]]);
+    *  - encoding: nearest codeword per (item, subspace) by exact
+    *    integer L2², ties to the smaller code — ONE hash aggregation
+    *    with map-side combine (never a window over the n·K candidate
+    *    rows);
+    *  - scoring: approx_dot(q, item) = Σ_m LUT_q[m][code_m(item)]
+    *    where LUT_q[m][c] = q_sub(m)·codeword(m,c) — the LUT is
+    *    (queries × numSub × codebookSize) rows, broadcast; items in
+    *    probed lists join it by (query, subspace, code) and one hash
+    *    aggregation sums the M partial dots. No full-width vector is
+    *    touched at scan time.
+    *
+    * At 10^12 items the scan side carries only (item_id, cid, sub,
+    * code); the probed fraction is nProbe/numCentroids; and the per-row
+    * work is a broadcast-hash lookup + a long add. Ranking is by
+    * (approx_dot desc, item_id) — deterministic, replayed exactly by
+    * the DuckDB twin. */
+  def ivfPqTopK(queries: DataFrame, items: DataFrame, k: Int,
+      numCentroids: Int = 8, nProbe: Int = 2,
+      numSub: Int = 4, codebookSize: Int = 16): DataFrame = {
+    val it = items.select(col("vec_id").as("item_id"), VF.quantize(col("embedding")).as("qv"))
+    val cent = seedCentroids(items, numCentroids)
+    val lists = assignNearestQ(it, cent, "item_id", "qv") // (item_id, cid, qv)
+
+    // subspace m covers dims [m·subDim, (m+1)·subDim); subDim is
+    // derived from the vector width (contract: width % numSub == 0)
+    def subVecs(qvName: String) = {
+      val subDim = (size(col(qvName)) / numSub).cast("int")
+      posexplode(array((0 until numSub).map(m =>
+        slice(col(qvName), lit(m) * subDim + 1, subDim)): _*)).as(Seq("sub", "sv"))
+    }
+
+    // per-subspace codebooks: codewords = subvectors of the seed items
+    val cb = it.where(col("item_id") < codebookSize)
+      .select(col("item_id").cast("int").as("code"), subVecs("qv"))
+      .withColumnRenamed("sv", "scv")
+      .withColumn("scn", VF.normSqQ(col("scv")))
+
+    // encode: nearest codeword per (item, subspace) — min_by hash agg,
+    // map-side combine collapses the K candidate rows per (item, sub)
+    val enc = lists.select(col("item_id"), col("cid"), subVecs("qv"))
+      .withColumn("svn", VF.normSqQ(col("sv")))
+      .join(broadcast(cb), Seq("sub"))
+      .withColumn("d2", col("svn") - lit(2L) * VF.dotQ(col("sv"), col("scv")) + col("scn"))
+      .groupBy("item_id", "cid", "sub")
+      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+
+    val probes = assignProbes(queries, cent, "query_id", "q_qv", nProbe)
+    // ADC lookup table: q_sub(m) · codeword(m, c) for every probe query
+    val lut = probes.select(col("query_id"), col("q_qv")).distinct()
+      .select(col("query_id"), subVecs("q_qv"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        VF.dotQ(col("sv"), col("scv")).as("pdot"))
+
+    val scored = enc
+      .join(broadcast(probes.select("query_id", "cid")), Seq("cid"))
+      .where(col("query_id") =!= col("item_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "item_id")
+      .agg(sum(col("pdot")).as("adot"))
+    val w = Window.partitionBy("query_id").orderBy(col("adot").desc, col("item_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "item_id", "adot", "rnk")
+  }
+
   /** Multi-table LSH top-k: `tables` independent sign-LSH bucket
     * tables (table t hashes dims [t·lshBits, (t+1)·lshBits)); a
     * candidate is any item sharing a bucket with the query in ANY

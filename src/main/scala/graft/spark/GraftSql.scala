@@ -77,7 +77,8 @@ object GraftSql {
   }
 
   /** Register the ANN views over `embView(vec_id, embedding)`:
-    * `<prefix>topk_brute`, `<prefix>topk_lsh` and `<prefix>topk_ivf`
+    * `<prefix>topk_brute`, `<prefix>topk_lsh`, `<prefix>topk_ivf`
+    * and `<prefix>topk_pq` (IVF-ADC product quantization)
     * score every vector of `queriesWhere` (SQL predicate over
     * `embView` columns selecting the query side, e.g. "vec_id < 8")
     * against the full table. */
@@ -91,5 +92,7 @@ object GraftSql {
       .createOrReplaceTempView(s"${prefix}topk_lsh")
     Similarity.ivfTopK(queries, emb, k)
       .createOrReplaceTempView(s"${prefix}topk_ivf")
+    Similarity.ivfPqTopK(queries, emb, k)
+      .createOrReplaceTempView(s"${prefix}topk_pq")
   }
 }

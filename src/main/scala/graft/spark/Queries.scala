@@ -1153,6 +1153,18 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF-ADC product-quantization top-5 (Jégou et al. 2011): coarse
+    * IVF probe (8 lists, 2 probed) + items stored as 4 subspace CODES
+    * (16-codeword deterministic codebooks); queries score via an
+    * asymmetric-distance lookup table — no full-width vector at scan
+    * time. Exact integer replay in the DuckDB twin. */
+  def simTopkPq(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    Similarity.ivfPqTopK(emb.where(col("vec_id") < 8), emb, k = 5,
+        numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-document text statistics: token counts, stopword/length
     * ratios (permille/centichar integers), quality bucket. */
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -1646,6 +1658,7 @@ object Queries {
     "sim_topk_lsh_multi" -> (simTopkLshMulti _),
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
+    "sim_topk_pq" -> (simTopkPq _),
     "text_stats" -> (textStats _),
     "text_distinct_kmv" -> (textDistinctKmv _),
     "text_tfidf_top3" -> (textTfidfTop3 _),

@@ -78,7 +78,9 @@ object RecallProbe {
       "lsh_multi" -> Similarity.lshTopKMulti(queries, emb, k, lshBits = 4, tables = 2),
       "ivf" -> Similarity.ivfTopK(queries, emb, k, numCentroids = 8, nProbe = 2),
       "ivf_kmeans" -> Similarity.ivfTopKKmeans(queries, emb, k,
-        numCentroids = 8, nProbe = 2, iterations = 2))
+        numCentroids = 8, nProbe = 2, iterations = 2),
+      "ivf_pq" -> Similarity.ivfPqTopK(queries, emb, k,
+        numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16))
     val annRecall = ann.map { case (n, df) => n -> recallAtK(truth, df) }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

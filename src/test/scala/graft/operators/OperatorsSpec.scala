@@ -779,6 +779,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(all == Set(1L, 2L, 3L))
   }
 
+  test("ivfPqTopK: probed-lists-only, ADC-exact on codeword-aligned items, deterministic code-tie order") {
+    // dim=4, 2 subspaces of 2 dims; coarse centroids = items 0,1;
+    // codebooks = subvectors of items 0,1. Item 100 is a DUPLICATE of
+    // seed 0, so it encodes to (code 0, code 0) and its ADC score for
+    // a query equal to item 0 is the EXACT dot |q|^2 = 1000^2. Item 2
+    // quantizes to the same code tuple -> identical adot, tie broken
+    // by item_id. Items 1,3 live in the un-probed list at nProbe=1.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)), (3L, Seq(0.0f, 0.0f, 0.1f, 0.9f)),
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val one = Similarity.ivfPqTopK(e.where($"vec_id" === 0), e, k = 5,
+        numCentroids = 2, nProbe = 1, numSub = 2, codebookSize = 2)
+      .orderBy("rnk")
+      .collect().map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("adot")))
+    assert(one.toSeq == Seq((2L, 1000000L), (100L, 1000000L)),
+      s"probed-list scoring: got ${one.toSeq}")
+    val both = Similarity.ivfPqTopK(e.where($"vec_id" === 0), e, k = 5,
+        numCentroids = 2, nProbe = 2, numSub = 2, codebookSize = 2)
+      .collect().map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("adot"))).toMap
+    assert(both.keySet == Set(1L, 2L, 3L, 100L))
+    // items encoding to the other codebook tuple score q.cw(1) = 0
+    assert(both(1L) == 0L && both(3L) == 0L)
+  }
+
   test("lshBitsFor grows with corpus size and is clamped") {
     assert(VF.lshBitsFor(1000L, targetBucketSize = 4096L) == 1)
     assert(VF.lshBitsFor(4096L * 16, targetBucketSize = 4096L) == 4)

@@ -65,6 +65,37 @@ class RecallSpec extends AnyFunSuite {
     assert(ivfKm >= 0.90, s"IVF-kmeans recall@$k = $ivfKm < 0.90")
   }
 
+  /** PQ recall is codebook-quality-bound: its codewords are the first
+    * `codebookSize` item subvectors, so the corpus is labeled
+    * MEMBER-MAJOR (vec_id = member·32 + cluster) — the first 16 ids
+    * span 16 DIFFERENT clusters, the stand-in for k-means-trained
+    * codebooks (same contract as the coarse seeds of ivfTopK). */
+  private lazy val clusteredMm = {
+    val rnd = new scala.util.Random(97)
+    val centers = Vector.fill(32)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val rows = for {
+      c <- 0 until 32
+      m <- 0 until 8
+    } yield {
+      val v = centers(c).map(x => x + (rnd.nextFloat() - 0.5f) * 0.1f)
+      ((m * 32 + c).toLong, v.toSeq)
+    }
+    rows.toDF("vec_id", "embedding").localCheckpoint()
+  }
+
+  test("IVF-PQ recall floor at default knobs on a clustered corpus with cluster-spanning codebooks") {
+    val queries = clusteredMm.where($"vec_id" < 32) // member 0 of every cluster
+    val k = 7
+    val truth = Similarity.bruteForceTopK(queries, clusteredMm, k).localCheckpoint()
+    val pq = RecallProbe.recallAtK(truth,
+      Similarity.ivfPqTopK(queries, clusteredMm, k,
+        numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16))
+    // clustermates quantize to their cluster's nearest codeword tuple;
+    // loss comes from coarse-boundary straddle + cross-cluster code
+    // collisions — both bounded on tight clusters
+    assert(pq >= 0.85, s"IVF-PQ recall@$k = $pq < 0.85")
+  }
+
   /** 40 base docs × 3 variants (base + two one-token edits): every
     * variant pair has 3-gram Jaccard well above 0.5, so the exact
     * ground-truth pair set is the within-group pairs. */
