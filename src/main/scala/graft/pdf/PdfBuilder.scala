@@ -322,6 +322,79 @@ object PdfBuilder {
     writeClassicXref(b, trailerExtra = s" /Info $infoNum 0 R")
   }
 
+  /** Document with an outline (bookmark) tree (§12.3.3). `items` is
+    * the PRE-ORDER flattened tree: (level, title, page). Structure is
+    * rebuilt into /First //Last //Next //Prev //Parent //Count links
+    * (parent of an item = the nearest preceding item one level up).
+    * Destination form cycles the spec's branches: level-0 items get a
+    * direct /Dest [pg 0 R /XYZ 0 792 0]; deeper items a /A /GoTo /D
+    * [pg 0 R /Fit] action; page < 0 writes a NAMED destination
+    * /Dest (nowhere) — out of extraction's declared scope, must
+    * surface as page -1. Titles with any non-ASCII char are written
+    * as UTF-16BE hex strings with BOM, others as escaped literals —
+    * both §7.9.2.2 branches. The live catalog is written LAST and the
+    * trailer's /Root points at it (object 1 stays a decoy catalog
+    * without /Outlines — a reader keying on object order instead of
+    * /Root sees no outline at all). */
+  def withOutline(pageContents: Seq[String],
+      items: Seq[(Int, String, Int)]): Array[Byte] = {
+    val b = new Builder
+    writeHeaderObjects(b, pageContents.length)
+    pageContents.zipWithIndex.foreach { case (content, i) =>
+      val pageNum = 4 + 2 * i; val contNum = 5 + 2 * i
+      b.obj(pageNum) {
+        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contNum 0 R " +
+          "/Resources << /Font << /F1 3 0 R >> >> >>")
+      }
+      b.streamObj(contNum, "", tjLine(content).getBytes(ISO_8859_1))
+    }
+    val rootNum = 4 + 2 * pageContents.length // outline root
+    val itemNum = items.indices.map(_ + rootNum + 1)
+    def esc(s: String): String =
+      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    def titleStr(t: String): String =
+      if (t.forall(_ < 0x80)) s"(${esc(t)})" else utf16HexString(t)
+    // pre-order structure recovery
+    def parentOf(i: Int): Int = {
+      val lvl = items(i)._1
+      if (lvl == 0) -1
+      else (i - 1 to 0 by -1).find(j => items(j)._1 == lvl - 1)
+        .getOrElse(throw new IllegalArgumentException("orphan outline item"))
+    }
+    val parents = items.indices.map(parentOf)
+    def kidsOf(p: Int): Seq[Int] = items.indices.filter(parents(_) == p)
+    val top = kidsOf(-1)
+    require(top.nonEmpty, "outline needs at least one top-level item")
+    b.obj(rootNum) {
+      b.raw(s"<< /Type /Outlines /First ${itemNum(top.head)} 0 R " +
+        s"/Last ${itemNum(top.last)} 0 R /Count ${items.length} >>")
+    }
+    items.zipWithIndex.foreach { case ((lvl, title, page), i) =>
+      val sibs = kidsOf(parents(i))
+      val at = sibs.indexOf(i)
+      val kids = kidsOf(i)
+      val parentRef =
+        if (parents(i) < 0) s"$rootNum 0 R" else s"${itemNum(parents(i))} 0 R"
+      val dest =
+        if (page < 0) "/Dest (nowhere)"
+        else if (lvl == 0) s"/Dest [${4 + 2 * page} 0 R /XYZ 0 792 0]"
+        else s"/A << /S /GoTo /D [${4 + 2 * page} 0 R /Fit] >>"
+      val links = new StringBuilder
+      if (at > 0) links ++= s" /Prev ${itemNum(sibs(at - 1))} 0 R"
+      if (at < sibs.length - 1) links ++= s" /Next ${itemNum(sibs(at + 1))} 0 R"
+      if (kids.nonEmpty)
+        links ++= s" /First ${itemNum(kids.head)} 0 R /Last ${itemNum(kids.last)} 0 R /Count ${kids.length}"
+      b.obj(itemNum(i)) {
+        b.raw(s"<< /Title ${titleStr(title)} /Parent $parentRef $dest${links.result()} >>")
+      }
+    }
+    val catNum = rootNum + items.length + 1
+    b.obj(catNum) {
+      b.raw(s"<< /Type /Catalog /Pages 2 0 R /Outlines $rootNum 0 R >>")
+    }
+    writeClassicXref(b, rootRef = s"$catNum 0 R")
+  }
+
   /** UTF-16BE hex string WITH byte-order mark — the §7.9.2.2 Unicode
     * branch of the text-string type, as writers emit it in /Info. */
   def utf16HexString(s: String): String =

@@ -203,7 +203,14 @@ final class PdfDocument private (
     * numbers follow from position (matching lopdf's BTreeMap order,
     * /root/reference/extractor/src/engine/mod.rs:72).
     */
-  lazy val pages: Vector[PDict] = {
+  lazy val pages: Vector[PDict] = pagesWithNums.map(_._2)
+
+  /** [[pages]] with each leaf's OBJECT NUMBER (-1 for a page written
+    * inline in its parent's /Kids — non-conforming but parseable).
+    * The number is the join key destinations and outline items use to
+    * name a page (§12.3.2: a /Dest array's first element is a page
+    * object reference). */
+  lazy val pagesWithNums: Vector[(Int, PDict)] = {
     val root = dictGet(trailer, "Root") match {
       case d: PDict => d
       case _        => throw new PdfParseException("missing /Root catalog")
@@ -212,26 +219,27 @@ final class PdfDocument private (
       case d: PDict => d
       case _        => throw new PdfParseException("missing /Pages")
     }
-    val out = Vector.newBuilder[PDict]
+    val out = Vector.newBuilder[(Int, PDict)]
     val inheritable = Seq("Resources", "MediaBox", "Rotate", "CropBox")
     val seen = mutable.HashSet.empty[Int]
-    def walk(node: PDict, inherited: Map[String, PdfObj], depth: Int): Unit = {
+    def walk(node: PDict, num: Int, inherited: Map[String, PdfObj], depth: Int): Unit = {
       if (depth > 64) throw new PdfParseException("page tree too deep")
       val inh = inherited ++ inheritable.flatMap(k => node.get(k).map(k -> _))
       dictGet(node, "Type") match {
         case PName("Page") =>
-          out += PDict((inh ++ node.m).toMap)
+          out += ((num, PDict((inh ++ node.m).toMap)))
         case _ =>
           dictGet(node, "Kids") match {
             case PArr(kids) =>
               kids.foreach { k =>
-                k match {
+                val kidNum = k match {
                   case PRef(n, _) if !seen.add(n) =>
                     throw new PdfParseException("page tree cycle")
-                  case _ =>
+                  case PRef(n, _) => n
+                  case _          => -1
                 }
                 resolve(k) match {
-                  case kd: PDict => walk(kd, inh, depth + 1)
+                  case kd: PDict => walk(kd, kidNum, inh, depth + 1)
                   case _         =>
                 }
               }
@@ -239,7 +247,7 @@ final class PdfDocument private (
           }
       }
     }
-    walk(top, Map.empty, 0)
+    walk(top, -1, Map.empty, 0)
     out.result()
   }
 

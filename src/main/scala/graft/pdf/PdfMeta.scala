@@ -95,6 +95,87 @@ object PdfMeta {
     }.toVector
   }
 
+  /** One document-outline (bookmark) item in pre-order: position,
+    * nesting level, decoded title, and the 0-based page its
+    * destination names (-1 when the destination is absent, named, or
+    * not a page in this document). */
+  final case class OutlineItem(ord: Int, level: Int, title: String, page: Int)
+
+  /** The document outline tree (§12.3.3), flattened pre-order: each
+    * item's /Title (a §7.9.2.2 text string), nesting level, and
+    * destination page resolved through /Dest — or through an /A /GoTo
+    * action's /D (§12.6.4.2) — by matching the destination array's
+    * leading page reference against the page tree. Named (string)
+    * destinations require the catalog's name tree and are out of
+    * declared scope → page -1, never a guess. Siblings follow /Next
+    * from /First; a /First//Next reference seen twice is a declared
+    * parse error (same cycle posture as the page-tree walk), as is a
+    * tree deeper than 64 levels. Encrypted documents return empty —
+    * titles are top-level strings, outside [[PdfCrypt]]'s stream-only
+    * decryption scope (see class doc). */
+  def outline(doc: PdfDocument): Vector[OutlineItem] = {
+    if (doc.isEncrypted) return Vector.empty
+    val root = doc.dictGet(doc.trailer, "Root") match {
+      case d: PDict => d
+      case _        => return Vector.empty
+    }
+    val top = doc.dictGet(root, "Outlines") match {
+      case d: PDict => d
+      case _        => return Vector.empty
+    }
+    val pageIdx: Map[Int, Int] = doc.pagesWithNums.zipWithIndex
+      .collect { case ((n, _), i) if n >= 0 => n -> i }.toMap
+    val out = Vector.newBuilder[OutlineItem]
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    var ord = 0
+    def destPage(item: PDict): Int = {
+      val dest = doc.dictGet(item, "Dest") match {
+        case a: PArr => a
+        case _ => doc.dictGet(item, "A") match {
+          case act: PDict if doc.dictGet(act, "S") == PName("GoTo") =>
+            doc.dictGet(act, "D") match {
+              case a: PArr => a
+              case _       => PArr(Vector.empty)
+            }
+          case _ => PArr(Vector.empty)
+        }
+      }
+      dest.items.headOption match {
+        case Some(PRef(n, _)) => pageIdx.getOrElse(n, -1)
+        case _                => -1
+      }
+    }
+    def guard(raw: Option[PdfObj]): Unit = raw match {
+      case Some(PRef(n, _)) if !seen.add(n) =>
+        throw new PdfParseException("outline cycle")
+      case _ =>
+    }
+    def walkChain(first: PdfObj, level: Int): Unit = {
+      if (level > 64) throw new PdfParseException("outline too deep")
+      var cur = doc.resolve(first)
+      var steps = 0
+      while (cur.isInstanceOf[PDict]) {
+        steps += 1
+        if (steps > 65536) throw new PdfParseException("outline chain too long")
+        val d = cur.asInstanceOf[PDict]
+        val title = doc.dictGet(d, "Title") match {
+          case PStr(bs) => decodeTextString(bs)
+          case _        => ""
+        }
+        out += OutlineItem(ord, level, title, destPage(d))
+        ord += 1
+        d.get("First").foreach { f =>
+          guard(Some(f))
+          walkChain(f, level + 1)
+        }
+        guard(d.get("Next"))
+        cur = d.get("Next").map(doc.resolve).getOrElse(PNull)
+      }
+    }
+    top.get("First").foreach { f => guard(Some(f)); walkChain(f, 0) }
+    out.result()
+  }
+
   private def uriOf(doc: PdfDocument, annot: PDict): Option[String] =
     doc.dictGet(annot, "A") match {
       case act: PDict if doc.dictGet(act, "S") == PName("URI") =>

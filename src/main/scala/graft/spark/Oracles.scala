@@ -371,6 +371,42 @@ object Oracles {
         |SELECT * FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
         |ORDER BY id, page, uri""".stripMargin,
 
+    "pdfz_outline" ->
+      // the pre-order (ord, level, title, page) set closed-form:
+      // section ord = own index + children of earlier sections; both
+      // title branches (chr(233)=é through UTF-16BE/BOM, escaped
+      // literal parens), the named-destination appendix pinned to -1
+      """WITH secs AS (
+        | SELECT i AS id, s, (i + s) % 3 AS nc
+        | FROM range(12) t(i), range(4) r(s) WHERE s < 2 + i % 3),
+        |soff AS (
+        | SELECT id, s, nc, s + COALESCE(SUM(nc) OVER (PARTITION BY id ORDER BY s
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ord0
+        | FROM secs),
+        |sec_rows AS (
+        | SELECT id, ord0 AS ord, 0 AS lvl,
+        |  CASE WHEN s % 2 = 0
+        |   THEN 'S' || chr(233) || 'ance ' || CAST(id AS VARCHAR) || '.' || CAST(s AS VARCHAR)
+        |   ELSE 'Sec (' || CAST(id AS VARCHAR) || '.' || CAST(s AS VARCHAR) || ')'
+        |  END AS title,
+        |  s % 3 AS page
+        | FROM soff),
+        |child_rows AS (
+        | SELECT id, ord0 + 1 + k AS ord, 1 AS lvl,
+        |  'Item ' || CAST(id AS VARCHAR) || '.' || CAST(s AS VARCHAR)
+        |   || '.' || CAST(k AS VARCHAR) AS title,
+        |  (s + k + 1) % 3 AS page
+        | FROM soff, range(2) r(k) WHERE k < nc),
+        |appx AS (
+        | SELECT id, (2 + id % 3) + SUM(nc) AS ord, 0 AS lvl,
+        |  'Appendix ' || CAST(id AS VARCHAR) AS title, -1 AS page
+        | FROM secs GROUP BY id)
+        |SELECT id, CAST(ord AS INTEGER) AS ord, CAST(lvl AS INTEGER) AS lvl,
+        | title, CAST(page AS INTEGER) AS page
+        |FROM (SELECT * FROM sec_rows UNION ALL SELECT * FROM child_rows
+        |      UNION ALL SELECT * FROM appx)
+        |ORDER BY id, ord""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

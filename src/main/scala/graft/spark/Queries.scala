@@ -322,6 +322,41 @@ object Queries {
       .orderBy("id")
   }
 
+  /** DOCUMENT-OUTLINE (bookmark) extraction, oracle-pinned (DECLARED
+    * EXTENSION — the reference reads page text only): 12 three-page
+    * documents, each with 2+id%3 top-level sections of (id+s)%3
+    * children — pre-order flattening, nesting levels, both §7.9.2.2
+    * title branches (even sections UTF-16BE-with-BOM é titles, odd
+    * sections escaped literals with parens), both destination forms
+    * (direct /Dest arrays on sections, /A /GoTo /D actions on
+    * children), and a trailing named-destination appendix that must
+    * surface as page -1, never a guess. The live catalog is written
+    * last with a decoy object-1 catalog carrying no /Outlines — a
+    * reader keying on object order instead of /Root sees nothing.
+    * The DuckDB twin regenerates (ord, level, title, page) closed
+    * form: a wrong pre-order, level, title byte or page link flips
+    * the hash. */
+  def pdfzOutline(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).repartition(4).flatMap { id =>
+      val nSec = 2 + (id % 3).toInt
+      val items = (0 until nSec).flatMap { sIdx =>
+        val nc = ((id + sIdx) % 3).toInt
+        val secTitle =
+          if (sIdx % 2 == 0) s"S\u00E9ance $id.$sIdx" else s"Sec ($id.$sIdx)"
+        (0, secTitle, sIdx % 3) +: (0 until nc).map { k =>
+          (1, s"Item $id.$sIdx.$k", (sIdx + k + 1) % 3)
+        }
+      } :+ ((0, s"Appendix $id", -1))
+      val pdf = graft.pdf.PdfBuilder.withOutline(
+        Seq(s"outline a $id", s"outline b $id", s"outline c $id"), items)
+      graft.pdf.PdfMeta.outline(graft.pdf.PdfDocument.load(pdf)).map { o =>
+        (id, o.ord, o.level, o.title, o.page)
+      }
+    }.toDF("id", "ord", "lvl", "title", "page")
+      .orderBy("id", "ord")
+  }
+
   /** DOCUMENT-INFORMATION metadata extraction, oracle-pinned
     * (DECLARED EXTENSION — the reference reads page text only): 12
     * documents with trailer /Info dictionaries exercising BOTH
@@ -1609,6 +1644,7 @@ object Queries {
     "pdfz_encodings" -> (pdfzEncodings _),
     "pdfz_form_text" -> (pdfzFormText _),
     "pdfz_metadata" -> (pdfzMetadata _),
+    "pdfz_outline" -> (pdfzOutline _),
     "pdfz_links" -> (pdfzLinks _),
     "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),

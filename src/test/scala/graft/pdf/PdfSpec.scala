@@ -330,5 +330,36 @@ class PdfSpec extends AnyFunSuite {
     assert(doc.isEncrypted)
     assert(PdfMeta.info(doc) == PdfMeta.DocInfo(None, None, None, None, None, None))
     assert(PdfMeta.links(doc).isEmpty)
+    assert(PdfMeta.outline(doc).isEmpty)
+  }
+
+  test("pdf_outline: pre-order flattening, levels, both title/dest branches, named dest -> -1") {
+    val pdf = PdfBuilder.withOutline(
+      Seq("p0", "p1", "p2"),
+      Seq((0, "S\u00E9c one", 0), // UTF-16 branch, direct /Dest
+          (1, "kid (a)", 2),      // literal-escape branch, /GoTo /D
+          (1, "kid b", 1),
+          (0, "Sec two", 2),
+          (0, "Annex", -1)))      // named dest: out of scope -> -1
+    val got = PdfMeta.outline(PdfDocument.load(pdf))
+    assert(got == Vector(
+      PdfMeta.OutlineItem(0, 0, "S\u00E9c one", 0),
+      PdfMeta.OutlineItem(1, 1, "kid (a)", 2),
+      PdfMeta.OutlineItem(2, 1, "kid b", 1),
+      PdfMeta.OutlineItem(3, 0, "Sec two", 2),
+      PdfMeta.OutlineItem(4, 0, "Annex", -1)))
+  }
+
+  test("pdf_outline: /Next cycle is a declared parse error, not a hang") {
+    // hand-build: two items whose /Next links point at each other
+    val pdf = PdfBuilder.withOutline(Seq("p0"), Seq((0, "A", 0), (0, "B", 0)))
+    val txt = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // one page -> outline root is object 6, items 7 (A) and 8 (B):
+    // rewrite B's /Prev back-link into a /Next loop via a same-length
+    // edit (xref offsets stay valid)
+    val looped = txt.replace("/Prev 7 0 R", "/Next 7 0 R")
+    assert(looped != txt, "fixture must contain the /Prev link to rewrite")
+    val doc = PdfDocument.load(looped.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    intercept[PdfParseException] { PdfMeta.outline(doc) }
   }
 }
