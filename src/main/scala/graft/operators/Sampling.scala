@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Mixture re-balancing samplers for training-corpus curation.
+  *
+  * [[temperatureSample]] is the multilingual / multi-domain α-sampling
+  * rule (Conneau et al. 2020 "Unsupervised Cross-lingual Representation
+  * Learning at Scale" §3.1 — sample group g with probability ∝ n_g^α;
+  * the GPT-3 dataset-mixture table, Brown et al. 2020 Table 2.2, is the
+  * same shape with hand-set weights): dominant groups are downsampled
+  * so the kept mixture follows n_g^α instead of n_g, at α = 1/2.
+  *
+  * Exactness design — NO floating point anywhere: the keep rule
+  * "keep doc d of group g iff u(d) < (n_min / n_g)^(1/2)" (the α = 1/2
+  * rate that keeps the smallest group whole and keeps n_g^(1/2)·n_min^(1/2)
+  * of every other) is evaluated with u(d) = h(d)/1000 (h = the first 4
+  * md5 nibbles of doc_id mod 1000 — the same replayable hash family the
+  * stratified sampler uses) by squaring both sides:
+  *
+  *   h² · n_g  <  n_min · 10⁶
+  *
+  * — an exact integer predicate both engines evaluate identically; no
+  * sqrt, no rounding policy to pin. Widened to DECIMAL(38,0) (DuckDB
+  * twin: HUGEINT) so h²·n_g cannot wrap at 10^12-row group counts.
+  *
+  * Shape at 100 TB: one tiny hash aggregation over the group column
+  * (#groups rows), its min as a one-row frame, both broadcast back into
+  * a single map-side filtered scan of the corpus — the corpus itself
+  * never shuffles. Deterministic under re-runs and resume: the keep
+  * decision is a pure function of (doc_id, group counts). */
+object Sampling {
+
+  /** Keep rows so the kept mixture follows n_g^(1/2) per group in
+    * `byCol`; the smallest group is kept whole. Output: (doc_id,
+    * byCol, n_group, h) for kept rows. */
+  def temperatureSample(docs: DataFrame, byCol: String): DataFrame = {
+    val counts = docs.groupBy(byCol).agg(count(lit(1)).as("n_group"))
+    val nMin = counts.agg(min(col("n_group")).as("n_min"))
+    val wide = DecimalType(38, 0)
+    docs.select(col("doc_id"), col(byCol))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 1000)
+      .join(broadcast(counts), Seq(byCol))
+      .crossJoin(broadcast(nMin))
+      .where(col("h").cast(wide) * col("h") * col("n_group") <
+        col("n_min").cast(wide) * lit(1000000L))
+      .select(col("doc_id"), col(byCol), col("n_group"), col("h"))
+  }
+}

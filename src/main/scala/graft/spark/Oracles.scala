@@ -1316,6 +1316,20 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "sample_temperature" -> {
+      def nib(i: Int) =
+        s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      s"""WITH c AS (SELECT lang, count(*) AS n_group FROM documents GROUP BY 1),
+         |m AS (SELECT min(n_group) AS n_min FROM c),
+         |h AS (SELECT doc_id, lang,
+         |  CAST(((${nib(1)}*16 + ${nib(2)})*16 + ${nib(3)})*16 + ${nib(4)} AS BIGINT) % 1000 AS h
+         | FROM documents)
+         |SELECT doc_id, lang, n_group, h
+         |FROM h JOIN c USING (lang), m
+         |WHERE CAST(h AS HUGEINT) * h * n_group < CAST(n_min AS HUGEINT) * 1000000
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "pipeline_seq_pack" ->
       // concat-and-chunk manifest: per-shard exclusive running token
       // offsets, doc -> sequence intersections via aligned ranges

@@ -1254,6 +1254,17 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** TEMPERATURE (α = 1/2) mixture sampling by language — the
+    * multilingual corpus-balancing rule (Conneau et al. 2020 §3.1):
+    * the dominant language is downsampled so kept counts follow
+    * n_lang^(1/2); the smallest language is kept whole. The keep
+    * predicate is exact integer (h²·n_g < n_min·10⁶ — no sqrt), so
+    * the DuckDB twin replays the identical kept set. */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.temperatureSample(
+        rd(s, dir, "documents").select("doc_id", "lang"), byCol = "lang")
+      .orderBy("doc_id")
+
   /** REPETITION signals (the Gopher-rules family, Rae et al. 2021,
     * re-expressed integer-exact over token streams): per document the
     * most-frequent-token share, the duplicate-token share and the
@@ -1699,6 +1710,7 @@ object Queries {
     "text_distinct_kmv" -> (textDistinctKmv _),
     "text_tfidf_top3" -> (textTfidfTop3 _),
     "sample_stratified" -> (sampleStratified _),
+    "sample_temperature" -> (sampleTemperature _),
     "text_tokens_fp" -> (textTokensFp _),
     "text_repetition" -> (textRepetition _),
     "text_gopher_quality" -> (textGopherQuality _),

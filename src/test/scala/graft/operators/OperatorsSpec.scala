@@ -805,6 +805,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(both(1L) == 0L && both(3L) == 0L)
   }
 
+  test("temperatureSample: smallest group kept whole; dominant group follows the exact sqrt rule") {
+    // group g0: 64 docs, g1: 4 docs -> n_min = 4; keep d in g0 iff
+    // h(d)^2 * 64 < 4e6 i.e. h < 250 (exactly the alpha=1/2 rate)
+    val rows = (0L until 64L).map(i => (i, "g0")) ++ (100L until 104L).map(i => (i, "g1"))
+    val df = rows.toDF("doc_id", "grp")
+    val kept = graft.operators.Sampling.temperatureSample(df, byCol = "grp")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("grp"),
+        r.getAs[Long]("h"))).toSeq
+    assert(kept.count(_._2 == "g1") == 4, "smallest group must be kept whole")
+    // independent replay of the hash rule (MessageDigest, not Spark)
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(2).map(b => f"${b & 0xff}%02x").mkString, 16) % 1000
+    }
+    val expectG0 = (0L until 64L).filter(i => h(i) * h(i) * 64 < 4000000L).toSet
+    assert(kept.filter(_._2 == "g0").map(_._1).toSet == expectG0)
+    assert(kept.forall(k => h(k._1) == k._3), "h column must be the replayable hash")
+  }
+
   test("lshBitsFor grows with corpus size and is clamped") {
     assert(VF.lshBitsFor(1000L, targetBucketSize = 4096L) == 1)
     assert(VF.lshBitsFor(4096L * 16, targetBucketSize = 4096L) == 4)
