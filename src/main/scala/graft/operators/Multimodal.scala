@@ -219,6 +219,56 @@ object Multimodal {
       }
   }
 
+  /** One fixed-length analysis window of a PCM payload (channel 0):
+    * zero-crossing count, energy and peak amplitude — all integer. */
+  final case class AudioFrame(doc_id: String, media_ref: String,
+      frame_idx: Int, n: Int, zcr: Int, energy: Long, peak: Int)
+
+  /** FRAMED short-time features over 16-bit PCM WAV payloads — the
+    * standard front-end windowing before any spectral/VAD stage
+    * (short-time energy + zero-crossing rate; Rabiner & Schafer,
+    * "Digital Processing of Speech Signals" ch. 4), integer-exact so
+    * the DuckDB twin replays every window: channel 0 is cut into
+    * consecutive `frameLen`-sample windows (full windows only — a
+    * trailing partial window is dropped, same both engines), each
+    * emitting the in-window zero-crossing count (sign change between
+    * adjacent samples, zero counted as non-negative), Σx² energy and
+    * max |x| peak. Per-payload map-side work; same skip contract as
+    * [[audioFeatures]]: non-WAV/non-PCM payloads are skipped, never a
+    * wrong number. */
+  def audioFrames(spark: SparkSession, media: DataFrame,
+      frameLen: Int = 60): Dataset[AudioFrame] = {
+    require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    import spark.implicits._
+    media.select(col("doc_id").cast("string"), col("media_ref").cast("string"),
+        col("payload").cast("binary"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, ref, bytes) =>
+          graft.media.Wav.samples(bytes).toSeq.flatMap { case (_, channels, all) =>
+            val n = all.length / channels
+            (0 until n / frameLen).map { fi =>
+              var zcr = 0
+              var energy = 0L
+              var peak = 0
+              var j = 0
+              while (j < frameLen) {
+                val x = all((fi * frameLen + j) * channels).toInt
+                energy += x.toLong * x
+                if (math.abs(x) > peak) peak = math.abs(x)
+                if (j > 0) {
+                  val prev = all((fi * frameLen + j - 1) * channels).toInt
+                  if ((x >= 0) != (prev >= 0)) zcr += 1
+                }
+                j += 1
+              }
+              AudioFrame(docId, ref, fi, frameLen, zcr, energy, peak)
+            }
+          }
+        }
+      }
+  }
+
   /** One sampled frame of a video-like payload. `frame_off` is the
     * absolute payload offset of the frame's bytes; `frame_ms` the
     * decode timestamp (−1 on the stub-chunker path, which has no

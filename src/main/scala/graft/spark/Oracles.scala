@@ -1531,6 +1531,26 @@ object Oracles {
         |FROM s JOIN bl ON bl.i = s.i
         |ORDER BY doc_id""".stripMargin,
 
+    "mm_audio_frames" ->
+      // windowed replay: regenerate the samples, slice 60-sample
+      // windows, recompute each window's zero-crossing count (zero
+      // counted non-negative), energy and peak
+      """WITH s AS (
+        | SELECT i, list_transform(range(240), k ->
+        |   CAST(CASE WHEN (k // (2 + i % 4)) % 2 = 0 THEN 1000 ELSE -1000 END
+        |     + (k * 7 + i) % 11 - 5 AS BIGINT)) AS xs
+        | FROM range(48) t(i)),
+        |w AS (SELECT i, fi, list_slice(xs, fi*60 + 1, fi*60 + 60) AS sl
+        | FROM s, range(4) f(fi))
+        |SELECT printf('af%08d', i) AS doc_id, printf('f_%d.wav', i) AS media_ref,
+        | CAST(fi AS INTEGER) AS frame_idx, CAST(60 AS INTEGER) AS n,
+        | CAST(list_sum(list_transform(range(59), j ->
+        |   CASE WHEN (sl[j + 1] >= 0) <> (sl[j + 2] >= 0) THEN 1 ELSE 0 END))
+        |  AS INTEGER) AS zcr,
+        | CAST(list_sum(list_transform(sl, x -> x * x)) AS BIGINT) AS energy,
+        | CAST(list_max(list_transform(sl, x -> abs(x))) AS INTEGER) AS peak
+        |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
+
     "mm_frame_sample" ->
       // stub rows: fixed 32-byte chunks, frame_ms = -1. BMFF rows:
       // the fixture's mdat payload starts at 212 (Mp4Demux

@@ -1614,6 +1614,24 @@ object Queries {
     Multimodal.audioPitch(s, media).toDF().orderBy("doc_id")
   }
 
+  /** FRAMED audio features (short-time energy/ZCR/peak) over the
+    * pitch fixtures' square-wave family, 60-sample windows → 4 full
+    * windows of the 240-sample payloads; the DuckDB twin regenerates
+    * every window's integers from the same closed form. */
+  def mmAudioFrames(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.range(48).map { i =>
+      val halfP = 2 + (i % 4).toInt
+      val samples = Array.tabulate(240) { k =>
+        val sq = if ((k / halfP) % 2 == 0) 1000 else -1000
+        (sq + (k * 7 + i.toInt) % 11 - 5).toShort
+      }
+      (f"af$i%08d", s"f_$i.wav", graft.media.Wav.encodePcm16(8000, 1, samples))
+    }.toDF("doc_id", "media_ref", "payload")
+    Multimodal.audioFrames(s, media, frameLen = 60).toDF()
+      .orderBy("doc_id", "frame_idx")
+  }
+
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // stub-path rows (non-BMFF payloads, fixed 32-byte chunks) plus
@@ -1726,5 +1744,6 @@ object Queries {
     "mm_thumbnails" -> (mmThumbnails _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_features" -> (mmAudioFeatures _),
-    "mm_audio_pitch" -> (mmAudioPitch _))
+    "mm_audio_pitch" -> (mmAudioPitch _),
+    "mm_audio_frames" -> (mmAudioFrames _))
 }

@@ -586,6 +586,29 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audioFrames: windowed ZCR/energy/peak, channel-0 only, trailing partial window dropped") {
+    import spark.implicits._
+    // stereo payload: channel 0 = alternating +500/-500 (full-rate
+    // sign flips), channel 1 = loud constant decoy that must not leak
+    // into any number; 25 frames -> 2 full 10-sample windows, the
+    // 5-frame tail dropped
+    val inter = Array.tabulate(50) { j =>
+      (if (j % 2 == 0) { if ((j / 2) % 2 == 0) 500 else -500 } else 30000).toShort
+    }
+    val media = Seq(("st", "s.wav", graft.media.Wav.encodePcm16(8000, 2, inter)),
+      ("junk", "x.bin", "nope".getBytes("US-ASCII")))
+      .toDF("doc_id", "media_ref", "payload")
+    val got = Multimodal.audioFrames(spark, media, frameLen = 10)
+      .collect().sortBy(_.frame_idx)
+    assert(got.map(_.doc_id).toSet == Set("st"))
+    assert(got.length == 2) // 25 ch-0 samples -> 2 full windows
+    got.foreach { f =>
+      assert(f.n == 10 && f.zcr == 9)          // every adjacent pair flips
+      assert(f.energy == 10L * 500 * 500)      // decoy channel absent
+      assert(f.peak == 500)
+    }
+  }
+
   test("componentsStar: a 32-node path labels in 5 alt-star rounds (min-propagation would need 31)") {
     // the worst case for per-hop min propagation: diameter = n-1; the
     // contracting star rounds close it in O(log n)
