@@ -243,8 +243,11 @@ object Similarity {
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
 
     val probes = assignProbes(queries, cent, "query_id", "q_qv", nProbe)
-    // ADC lookup table: q_sub(m) · codeword(m, c) for every probe query
-    val lut = probes.select(col("query_id"), col("q_qv")).distinct()
+    // ADC lookup table: q_sub(m) · codeword(m, c) per query — derived
+    // from the RAW query side, not from `probes`, so the probe-ranking
+    // window subtree is instantiated once, not once per consumer
+    val lut = queries
+      .select(col("vec_id").as("query_id"), VF.quantize(col("embedding")).as("q_qv"))
       .select(col("query_id"), subVecs("q_qv"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),

@@ -70,7 +70,13 @@ object ScaleProbe {
         Dedup.components(Dedup.minhashLshStarPairs(d), checkpointRounds = true),
         graft.functions.TextFunctions.qualityBucket(col("text")).cast("long") * 100000L +
           size(split(col("text"), " ")))),
-      "text_dup_coverage" -> (d => Dedup.dupSpanCoverage(d, minTokens = 15)))
+      "text_dup_coverage" -> (d => Dedup.dupSpanCoverage(d, minTokens = 15)),
+      // skewed 70/10/10/10 synthetic mixture: the probe measures the
+      // tiny group-count agg + broadcast-filtered scan staying linear
+      "sample_temperature" -> (d => graft.operators.Sampling.temperatureSample(
+        d.withColumn("grp", when(col("doc_id") % 10 < 7, lit("big"))
+          .otherwise(concat(lit("g"), (col("doc_id") % 10).cast("string")))),
+        byCol = "grp")))
 
     val results = ops.map { case (name, op) =>
       runPlan(op(scaled(1))) // warmup (codegen + JIT)

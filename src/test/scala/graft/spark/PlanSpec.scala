@@ -234,6 +234,38 @@ class PlanSpec extends AnyFunSuite {
       s"assignment lost its map-side partial min_by:\n${plan.take(4000)}")
   }
 
+  test("IVF-PQ: encoding and ADC scoring are hash aggregations with broadcast lookups — windows only on the tiny query side") {
+    val plan = physical(Queries.simTopkPq(spark, sf))
+    // item→code assignment must be min_by with map-side partials (a
+    // window over (item, sub) would serialize the n×K candidate rows)
+    assert(plan.contains("partial_min_by"),
+      s"PQ encoding lost its map-side partial min_by:\n${plan.take(4000)}")
+    // ADC sum per (query, item) rides a partial-aggregated hash agg
+    assert(plan.contains("partial_sum"),
+      s"ADC scoring lost its map-side partial sum:\n${plan.take(4000)}")
+    // the codebook and LUT reach the item stream as broadcasts, never
+    // a shuffled join of the corpus against them
+    assert(plan.contains("BroadcastHashJoin"),
+      s"PQ lookups are not broadcast joins:\n${plan.take(4000)}")
+    // exactly two windows: the nProbe probe ranking and the final
+    // top-k — both over the query side (small by contract); one more
+    // means the encoding regressed to a window
+    val windows = "Window\\b".r.findAllIn(plan).size
+    assert(windows == 2, s"expected 2 query-side windows, got $windows:\n${plan.take(4000)}")
+  }
+
+  test("temperature sampling: group stats broadcast back — the corpus itself is never shuffled") {
+    val plan = physical(Queries.sampleTemperature(spark, sf))
+    assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
+      s"group-count join must broadcast:\n${plan.take(4000)}")
+    assert(!plan.contains("Window"), s"no window belongs in the keep rule:\n${plan.take(4000)}")
+    // Exchanges exist only under the tiny group-count aggregations
+    // (above every Exchange sits a partial agg, never the raw scan
+    // feeding the filter): the kept-row stream is map-side
+    assert(plan.contains("partial_count"),
+      s"group counts lost map-side partials:\n${plan.take(4000)}")
+  }
+
   test("window top-k: Spark's rank-limit pushdown (WindowGroupLimit) engages — no full-partition sort-and-discard") {
     // InferWindowGroupLimit rewrites filter(row_number<=k over w) into a
     // partial per-partition group limit BEFORE the shuffle — the exact
