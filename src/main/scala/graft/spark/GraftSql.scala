@@ -95,4 +95,15 @@ object GraftSql {
     Similarity.ivfPqTopK(queries, emb, k)
       .createOrReplaceTempView(s"${prefix}topk_pq")
   }
+
+  /** Register `<prefix>pagerank` over `edgesView(src, dst)`: integer
+    * fixed-point damped PageRank ([[graft.operators.Graphs]]),
+    * EAGER at registration like the components views (the rank table
+    * is the round ladder's fixed output, not a re-derivable view). */
+  def registerGraphViews(spark: SparkSession, edgesView: String,
+      iterations: Int = 3, prefix: String = "graft_"): Unit = {
+    graft.operators.Graphs.pageRank(spark.table(edgesView), iterations)
+      .localCheckpoint()
+      .createOrReplaceTempView(s"${prefix}pagerank")
+  }
 }

@@ -1316,6 +1316,35 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    "graph_pagerank" -> {
+      // exact replay of Graphs.pageRank: 3 rounds of
+      // pr' = 150000 + (850 * sum(pr // outdeg)) // 1000 over the
+      // deterministic synthetic edge set; AS MATERIALIZED so each
+      // round computes once (the componentsStar lesson)
+      def round(k: Int) =
+        s"""c$k AS (SELECT e.dst AS id, SUM(r.pr // od.outdeg) AS inflow
+           | FROM e JOIN r${k - 1} r ON r.id = e.src
+           | JOIN od ON od.src = e.src GROUP BY 1),
+           |r$k AS MATERIALIZED (SELECT nodes.id,
+           |  CAST(150000 + (850 * COALESCE(c.inflow, 0)) // 1000 AS BIGINT) AS pr
+           | FROM nodes LEFT JOIN c$k c USING (id))""".stripMargin
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS MATERIALIZED (
+         | SELECT src, dst FROM (
+         |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst FROM documents, nn
+         |  UNION ALL
+         |  SELECT doc_id AS src, (doc_id * doc_id + 1) % nn.n AS dst FROM documents, nn)
+         | WHERE src <> dst),
+         |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+         | (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT id, pr FROM r3 ORDER BY id""".stripMargin
+    },
+
     "sample_temperature" -> {
       def nib(i: Int) =
         s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"

@@ -1254,6 +1254,25 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Integer fixed-point PAGERANK (3 damped rounds) over a
+    * deterministic synthetic link graph on the documents table: each
+    * doc links to (7·id+3) mod n (a permutation — keeps the graph
+    * strongly connected-ish) and to (id²+1) mod n (quadratic — skewed
+    * in-degree, some nodes orphaned), self-loops dropped. Micro-unit
+    * ranks with floor arithmetic ([[graft.operators.Graphs]]), so the
+    * DuckDB twin replays all three rounds to the exact integer. */
+  def graphPagerank(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents").select("doc_id")
+    val n = docs.count()
+    val e1 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * 7 + 3) % n).as("dst"))
+    val e2 = docs.select(col("doc_id").as("src"),
+      ((col("doc_id") * col("doc_id") + 1) % n).as("dst"))
+    graft.operators.Graphs.pageRank(
+        e1.unionAll(e2).where(col("src") =!= col("dst")), iterations = 3)
+      .orderBy("id")
+  }
+
   /** TEMPERATURE (α = 1/2) mixture sampling by language — the
     * multilingual corpus-balancing rule (Conneau et al. 2020 §3.1):
     * the dominant language is downsampled so kept counts follow
@@ -1729,6 +1748,7 @@ object Queries {
     "text_tfidf_top3" -> (textTfidfTop3 _),
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
+    "graph_pagerank" -> (graphPagerank _),
     "text_tokens_fp" -> (textTokensFp _),
     "text_repetition" -> (textRepetition _),
     "text_gopher_quality" -> (textGopherQuality _),

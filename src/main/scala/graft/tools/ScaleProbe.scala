@@ -76,7 +76,16 @@ object ScaleProbe {
       "sample_temperature" -> (d => graft.operators.Sampling.temperatureSample(
         d.withColumn("grp", when(col("doc_id") % 10 < 7, lit("big"))
           .otherwise(concat(lit("g"), (col("doc_id") % 10).cast("string")))),
-        byCol = "grp")))
+        byCol = "grp")),
+      // three shuffle-once rank rounds over a 2-out-edge synthetic
+      // graph (modulus above the max scaled id: mostly dangling dsts,
+      // which exercises the node/left-join path too)
+      "graph_pagerank" -> (d => graft.operators.Graphs.pageRank(
+        d.select(col("doc_id").as("src"),
+            ((col("doc_id") * 7 + 3) % 4000000L).as("dst"))
+          .unionAll(d.select(col("doc_id").as("src"),
+            ((col("doc_id") * col("doc_id") + 1) % 4000000L).as("dst")))
+          .where(col("src") =!= col("dst")), iterations = 3)))
 
     val results = ops.map { case (name, op) =>
       runPlan(op(scaled(1))) // warmup (codegen + JIT)

@@ -609,6 +609,21 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("pageRank: hand-computed integer fixed-point ladder on a 3-node graph") {
+    import spark.implicits._
+    // edges 0->1, 1->0, 2->0 (all outdeg 1):
+    // r1 = (1850000, 1000000, 150000); r2 = (1127500, 1722500, 150000)
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    val got = graft.operators.Graphs.pageRank(edges, iterations = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1127500L, 1L -> 1722500L, 2L -> 150000L))
+    // a uniform cycle is PageRank's fixed point: ranks stay put
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+    val stable = graft.operators.Graphs.pageRank(cyc, iterations = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(stable == Set(1000000L))
+  }
+
   test("componentsStar: a 32-node path labels in 5 alt-star rounds (min-propagation would need 31)") {
     // the worst case for per-hop min propagation: diameter = n-1; the
     // contracting star rounds close it in O(log n)

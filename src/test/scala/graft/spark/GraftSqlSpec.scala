@@ -93,5 +93,18 @@ class GraftSqlSpec extends AnyFunSuite {
     val lsh = spark.sql(
       "SELECT query_id, count(*) AS n FROM graft_topk_lsh GROUP BY query_id").collect()
     assert(lsh.forall(_.getLong(1) <= 3))
+    val pq = spark.sql(
+      "SELECT query_id, count(*) AS n FROM graft_topk_pq GROUP BY query_id").collect()
+    assert(pq.nonEmpty && pq.forall(_.getLong(1) <= 3))
+  }
+
+  test("graph view: pagerank round-trips in SQL and matches the direct call") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
+    edges.createOrReplaceTempView("edges_sql")
+    GraftSql.registerGraphViews(spark, "edges_sql", iterations = 2)
+    val viaSql = spark.sql("SELECT id, pr FROM graft_pagerank ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaSql == Seq((0L, 1127500L), (1L, 1722500L), (2L, 150000L)))
   }
 }
