@@ -42,7 +42,9 @@ object Graphs {
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
     val nodes = truncate(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // out-degrees are loop-invariant: truncate once or every round
+    // re-runs the degree aggregation over the full edge table
+    val outdeg = truncate(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
     val base = (1000L - dampingPermille) * 1000L
     val wide = DecimalType(38, 0)
     var ranks = nodes.select(col("id"), lit(1000000L).as("pr"))

@@ -37,7 +37,12 @@ object Sampling {
     * `byCol`; the smallest group is kept whole. Output: (doc_id,
     * byCol, n_group, h) for kept rows. */
   def temperatureSample(docs: DataFrame, byCol: String): DataFrame = {
-    val counts = docs.groupBy(byCol).agg(count(lit(1)).as("n_group"))
+    // materialize the tiny per-group counts ONCE: deriving n_min from
+    // the lazy aggregation frame would re-instantiate its corpus scan
+    // (the exact-substring round-6 lesson) — with the checkpoint the
+    // corpus is read once for counts and once for the filtered scan
+    val counts = Dedup.defaultTruncate(
+      docs.groupBy(byCol).agg(count(lit(1)).as("n_group")))
     val nMin = counts.agg(min(col("n_group")).as("n_min"))
     val wide = DecimalType(38, 0)
     docs.select(col("doc_id"), col(byCol))
