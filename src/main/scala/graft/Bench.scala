@@ -363,7 +363,7 @@ object Bench {
       "dedup_keep_best", "text_dup_coverage",
       "pipeline_clean_corpus", "pipeline_curate", "pipeline_seq_pack",
       "sim_topk_brute", "sim_topk_lsh",
-      "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_pq",
+      "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_pq", "sim_topk_pq_rerank",
       "sample_temperature", "graph_pagerank",
       "text_stats", "text_langid", "text_distinct_kmv", "text_repetition", "text_gopher_quality",
       "pdfz_form_text",

@@ -35,7 +35,10 @@ object Sampling {
 
   /** Keep rows so the kept mixture follows n_g^(1/2) per group in
     * `byCol`; the smallest group is kept whole. Output: (doc_id,
-    * byCol, n_group, h) for kept rows. */
+    * byCol, n_group, h) for kept rows. Rows with a NULL group are
+    * dropped by the inner group join (NULL joins nothing) —
+    * `coalesce` the column upstream to keep them as their own
+    * group. */
   def temperatureSample(docs: DataFrame, byCol: String): DataFrame = {
     // materialize the tiny per-group counts ONCE: deriving n_min from
     // the lazy aggregation frame would re-instantiate its corpus scan

@@ -215,6 +215,8 @@ object Similarity {
   def ivfPqTopK(queries: DataFrame, items: DataFrame, k: Int,
       numCentroids: Int = 8, nProbe: Int = 2,
       numSub: Int = 4, codebookSize: Int = 16): DataFrame = {
+    require(numSub >= 1, s"numSub must be >= 1, got $numSub")
+    require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
     val it = items.select(col("vec_id").as("item_id"), VF.quantize(col("embedding")).as("qv"))
     val cent = seedCentroids(items, numCentroids)
     val lists = assignNearestQ(it, cent, "item_id", "qv") // (item_id, cid, qv)
@@ -263,6 +265,37 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .where(col("rnk") <= k)
       .select("query_id", "item_id", "adot", "rnk")
+  }
+
+  /** Two-stage retrieval: PQ SHORTLIST then EXACT re-rank — the
+    * standard production composition (Jégou et al. 2011 §V evaluate
+    * exactly this: ADC shortlist, exact distances on the survivors).
+    * Stage 1 runs [[ivfPqTopK]] with a `shortlist`-deep k (cheap,
+    * compressed codes); stage 2 fetches ONLY the shortlist rows' full
+    * vectors and re-ranks by exact integer dot. At 10^12 items the
+    * exact stage touches Q·shortlist rows, not the corpus: the
+    * shortlist broadcasts into a hash join against the item table
+    * (point lookups a real deployment serves from the primary-key
+    * store). Output ranking is exact within the shortlist —
+    * recall equals stage 1's recall@shortlist, which dominates its
+    * recall@k. */
+  def ivfPqTopKRerank(queries: DataFrame, items: DataFrame, k: Int,
+      shortlist: Int, numCentroids: Int = 8, nProbe: Int = 2,
+      numSub: Int = 4, codebookSize: Int = 16): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must be >= k $k")
+    val cands = ivfPqTopK(queries, items, shortlist,
+      numCentroids, nProbe, numSub, codebookSize).select("query_id", "item_id")
+    val q = queries.select(col("vec_id").as("query_id"),
+      VF.quantize(col("embedding")).as("q_qv"))
+    val it = items.select(col("vec_id").as("item_id"),
+      VF.quantize(col("embedding")).as("qv"))
+    val scored = broadcast(cands).join(it, Seq("item_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("dot", VF.dotQ(col("q_qv"), col("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("item_id"))
+    scored.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select("query_id", "item_id", "dot", "rnk")
   }
 
   /** Multi-table LSH top-k: `tables` independent sign-LSH bucket

@@ -78,7 +78,8 @@ object GraftSql {
 
   /** Register the ANN views over `embView(vec_id, embedding)`:
     * `<prefix>topk_brute`, `<prefix>topk_lsh`, `<prefix>topk_ivf`
-    * and `<prefix>topk_pq` (IVF-ADC product quantization)
+    * plus `<prefix>topk_pq` (IVF-ADC product quantization) and
+    * `<prefix>topk_pq_rerank` (PQ shortlist, exact re-rank)
     * score every vector of `queriesWhere` (SQL predicate over
     * `embView` columns selecting the query side, e.g. "vec_id < 8")
     * against the full table. */
@@ -94,6 +95,8 @@ object GraftSql {
       .createOrReplaceTempView(s"${prefix}topk_ivf")
     Similarity.ivfPqTopK(queries, emb, k)
       .createOrReplaceTempView(s"${prefix}topk_pq")
+    Similarity.ivfPqTopKRerank(queries, emb, k, shortlist = 4 * k)
+      .createOrReplaceTempView(s"${prefix}topk_pq_rerank")
   }
 
   /** Register `<prefix>pagerank` over `edgesView(src, dst)`: integer

@@ -157,6 +157,46 @@ object Oracles {
   private def dot(a: String, b: String) =
     s"CAST(list_sum(list_transform(list_zip($a, $b), p -> p[1]*p[2])) AS BIGINT)"
 
+  /** Shared CTE chain of the IVF-PQ replay (Similarity.ivfPqTopK),
+    * ending at `scored(query_id, item_id, adot)` — the ADC scores of
+    * every probed item per query. Used by sim_topk_pq (rank directly)
+    * and sim_topk_pq_rerank (shortlist then exact re-rank). */
+  private lazy val pqScoredCtes =
+    s"""$qEmb,
+       |qn AS (SELECT vec_id, qv,
+       |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS vn FROM qemb),
+       |cent AS (SELECT vec_id AS cid, qv AS cv, vn AS cn FROM qn WHERE vec_id < 8),
+       |assign AS (SELECT vec_id, qv, cid,
+       |  row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY vn - 2*${dot("qv", "cv")} + cn, cid) AS crk
+       | FROM qn, cent),
+       |lists AS (SELECT vec_id AS item_id, qv, cid FROM assign WHERE crk = 1),
+       |probes AS (SELECT vec_id AS query_id, qv AS q_qv, cid FROM assign
+       | WHERE vec_id < 8 AND crk <= 2),
+       |cb AS (SELECT CAST(vec_id AS INTEGER) AS code, CAST(m AS INTEGER) AS sub,
+       |  list_slice(qv, m*16+1, m*16+16) AS scv
+       | FROM qn, range(4) r(m) WHERE vec_id < 16),
+       |cbn AS (SELECT code, sub, scv,
+       |  CAST(list_sum(list_transform(scv, x -> x*x)) AS BIGINT) AS scn FROM cb),
+       |isub AS (SELECT item_id, cid, CAST(m AS INTEGER) AS sub,
+       |  list_slice(qv, m*16+1, m*16+16) AS sv
+       | FROM lists, range(4) r(m)),
+       |enc AS (SELECT item_id, cid, sub, code FROM (
+       | SELECT i.item_id, i.cid, i.sub, c.code,
+       |  row_number() OVER (PARTITION BY i.item_id, i.sub
+       |   ORDER BY CAST(list_sum(list_transform(i.sv, x -> x*x)) AS BIGINT)
+       |     - 2*${dot("i.sv", "c.scv")} + c.scn, c.code) AS rk
+       | FROM isub i JOIN cbn c USING (sub)) WHERE rk = 1),
+       |lut AS (SELECT q.vec_id AS query_id, c.sub, c.code,
+       |  ${dot("list_slice(q.qv, c.sub*16+1, c.sub*16+16)", "c.scv")} AS pdot
+       | FROM qn q, cbn c WHERE q.vec_id < 8),
+       |scored AS (SELECT p.query_id, e.item_id,
+       |  CAST(sum(l.pdot) AS BIGINT) AS adot
+       | FROM enc e JOIN probes p USING (cid)
+       | JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.code = e.code
+       | WHERE p.query_id <> e.item_id
+       | GROUP BY 1, 2)""".stripMargin
+
   val sql: Map[String, String] = Map(
     // ---- reference-pipeline relational ops over the interleaved corpus
     "pdfz_explode" ->
@@ -1212,43 +1252,27 @@ object Oracles {
     // exact integer L2² (ties to the smaller code); score via the
     // query×sub×code lookup table and sum the 4 partial dots
     "sim_topk_pq" ->
-      s"""WITH $qEmb,
-         |qn AS (SELECT vec_id, qv,
-         |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS vn FROM qemb),
-         |cent AS (SELECT vec_id AS cid, qv AS cv, vn AS cn FROM qn WHERE vec_id < 8),
-         |assign AS (SELECT vec_id, qv, cid,
-         |  row_number() OVER (PARTITION BY vec_id
-         |    ORDER BY vn - 2*${dot("qv", "cv")} + cn, cid) AS crk
-         | FROM qn, cent),
-         |lists AS (SELECT vec_id AS item_id, qv, cid FROM assign WHERE crk = 1),
-         |probes AS (SELECT vec_id AS query_id, qv AS q_qv, cid FROM assign
-         | WHERE vec_id < 8 AND crk <= 2),
-         |cb AS (SELECT CAST(vec_id AS INTEGER) AS code, CAST(m AS INTEGER) AS sub,
-         |  list_slice(qv, m*16+1, m*16+16) AS scv
-         | FROM qn, range(4) r(m) WHERE vec_id < 16),
-         |cbn AS (SELECT code, sub, scv,
-         |  CAST(list_sum(list_transform(scv, x -> x*x)) AS BIGINT) AS scn FROM cb),
-         |isub AS (SELECT item_id, cid, CAST(m AS INTEGER) AS sub,
-         |  list_slice(qv, m*16+1, m*16+16) AS sv
-         | FROM lists, range(4) r(m)),
-         |enc AS (SELECT item_id, cid, sub, code FROM (
-         | SELECT i.item_id, i.cid, i.sub, c.code,
-         |  row_number() OVER (PARTITION BY i.item_id, i.sub
-         |   ORDER BY CAST(list_sum(list_transform(i.sv, x -> x*x)) AS BIGINT)
-         |     - 2*${dot("i.sv", "c.scv")} + c.scn, c.code) AS rk
-         | FROM isub i JOIN cbn c USING (sub)) WHERE rk = 1),
-         |lut AS (SELECT q.vec_id AS query_id, c.sub, c.code,
-         |  ${dot("list_slice(q.qv, c.sub*16+1, c.sub*16+16)", "c.scv")} AS pdot
-         | FROM qn q, cbn c WHERE q.vec_id < 8),
-         |scored AS (SELECT p.query_id, e.item_id,
-         |  CAST(sum(l.pdot) AS BIGINT) AS adot
-         | FROM enc e JOIN probes p USING (cid)
-         | JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.code = e.code
-         | WHERE p.query_id <> e.item_id
-         | GROUP BY 1, 2)
+      s"""WITH $pqScoredCtes
          |SELECT query_id, item_id, adot, CAST(rnk AS INTEGER) AS rnk
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY adot DESC, item_id) AS rnk FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
+    // two-stage replay: PQ shortlist (top-20 by ADC score) then exact
+    // integer dot re-rank of only the shortlist rows
+    "sim_topk_pq_rerank" ->
+      s"""WITH $pqScoredCtes,
+         |short AS (SELECT query_id, item_id
+         | FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |         ORDER BY adot DESC, item_id) AS srk FROM scored)
+         | WHERE srk <= 20),
+         |rescored AS (SELECT s.query_id, s.item_id,
+         |  ${dot("qq.qv", "qi.qv")} AS dot
+         | FROM short s JOIN qn qq ON qq.vec_id = s.query_id
+         |              JOIN qn qi ON qi.vec_id = s.item_id)
+         |SELECT query_id, item_id, dot, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY dot DESC, item_id) AS rnk FROM rescored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
     "text_stats" ->

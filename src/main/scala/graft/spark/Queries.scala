@@ -1200,6 +1200,17 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** Two-stage retrieval: PQ top-20 shortlist, exact integer dot
+    * re-rank to top-5 — recall follows stage 1's recall@20 while the
+    * corpus-side cost stays the compressed-code scan. */
+  def simTopkPqRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    Similarity.ivfPqTopKRerank(emb.where(col("vec_id") < 8), emb, k = 5,
+        shortlist = 20, numCentroids = 8, nProbe = 2, numSub = 4,
+        codebookSize = 16)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Per-document text statistics: token counts, stopword/length
     * ratios (permille/centichar integers), quality bucket. */
   def textStats(s: SparkSession, dir: String): DataFrame =
@@ -1743,6 +1754,7 @@ object Queries {
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),
+    "sim_topk_pq_rerank" -> (simTopkPqRerank _),
     "text_stats" -> (textStats _),
     "text_distinct_kmv" -> (textDistinctKmv _),
     "text_tfidf_top3" -> (textTfidfTop3 _),

@@ -843,6 +843,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(both(1L) == 0L && both(3L) == 0L)
   }
 
+  test("ivfPqTopKRerank: exact stage separates what quantization collapsed") {
+    // same fixture as the PQ test: items 2 and 100 encode to the SAME
+    // code tuple, so PQ ties them (adot 1e6 each, id order). The exact
+    // re-rank must flip them: item 100 is a true duplicate of the
+    // query (dot 1e6), item 2 only quantizes equal (dot 9e5).
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f)), (3L, Seq(0.0f, 0.0f, 0.1f, 0.9f)),
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqTopKRerank(e.where($"vec_id" === 0), e, k = 2,
+        shortlist = 2, numCentroids = 2, nProbe = 1, numSub = 2, codebookSize = 2)
+      .orderBy("rnk")
+      .collect().map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("dot")))
+    assert(got.toSeq == Seq((100L, 1000000L), (2L, 900000L)),
+      s"exact re-rank must beat the code tie: got ${got.toSeq}")
+  }
+
   test("temperatureSample: smallest group kept whole; dominant group follows the exact sqrt rule") {
     // group g0: 64 docs, g1: 4 docs -> n_min = 4; keep d in g0 iff
     // h(d)^2 * 64 < 4e6 i.e. h < 250 (exactly the alpha=1/2 rate)

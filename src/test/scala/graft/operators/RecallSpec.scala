@@ -94,6 +94,13 @@ class RecallSpec extends AnyFunSuite {
     // loss comes from coarse-boundary straddle + cross-cluster code
     // collisions — both bounded on tight clusters
     assert(pq >= 0.85, s"IVF-PQ recall@$k = $pq < 0.85")
+    // exact re-rank over a 4k shortlist recovers quantization-tie
+    // losses: never below the plain PQ ranking
+    val rr = RecallProbe.recallAtK(truth,
+      Similarity.ivfPqTopKRerank(queries, clusteredMm, k, shortlist = 4 * k,
+        numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16))
+    assert(rr >= pq, s"rerank recall ($rr) must not trail PQ ($pq)")
+    assert(rr >= 0.90, s"IVF-PQ+rerank recall@$k = $rr < 0.90")
   }
 
   /** 40 base docs × 3 variants (base + two one-token edits): every
