@@ -350,10 +350,6 @@ object PdfBuilder {
     }
     val rootNum = 4 + 2 * pageContents.length // outline root
     val itemNum = items.indices.map(_ + rootNum + 1)
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    def titleStr(t: String): String =
-      if (t.forall(_ < 0x80)) s"(${esc(t)})" else utf16HexString(t)
     // pre-order structure recovery
     def parentOf(i: Int): Int = {
       val lvl = items(i)._1
@@ -385,7 +381,7 @@ object PdfBuilder {
       if (kids.nonEmpty)
         links ++= s" /First ${itemNum(kids.head)} 0 R /Last ${itemNum(kids.last)} 0 R /Count ${kids.length}"
       b.obj(itemNum(i)) {
-        b.raw(s"<< /Title ${titleStr(title)} /Parent $parentRef $dest${links.result()} >>")
+        b.raw(s"<< /Title ${textStr(title)} /Parent $parentRef $dest${links.result()} >>")
       }
     }
     val catNum = rootNum + items.length + 1
@@ -393,6 +389,76 @@ object PdfBuilder {
       b.raw(s"<< /Type /Catalog /Pages 2 0 R /Outlines $rootNum 0 R >>")
     }
     writeClassicXref(b, rootRef = s"$catNum 0 R")
+  }
+
+  /** Document with an /AcroForm field tree (§12.7). `fields` is the
+    * PRE-ORDER flattened tree: (level, partialName, ft, value) —
+    * `ft`/`value` None omit the key (exercising §12.7.4.1
+    * inheritance); a value starting with '/' is written as a NAME
+    * (radio/checkbox state), anything else as a text string (UTF-16
+    * hex when non-ASCII). Every top-level field additionally gets a
+    * WIDGET kid (a /Kids entry without /T) that extraction must treat
+    * as presentation, not a child field. The live catalog is written
+    * last (object 1 stays a decoy without /AcroForm). */
+  def withAcroForm(pageContents: Seq[String],
+      fields: Seq[(Int, String, Option[String], Option[String])]): Array[Byte] = {
+    val b = new Builder
+    writeHeaderObjects(b, pageContents.length)
+    pageContents.zipWithIndex.foreach { case (content, i) =>
+      val pageNum = 4 + 2 * i; val contNum = 5 + 2 * i
+      b.obj(pageNum) {
+        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contNum 0 R " +
+          "/Resources << /Font << /F1 3 0 R >> >> >>")
+      }
+      b.streamObj(contNum, "", tjLine(content).getBytes(ISO_8859_1))
+    }
+    val fieldBase = 4 + 2 * pageContents.length
+    val fieldNum = fields.indices.map(_ + fieldBase)
+    // widget decoys exist only for top-level fields: number them
+    // compactly after the field objects (no xref holes)
+    val widgetNum: Map[Int, Int] = fields.indices.filter(fields(_)._1 == 0)
+      .zipWithIndex.map { case (i, j) => i -> (fieldBase + fields.length + j) }
+      .toMap
+    def parentOf(i: Int): Int = {
+      val lvl = fields(i)._1
+      if (lvl == 0) -1
+      else (i - 1 to 0 by -1).find(j => fields(j)._1 == lvl - 1)
+        .getOrElse(throw new IllegalArgumentException("orphan form field"))
+    }
+    val parents = fields.indices.map(parentOf)
+    def kidsOf(p: Int): Seq[Int] = fields.indices.filter(parents(_) == p)
+    fields.zipWithIndex.foreach { case ((lvl, name, ft, value), i) =>
+      val kids = kidsOf(i).map(k => s"${fieldNum(k)} 0 R") ++
+        (if (lvl == 0) Seq(s"${widgetNum(i)} 0 R") else Seq.empty)
+      if (lvl == 0) {
+        b.obj(widgetNum(i)) {
+          b.raw("<< /Subtype /Widget /Rect [0 0 1 1] >>") // no /T: not a field
+        }
+      }
+      val parts = new StringBuilder(s"<< /T ${textStr(name)}")
+      ft.foreach(t => parts ++= s" /FT /$t")
+      value.foreach { v =>
+        parts ++= (if (v.startsWith("/")) s" /V $v" else s" /V ${textStr(v)}")
+      }
+      if (parents(i) >= 0) parts ++= s" /Parent ${fieldNum(parents(i))} 0 R"
+      if (kids.nonEmpty) parts ++= s" /Kids [${kids.mkString(" ")}]"
+      parts ++= " >>"
+      b.obj(fieldNum(i)) { b.raw(parts.result()) }
+    }
+    val catNum = fieldBase + fields.length + widgetNum.size
+    val top = kidsOf(-1).map(k => s"${fieldNum(k)} 0 R").mkString(" ")
+    b.obj(catNum) {
+      b.raw(s"<< /Type /Catalog /Pages 2 0 R /AcroForm << /Fields [$top] >> >>")
+    }
+    writeClassicXref(b, rootRef = s"$catNum 0 R")
+  }
+
+  /** Text string in its two §7.9.2.2 spellings: escaped literal for
+    * ASCII, UTF-16BE hex with BOM otherwise. */
+  private def textStr(s: String): String = {
+    def esc(x: String): String =
+      x.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+    if (s.forall(_ < 0x80)) s"(${esc(s)})" else utf16HexString(s)
   }
 
   /** UTF-16BE hex string WITH byte-order mark — the §7.9.2.2 Unicode

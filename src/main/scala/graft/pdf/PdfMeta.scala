@@ -176,6 +176,89 @@ object PdfMeta {
     out.result()
   }
 
+  /** One terminal interactive-form field: emission order, fully
+    * qualified name (ancestor partial names joined with '.'), field
+    * type and current value (None when neither the field nor an
+    * ancestor carries /V). */
+  final case class FormField(ord: Int, name: String, ft: String,
+      value: Option[String])
+
+  /** AcroForm field extraction (§12.7): walk the catalog's /AcroForm
+    * /Fields tree pre-order and emit every TERMINAL field (a field
+    * none of whose /Kids are themselves fields — kids without /T are
+    * widget annotations, presentation only, skipped by §12.7.4.3).
+    * /FT and /V are inheritable (§12.7.4.1 Table 220): a terminal
+    * field missing them takes the nearest ancestor's. Values decode
+    * per type: text strings through [[decodeTextString]], name values
+    * (radio/checkbox states) as `/Name`. A field with no /FT anywhere
+    * in its chain is skipped (not a renderable field class we can
+    * type), never a guess. Same guards and encrypted-empty posture as
+    * [[outline]]. */
+  def formFields(doc: PdfDocument): Vector[FormField] = {
+    if (doc.isEncrypted) return Vector.empty
+    val root = doc.dictGet(doc.trailer, "Root") match {
+      case d: PDict => d
+      case _        => return Vector.empty
+    }
+    val acro = doc.dictGet(root, "AcroForm") match {
+      case d: PDict => d
+      case _        => return Vector.empty
+    }
+    val fields = doc.dictGet(acro, "Fields") match {
+      case PArr(items) => items
+      case _           => return Vector.empty
+    }
+    val out = Vector.newBuilder[FormField]
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    var ord = 0
+    def guard(o: PdfObj): Unit = o match {
+      case PRef(n, _) if !seen.add(n) =>
+        throw new PdfParseException("form field cycle")
+      case _ =>
+    }
+    def isField(o: PdfObj): Boolean = doc.resolve(o) match {
+      case d: PDict => d.get("T").isDefined
+      case _        => false
+    }
+    def walk(o: PdfObj, prefix: String, inhFt: Option[String],
+        inhV: Option[String], depth: Int): Unit = {
+      if (depth > 32) throw new PdfParseException("form tree too deep")
+      val d = doc.resolve(o) match {
+        case pd: PDict => pd
+        case _         => return
+      }
+      val name = doc.dictGet(d, "T") match {
+        case PStr(bs) => decodeTextString(bs)
+        case _        => ""
+      }
+      val full = if (prefix.isEmpty) name else s"$prefix.$name"
+      val ft = doc.dictGet(d, "FT") match {
+        case PName(n) => Some(n)
+        case _        => inhFt
+      }
+      val v = doc.dictGet(d, "V") match {
+        case PStr(bs) => Some(decodeTextString(bs))
+        case PName(n) => Some(s"/$n")
+        case _        => inhV
+      }
+      val childFields = d.get("Kids") match {
+        case Some(k) => doc.resolve(k) match {
+          case PArr(items) => items.filter(isField)
+          case _           => Vector.empty
+        }
+        case None => Vector.empty
+      }
+      if (childFields.isEmpty) {
+        ft.foreach { t => out += FormField(ord, full, t, v); ord += 1 }
+      } else childFields.foreach { c =>
+        guard(c)
+        walk(c, full, ft, v, depth + 1)
+      }
+    }
+    fields.foreach { f => guard(f); walk(f, "", None, None, 0) }
+    out.result()
+  }
+
   private def uriOf(doc: PdfDocument, annot: PDict): Option[String] =
     doc.dictGet(annot, "A") match {
       case act: PDict if doc.dictGet(act, "S") == PName("URI") =>

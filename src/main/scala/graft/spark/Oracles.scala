@@ -447,6 +447,33 @@ object Oracles {
         |      UNION ALL SELECT * FROM appx)
         |ORDER BY id, ord""".stripMargin,
 
+    "pdfz_formfields" ->
+      // terminal-field rows closed form: qualified kid names, /FT
+      // inheritance ('Tx' on the kid row comes from the parent),
+      // chr(233)=é through both string spellings, name-object values
+      // as '/On1', the value-less field as NULL
+      """WITH ids AS (SELECT i AS id, 1 + i % 3 AS ntop, i % 2 AS haskid
+        | FROM range(12) t(i)),
+        |r0 AS (SELECT id, 0 AS ord,
+        |  CASE WHEN haskid = 1
+        |   THEN 'fld' || chr(233) || CAST(id AS VARCHAR) || '_0.k0'
+        |   ELSE 'fld' || chr(233) || CAST(id AS VARCHAR) || '_0' END AS name,
+        |  'Tx' AS ft,
+        |  CASE WHEN haskid = 1
+        |   THEN 'kv' || chr(233) || CAST(id AS VARCHAR) || '.0'
+        |   ELSE 'v' || CAST(id AS VARCHAR) || '.0' END AS val
+        | FROM ids),
+        |r1 AS (SELECT id, 1 AS ord,
+        |  'fld' || CAST(id AS VARCHAR) || '_1' AS name,
+        |  'Btn' AS ft, '/On1' AS val FROM ids WHERE ntop >= 2),
+        |r2 AS (SELECT id, 2 AS ord,
+        |  'fld' || chr(233) || CAST(id AS VARCHAR) || '_2' AS name,
+        |  'Tx' AS ft, CAST(NULL AS VARCHAR) AS val FROM ids WHERE ntop >= 3)
+        |SELECT id, CAST(ord AS INTEGER) AS ord, name, ft, val
+        |FROM (SELECT * FROM r0 UNION ALL SELECT * FROM r1
+        |      UNION ALL SELECT * FROM r2)
+        |ORDER BY id, ord""".stripMargin,
+
     "pdfz_point_lookup" ->
       s"""SELECT doc_id, CAST(len(spans) AS INTEGER) AS n_spans,
          | md5(array_to_string(list_transform(spans, x -> x.text), '|')) AS content_md5

@@ -357,6 +357,37 @@ object Queries {
       .orderBy("id", "ord")
   }
 
+  /** ACROFORM field extraction, oracle-pinned (DECLARED EXTENSION):
+    * 12 documents with interactive-form field trees — qualified-name
+    * assembly across nested fields, /FT inheritance (children carry
+    * no /FT of their own), text-string AND name-object values, an
+    * always-present widget kid that must read as presentation rather
+    * than a child field, a value-less field surfacing NULL, and both
+    * §7.9.2.2 string spellings in names and values. The DuckDB twin
+    * regenerates the terminal-field rows closed form. */
+  def pdfzFormfields(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).repartition(4).flatMap { id =>
+      val nTop = 1 + (id % 3).toInt
+      val hasKid = id % 2 == 1
+      val top0 =
+        if (hasKid)
+          Seq((0, s"fld\u00E9${id}_0", Some("Tx"), None),
+            (1, "k0", None, Some(s"kv\u00E9$id.0")))
+        else Seq((0, s"fld\u00E9${id}_0", Some("Tx"), Some(s"v$id.0")))
+      val rest = (1 until nTop).map { t =>
+        if (t == 1) (0, s"fld${id}_1", Some("Btn"), Some("/On1"))
+        else (0, s"fld\u00E9${id}_2", Some("Tx"), None)
+      }
+      val pdf = graft.pdf.PdfBuilder.withAcroForm(
+        Seq(s"form doc $id"), top0 ++ rest)
+      graft.pdf.PdfMeta.formFields(graft.pdf.PdfDocument.load(pdf)).map { f =>
+        (id, f.ord, f.name, f.ft, f.value)
+      }
+    }.toDF("id", "ord", "name", "ft", "val")
+      .orderBy("id", "ord")
+  }
+
   /** DOCUMENT-INFORMATION metadata extraction, oracle-pinned
     * (DECLARED EXTENSION — the reference reads page text only): 12
     * documents with trailer /Info dictionaries exercising BOTH
@@ -1704,6 +1735,7 @@ object Queries {
     "pdfz_form_text" -> (pdfzFormText _),
     "pdfz_metadata" -> (pdfzMetadata _),
     "pdfz_outline" -> (pdfzOutline _),
+    "pdfz_formfields" -> (pdfzFormfields _),
     "pdfz_links" -> (pdfzLinks _),
     "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),

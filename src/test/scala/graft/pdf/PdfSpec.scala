@@ -350,6 +350,38 @@ class PdfSpec extends AnyFunSuite {
       PdfMeta.OutlineItem(4, 0, "Annex", -1)))
   }
 
+  test("pdf_formfields: qualified names, FT/V inheritance, widget kids skipped, value-less -> None") {
+    val pdf = PdfBuilder.withAcroForm(Seq("p0"), Seq(
+      (0, "grp", Some("Tx"), Some("inherited")), // non-terminal: V inherits down
+      (1, "a", None, None),                      // takes parent's Tx AND value
+      (1, "b", None, Some("own")),               // own value wins
+      (0, "radio", Some("Btn"), Some("/Off")),   // name-object value
+      (0, "untyped", None, Some("x"))))          // no FT anywhere: skipped
+    val got = PdfMeta.formFields(PdfDocument.load(pdf))
+    assert(got == Vector(
+      PdfMeta.FormField(0, "grp.a", "Tx", Some("inherited")),
+      PdfMeta.FormField(1, "grp.b", "Tx", Some("own")),
+      PdfMeta.FormField(2, "radio", "Btn", Some("/Off"))))
+  }
+
+  test("pdf_formfields: encrypted docs return empty (string-scope boundary)") {
+    val doc = PdfDocument.load(PdfBuilder.withEncryption(aes = true))
+    assert(doc.isEncrypted && PdfMeta.formFields(doc).isEmpty)
+  }
+
+  test("pdf_formfields: a /Kids cycle is a declared parse error, not a hang") {
+    val pdf = PdfBuilder.withAcroForm(Seq("p0"),
+      Seq((0, "g", Some("Tx"), None), (1, "a", None, Some("v"))))
+    val txt = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // field objects: 6 = g, 7 = a (one page). Point a's Kids back at g
+    // via same-length rewrite of its /Parent link
+    val looped = txt.replace("/T (a) /V (v) /Parent 6 0 R",
+      "/T (a) /V (v) /Kids [6 0 R]")
+    assert(looped != txt && looped.length == txt.length, "same-length rewrite required")
+    val doc = PdfDocument.load(looped.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    intercept[PdfParseException] { PdfMeta.formFields(doc) }
+  }
+
   test("pdf_outline: /Next cycle is a declared parse error, not a hang") {
     // hand-build: two items whose /Next links point at each other
     val pdf = PdfBuilder.withOutline(Seq("p0"), Seq((0, "A", 0), (0, "B", 0)))
