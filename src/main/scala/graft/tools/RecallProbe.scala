@@ -80,7 +80,10 @@ object RecallProbe {
       "ivf_kmeans" -> Similarity.ivfTopKKmeans(queries, emb, k,
         numCentroids = 8, nProbe = 2, iterations = 2),
       "ivf_pq" -> Similarity.ivfPqTopK(queries, emb, k,
-        numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16))
+        numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16),
+      "ivf_pq_rerank" -> Similarity.ivfPqTopKRerank(queries, emb, k,
+        shortlist = 4 * k, numCentroids = 8, nProbe = 2,
+        numSub = 4, codebookSize = 16))
     val annRecall = ann.map { case (n, df) => n -> recallAtK(truth, df) }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
