@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered funnel analysis over an event stream — the standard
+  * product-analytics primitive: for each user, the first time of
+  * stage 1, the first stage-2 event STRICTLY after it, and so on;
+  * `stage` counts how deep the user got. Out-of-order events do not
+  * count (a click before the first view is not funnel progress), and
+  * the first-qualifying-time rule makes the result deterministic and
+  * exactly replayable (min over timestamps per stage, no
+  * session/attribution heuristics to pin).
+  *
+  * Shape at 100 TB: stage k is one filtered scan + hash aggregation +
+  * join, ALL keyed on the user column — after the first shuffle every
+  * stage reuses the same hash partitioning (Exchange reuse /
+  * co-partitioned joins), and the per-stage frames are ≤ one row per
+  * user. No window over the event stream, so a hot user's million
+  * events collapse map-side in the min() partial. */
+object Funnel {
+
+  /** Funnel over `events(userCol, typeCol, tsCol)` through `stages`
+    * (event-type values, in order). Output: one row per distinct
+    * user — (user_id, t1..tN, stage) where tK is the first stage-K
+    * time strictly after t(K-1), NULL once the user drops out, and
+    * stage ∈ [0, N] is the reached depth. */
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", typeCol: String = "event_type",
+      tsCol: String = "tms"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(userCol).as("user_id"),
+      col(typeCol).as("et"), col(tsCol).as("tms"))
+    var acc = ev.select(col("user_id")).distinct()
+    var prevT: Option[String] = None
+    stages.zipWithIndex.foreach { case (st, i) =>
+      val name = s"t${i + 1}"
+      val stageEv = ev.where(col("et") === st)
+      val qualified = prevT match {
+        case None => stageEv
+        case Some(p) =>
+          stageEv.join(acc.where(col(p).isNotNull).select(col("user_id"), col(p)),
+              Seq("user_id"))
+            .where(col("tms") > col(p))
+      }
+      val mins = qualified.groupBy("user_id").agg(min(col("tms")).as(name))
+      acc = acc.join(mins, Seq("user_id"), "left")
+      prevT = Some(name)
+    }
+    val stage = stages.indices
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("stage", stage.cast("int"))
+  }
+}

@@ -1296,6 +1296,19 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** Ordered FUNNEL view→click→purchase over the events table
+    * ([[graft.operators.Funnel]]): per user the first view, the first
+    * click strictly after it, the first purchase strictly after that,
+    * and the reached depth — first-qualifying-time semantics, exactly
+    * replayed by the DuckDB twin. */
+  def qEventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("tms"))
+    graft.operators.Funnel.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+  }
+
   /** Integer fixed-point PAGERANK (3 damped rounds) over a
     * deterministic synthetic link graph on the documents table: each
     * doc links to (7·id+3) mod n (a permutation — keeps the graph
@@ -1793,6 +1806,7 @@ object Queries {
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
     "graph_pagerank" -> (graphPagerank _),
+    "q_events_funnel" -> (qEventsFunnel _),
     "text_tokens_fp" -> (textTokensFp _),
     "text_repetition" -> (textRepetition _),
     "text_gopher_quality" -> (textGopherQuality _),

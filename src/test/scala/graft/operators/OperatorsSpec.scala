@@ -609,6 +609,26 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("funnel: strict ordering — out-of-order events are not progress; drop-outs stay NULL") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click BEFORE the first view must not count; the
+      // purchase before the qualifying click must not count either
+      (1L, "click", 5L), (1L, "view", 10L), (1L, "purchase", 15L),
+      (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "click", 2L),                         // no view: stage 0
+      (3L, "view", 1L), (3L, "click", 2L))       // no purchase: stage 2
+      .toDF("user_id", "event_type", "tms")
+    val got = graft.operators.Funnel.funnel(ev, Seq("view", "click", "purchase"))
+      .collect().map { r =>
+        def g(n: String) = if (r.isNullAt(r.fieldIndex(n))) -1L else r.getAs[Long](n)
+        r.getAs[Long]("user_id") -> ((g("t1"), g("t2"), g("t3"), r.getAs[Int]("stage")))
+      }.toMap
+    assert(got(1L) == ((10L, 20L, 30L, 3)))
+    assert(got(2L) == ((-1L, -1L, -1L, 0)))
+    assert(got(3L) == ((1L, 2L, -1L, 2)))
+  }
+
   test("pageRank: hand-computed integer fixed-point ladder on a 3-node graph") {
     import spark.implicits._
     // edges 0->1, 1->0, 2->0 (all outdeg 1):
