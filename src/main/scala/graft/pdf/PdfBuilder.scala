@@ -453,6 +453,36 @@ object PdfBuilder {
     writeClassicXref(b, rootRef = s"$catNum 0 R")
   }
 
+  /** Document with a /PageLabels number tree (§12.4.2), flat /Nums
+    * form. `ranges` = (startPageIndex, style, prefix, st) — None omits
+    * the key (no /S → prefix-only labels; no /St → default 1). */
+  def withPageLabels(pageContents: Seq[String],
+      ranges: Seq[(Int, Option[String], Option[String], Option[Int])]): Array[Byte] = {
+    val b = new Builder
+    writeHeaderObjects(b, pageContents.length)
+    pageContents.zipWithIndex.foreach { case (content, i) =>
+      val pageNum = 4 + 2 * i; val contNum = 5 + 2 * i
+      b.obj(pageNum) {
+        b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contNum 0 R " +
+          "/Resources << /Font << /F1 3 0 R >> >> >>")
+      }
+      b.streamObj(contNum, "", tjLine(content).getBytes(ISO_8859_1))
+    }
+    val catNum = 4 + 2 * pageContents.length
+    val nums = ranges.map { case (key, style, prefix, st) =>
+      val parts = new StringBuilder(s"$key <<")
+      style.foreach(x => parts ++= s" /S /$x")
+      prefix.foreach(p => parts ++= s" /P ${textStr(p)}")
+      st.foreach(x => parts ++= s" /St $x")
+      parts ++= " >>"
+      parts.result()
+    }.mkString(" ")
+    b.obj(catNum) {
+      b.raw(s"<< /Type /Catalog /Pages 2 0 R /PageLabels << /Nums [$nums] >> >>")
+    }
+    writeClassicXref(b, rootRef = s"$catNum 0 R")
+  }
+
   /** Text string in its two §7.9.2.2 spellings: escaped literal for
     * ASCII, UTF-16BE hex with BOM otherwise. */
   private def textStr(s: String): String = {

@@ -259,6 +259,89 @@ object PdfMeta {
     out.result()
   }
 
+  /** PAGE LABELS (§12.4.2): the per-page display labels a viewer
+    * shows instead of raw indexes ("iv", "A-7"). The catalog's
+    * /PageLabels number tree (flat /Nums form — a /Kids-split tree is
+    * a declared parse error, out of scope) maps starting page indexes
+    * to label dictionaries: /S numbering style (D decimal, r/R roman,
+    * a/A letters — Table 159), /P prefix (a §7.9.2.2 text string),
+    * /St range start (default 1). Each page takes the range with the
+    * largest key ≤ its index; its number is St + (index − key); a
+    * range with no /S shows the prefix alone. No /PageLabels → empty
+    * (the viewer default of decimal indexes is implicit, not data).
+    * Encrypted → empty per the string-scope boundary. */
+  def pageLabels(doc: PdfDocument): Vector[(Int, String)] = {
+    if (doc.isEncrypted) return Vector.empty
+    val root = doc.dictGet(doc.trailer, "Root") match {
+      case d: PDict => d
+      case _        => return Vector.empty
+    }
+    val pl = doc.dictGet(root, "PageLabels") match {
+      case d: PDict => d
+      case _        => return Vector.empty
+    }
+    if (pl.get("Kids").isDefined)
+      throw new PdfParseException("PageLabels /Kids trees not supported (declared scope)")
+    val nums = doc.dictGet(pl, "Nums") match {
+      case PArr(items) => items
+      case _           => return Vector.empty
+    }
+    val ranges = nums.grouped(2).flatMap {
+      case Vector(k, v) =>
+        (doc.resolve(k), doc.resolve(v)) match {
+          case (PInt(key), d: PDict) => Some((key.toInt, d))
+          case _                     => None
+        }
+      case _ => None
+    }.toVector.sortBy(_._1)
+    if (ranges.isEmpty) return Vector.empty
+    (0 until doc.pageCount).map { idx =>
+      val (key, d) = ranges.takeWhile(_._1 <= idx).lastOption.getOrElse(ranges.head)
+      val st = doc.dictGet(d, "St") match {
+        case PInt(s) if s >= 1 => s.toInt
+        case _                 => 1
+      }
+      val n = st + math.max(0, idx - key)
+      val prefix = doc.dictGet(d, "P") match {
+        case PStr(bs) => decodeTextString(bs)
+        case _        => ""
+      }
+      val num = doc.dictGet(d, "S") match {
+        case PName("D") => n.toString
+        case PName("r") => roman(n)
+        case PName("R") => roman(n).toUpperCase(java.util.Locale.ROOT)
+        case PName("a") => letters(n)
+        case PName("A") => letters(n).toUpperCase(java.util.Locale.ROOT)
+        case _          => "" // no /S: prefix only
+      }
+      (idx, prefix + num)
+    }.toVector
+  }
+
+  /** Lowercase roman numerals, standard subtractive form (Table 159
+    * style r). */
+  private[pdf] def roman(n: Int): String = {
+    require(n >= 1, s"roman numerals start at 1, got $n")
+    val steps = Seq(1000 -> "m", 900 -> "cm", 500 -> "d", 400 -> "cd",
+      100 -> "c", 90 -> "xc", 50 -> "l", 40 -> "xl",
+      10 -> "x", 9 -> "ix", 5 -> "v", 4 -> "iv", 1 -> "i")
+    val sb = new StringBuilder
+    var rest = n
+    steps.foreach { case (v, s) =>
+      while (rest >= v) { sb ++= s; rest -= v }
+    }
+    sb.result()
+  }
+
+  /** Table 159 style a: a..z for 1..26, then DOUBLED letters aa..zz
+    * for 27..52, and so on — the letter repeats, it does not count in
+    * base 26. */
+  private[pdf] def letters(n: Int): String = {
+    require(n >= 1, s"letter labels start at 1, got $n")
+    val ch = ('a' + (n - 1) % 26).toChar
+    ch.toString * ((n - 1) / 26 + 1)
+  }
+
   private def uriOf(doc: PdfDocument, annot: PDict): Option[String] =
     doc.dictGet(annot, "A") match {
       case act: PDict if doc.dictGet(act, "S") == PName("URI") =>

@@ -447,6 +447,30 @@ object Oracles {
         |      UNION ALL SELECT * FROM appx)
         |ORDER BY id, ord""".stripMargin,
 
+    "pdfz_pagelabels" -> {
+      // closed-form label replay: subtractive roman for n <= 39,
+      // Table-159 letters (repeated past z), prefix + decimal, and
+      // the style-less prefix-only range
+      def romanSql(n: String) =
+        s"repeat('x', ($n)//10) || CASE WHEN ($n)%10 = 9 THEN 'ix' " +
+          s"WHEN ($n)%10 = 4 THEN 'iv' " +
+          s"ELSE repeat('v', CASE WHEN ($n)%10 >= 5 THEN 1 ELSE 0 END) " +
+          s"|| repeat('i', (($n)%10) % 5) END"
+      def lettersSql(n: String) =
+        s"repeat(chr(97 + CAST((($n)-1)%26 AS INTEGER)), " +
+          s"CAST((($n)-1)//26 + 1 AS INTEGER))"
+      s"""WITH pg AS (SELECT i AS id, p FROM range(12) t(i), range(6) r(p))
+         |SELECT id, CAST(p AS INTEGER) AS page,
+         | CASE
+         |  WHEN p < 2 AND id % 2 = 0 THEN ${romanSql("1 + id%3 + p")}
+         |  WHEN p < 2 THEN upper(${romanSql("1 + id%3 + p")})
+         |  WHEN p < 4 THEN 'A' || chr(233) || '-' || CAST(5 + id%5 + p - 2 AS VARCHAR)
+         |  WHEN id % 2 = 0 THEN ${lettersSql("25 + id + p - 4")}
+         |  ELSE 'x-'
+         | END AS label
+         |FROM pg ORDER BY id, page""".stripMargin
+    },
+
     "pdfz_formfields" ->
       // terminal-field rows closed form: qualified kid names, /FT
       // inheritance ('Tx' on the kid row comes from the parent),

@@ -357,6 +357,33 @@ object Queries {
       .orderBy("id", "ord")
   }
 
+  /** PAGE-LABEL extraction, oracle-pinned (DECLARED EXTENSION): 12
+    * six-page documents with three /PageLabels ranges — lower/upper
+    * roman from a varying /St, decimal with a non-ASCII prefix, and
+    * (even ids) letter labels STARTING PAST z to pin the doubled-
+    * letter rollover (aa, bb, …) vs (odd ids) a style-less prefix-
+    * only range. The DuckDB twin regenerates every label closed-form
+    * (roman via the subtractive formula for n ≤ 39, letters via
+    * repeat). */
+  def pdfzPagelabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(12).repartition(4).flatMap { id =>
+      val styleA = if (id % 2 == 0) "r" else "R"
+      val tail: (Int, Option[String], Option[String], Option[Int]) =
+        if (id % 2 == 0) (4, Some("a"), None, Some(25 + id.toInt))
+        else (4, None, Some("x-"), None)
+      val pdf = graft.pdf.PdfBuilder.withPageLabels(
+        (0 until 6).map(p => s"pl $id page $p"),
+        Seq((0, Some(styleA), None, Some(1 + (id % 3).toInt)),
+          (2, Some("D"), Some(s"A\u00E9-"), Some(5 + (id % 5).toInt)),
+          tail))
+      graft.pdf.PdfMeta.pageLabels(graft.pdf.PdfDocument.load(pdf)).map {
+        case (pg, label) => (id, pg, label)
+      }
+    }.toDF("id", "page", "label")
+      .orderBy("id", "page")
+  }
+
   /** ACROFORM field extraction, oracle-pinned (DECLARED EXTENSION):
     * 12 documents with interactive-form field trees — qualified-name
     * assembly across nested fields, /FT inheritance (children carry
@@ -1749,6 +1776,7 @@ object Queries {
     "pdfz_metadata" -> (pdfzMetadata _),
     "pdfz_outline" -> (pdfzOutline _),
     "pdfz_formfields" -> (pdfzFormfields _),
+    "pdfz_pagelabels" -> (pdfzPagelabels _),
     "pdfz_links" -> (pdfzLinks _),
     "html_boilerplate" -> (htmlBoilerplate _),
     "q1_pricing" -> (q1Pricing _),

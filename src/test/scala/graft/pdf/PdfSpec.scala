@@ -382,6 +382,33 @@ class PdfSpec extends AnyFunSuite {
     intercept[PdfParseException] { PdfMeta.formFields(doc) }
   }
 
+  test("pdf_pagelabels: range selection, styles, defaults; Kids tree declared error; encrypted empty") {
+    // roman/letter formatters pinned directly (subtractive edges,
+    // the doubled-letter rollover past z)
+    assert(PdfMeta.roman(4) == "iv" && PdfMeta.roman(9) == "ix")
+    assert(PdfMeta.roman(14) == "xiv" && PdfMeta.roman(40) == "xl")
+    assert(PdfMeta.roman(1999) == "mcmxcix")
+    assert(PdfMeta.letters(26) == "z" && PdfMeta.letters(27) == "aa")
+    assert(PdfMeta.letters(28) == "bb" && PdfMeta.letters(53) == "aaa")
+    val pdf = PdfBuilder.withPageLabels(
+      (0 until 5).map(i => s"p$i"),
+      Seq((0, Some("r"), None, None),           // default St=1: i, ii
+        (2, Some("D"), Some("B-"), Some(7)),    // B-7, B-8
+        (4, None, Some("blank "), None)))       // prefix only
+    val got = PdfMeta.pageLabels(PdfDocument.load(pdf))
+    assert(got == Vector(0 -> "i", 1 -> "ii", 2 -> "B-7", 3 -> "B-8", 4 -> "blank "))
+    // /Kids-split number trees are a declared error, never wrong labels
+    val kidsTxt = new String(PdfBuilder.withPageLabels(Seq("p"),
+      Seq((0, Some("D"), None, None))), java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/Nums [0 <<", "/Kids [0 <<") // same-length rewrite
+    intercept[PdfParseException] {
+      PdfMeta.pageLabels(PdfDocument.load(
+        kidsTxt.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    }
+    val enc = PdfDocument.load(PdfBuilder.withEncryption(aes = false))
+    assert(PdfMeta.pageLabels(enc).isEmpty)
+  }
+
   test("pdf_outline: /Next cycle is a declared parse error, not a hang") {
     // hand-build: two items whose /Next links point at each other
     val pdf = PdfBuilder.withOutline(Seq("p0"), Seq((0, "A", 0), (0, "B", 0)))
