@@ -216,6 +216,43 @@ object ExtractStream {
     * sessions; sessions still open when a bounded replay ends stay
     * withheld (drive the watermark past them to flush — see the
     * spec). */
+  /** Current per-user funnel progression: the reached stage times (a
+    * prefix of the funnel's stage list) and the depth. */
+  final case class FunnelProgress(user_id: Long, times: Seq[Long], stage: Int)
+
+  /** STREAMING ordered funnel — the stateful twin of
+    * [[graft.operators.Funnel.funnel]]: per-user state holds the
+    * reached stage times; each micro-batch's events are processed in
+    * (tms, event_type) order, advancing one stage whenever the next
+    * stage's type appears STRICTLY after the last reached time (same
+    * strict-after, first-qualifying-time rule as batch). The
+    * incremental greedy scan equals the batch result whenever each
+    * user's events arrive in timestamp order across micro-batches
+    * (the usual stateful-streaming contract; an out-of-order arrival
+    * would need watermarked retraction, which first-qualifying
+    * semantics deliberately avoid). Emits one updated row per user
+    * per micro-batch (update output mode). */
+  def funnelStream(spark: SparkSession, events: DataFrame,
+      stages: Seq[String]): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    import spark.implicits._
+    events.select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("tms").cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+            state: GroupState[Seq[Long]]) =>
+          var times = state.getOption.getOrElse(Seq.empty)
+          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, et, tms) =>
+            if (times.length < stages.length && et == stages(times.length) &&
+                (times.isEmpty || tms > times.last)) times = times :+ tms
+          }
+          state.update(times)
+          FunnelProgress(uid, times, times.length)
+      }
+  }
+
   def eventsSessions(spark: SparkSession, eventsDir: String,
       gap: String = "30 minutes", delay: String = "1 hour",
       maxFilesPerTrigger: Int = 64): DataFrame =

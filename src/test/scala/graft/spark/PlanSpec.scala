@@ -266,6 +266,17 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected exactly 1 corpus scan, got $scans:\n${plan.take(4000)}")
   }
 
+  test("funnel: per-stage min() hash aggregations on the user key — no window over the event stream") {
+    val plan = physical(Queries.qEventsFunnel(spark, sf))
+    // a window (first_value over user partitions) would serialize a
+    // hot user's full event history into one task; the agg+join chain
+    // collapses it map-side in the min() partials
+    assert(!plan.contains("Window"),
+      s"event-stream window scale-killer in funnel:\n${plan.take(4000)}")
+    assert(plan.contains("partial_min"),
+      s"stage times lost their map-side partial min:\n${plan.take(4000)}")
+  }
+
   test("window top-k: Spark's rank-limit pushdown (WindowGroupLimit) engages — no full-partition sort-and-discard") {
     // InferWindowGroupLimit rewrites filter(row_number<=k over w) into a
     // partial per-partition group limit BEFORE the shuffle — the exact

@@ -227,6 +227,78 @@ class ExtractStreamSpec extends AnyFunSuite {
       s"bucket mismatch: stream=$streamBuckets batch=$batchBuckets")
   }
 
+  test("streaming funnel equals the batch funnel on in-order input; state carries across restarts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp("fun-src"); val ck = tmp("fun-ck")
+    val stages = Seq("view", "click", "purchase")
+    val mid0 = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(unix_millis(col("ts").cast("timestamp")).as("tms"))
+      .agg(expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY tms) AS BIGINT)"))
+      .head().getLong(0)
+    // plant a user whose funnel STRADDLES the split: view before the
+    // cut, click and purchase after -> cross-batch progression is
+    // guaranteed, not corpus-dependent
+    val planted = Seq((999999L, "view", mid0 - 1L), (999999L, "click", mid0 + 1L),
+      (999999L, "purchase", mid0 + 2L)).toDF("user_id", "event_type", "tms")
+    val sfEvents = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), col("event_type"),
+        unix_millis(col("ts").cast("timestamp")).as("tms"))
+      .unionByName(planted)
+    val batch = graft.operators.Funnel.funnel(sfEvents, stages)
+      .collect().map { r =>
+        def g(n: String): Option[Long] =
+          if (r.isNullAt(r.fieldIndex(n))) None else Some(r.getAs[Long](n))
+        r.getAs[Long]("user_id") ->
+          ((List(g("t1"), g("t2"), g("t3")).flatten, r.getAs[Int]("stage")))
+      }.toMap
+    // split by a timestamp midpoint: every user's events stay in ts
+    // order across the two micro-batches (the documented contract)
+    val mid = mid0
+    sfEvents.where(col("tms") <= mid).coalesce(1).write.parquet(s"$src/f1")
+    val out = tmp("fun-out")
+    val schema = sfEvents.schema
+    def runOnce(): Unit = {
+      val st = spark.readStream.schema(schema).parquet(s"$src/f*")
+      // memory sink can't recover from a checkpoint; foreachBatch can
+      val q = ExtractStream.funnelStream(spark, st, stages)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[ExtractStream.FunnelProgress], id: Long) =>
+            b.toDF().withColumn("bid", lit(id)).write.mode("append").parquet(out)
+            ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    // second half lands AFTER the first run committed its batch:
+    // a genuine restart with carried state
+    sfEvents.where(col("tms") > mid).coalesce(1).write.parquet(s"$src/f2")
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("bid"),
+        r.getAs[scala.collection.Seq[Long]]("times").toList, r.getAs[Int]("stage")))
+    assert(rows.exists(_._2 >= 1), "the restart must process a second batch")
+    // final state per user = the row from its LAST update
+    val fin = rows.groupBy(_._1).map { case (uid, rs) =>
+      val last = rs.maxBy(_._2); uid -> ((last._3, last._4))
+    }
+    assert(fin.nonEmpty)
+    fin.foreach { case (uid, (times, stage)) =>
+      assert(batch(uid) == ((times.toList, stage)),
+        s"user $uid: stream $times/$stage vs batch ${batch(uid)}")
+    }
+    // the split must exercise cross-batch progression: someone's
+    // state advanced in the second run
+    val advanced = rows.filter(_._2 >= 1).map(_._1).toSet
+      .exists(uid => rows.exists(r => r._1 == uid && r._2 == 0 && r._4 < fin(uid)._2))
+    assert(advanced, "no user progressed across the micro-batch boundary")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses in-horizon duplicates across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
