@@ -53,13 +53,16 @@ object Graphs {
         .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
         .join(outdeg, Seq("src"))
         .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
-      val inflow = contrib.groupBy("id").agg(sum(col("c")).as("inflow"))
-      // floor(d·inflow/1000) in DECIMAL(38,0): d·inflow wraps int64
-      // once total rank mass passes ~2^63/1000 (≈10^16 nodes·rank) —
-      // widen like the cosine threshold does
+      // the hub-node inflow sum AND the d·inflow product both run in
+      // DECIMAL(38,0): a long sum would wrap silently near 2^63 total
+      // contribution (within 10× of the 10^12-node design point) —
+      // widen like the cosine threshold does. The DuckDB twin's
+      // BIGINT-into-HUGEINT sum is exact the same way.
+      val inflow = contrib.groupBy("id")
+        .agg(sum(col("c").cast(wide)).as("inflow"))
       ranks = truncate(nodes.join(inflow, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) + floor(coalesce(col("inflow"), lit(0L)).cast(wide) *
+          (lit(base) + floor(coalesce(col("inflow"), lit(0L).cast(wide)) *
             dampingPermille / 1000).cast("long")).as("pr")))
     }
     ranks

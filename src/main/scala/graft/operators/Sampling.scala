@@ -33,6 +33,12 @@ import org.apache.spark.sql.types.DecimalType
   * decision is a pure function of (doc_id, group counts). */
 object Sampling {
 
+  /** The replayable per-doc sampling hash shared by the temperature
+    * and stratified samplers (and their DuckDB twins): the first 4
+    * md5 nibbles of the id's decimal string, mod 1000. */
+  def permilleHash(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 1000
+
   /** Keep rows so the kept mixture follows n_g^(1/2) per group in
     * `byCol`; the smallest group is kept whole. Output: (doc_id,
     * byCol, n_group, h) for kept rows. Rows with a NULL group are
@@ -49,9 +55,7 @@ object Sampling {
     val nMin = counts.agg(min(col("n_group")).as("n_min"))
     val wide = DecimalType(38, 0)
     docs.select(col("doc_id"), col(byCol))
-      .withColumn("h",
-        conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 1000)
+      .withColumn("h", permilleHash(col("doc_id")))
       .join(broadcast(counts), Seq(byCol))
       .crossJoin(broadcast(nMin))
       .where(col("h").cast(wide) * col("h") * col("n_group") <

@@ -222,9 +222,16 @@ object Similarity {
     val lists = assignNearestQ(it, cent, "item_id", "qv") // (item_id, cid, qv)
 
     // subspace m covers dims [m·subDim, (m+1)·subDim); subDim is
-    // derived from the vector width (contract: width % numSub == 0)
+    // derived from the vector width. The width-divisibility contract
+    // is ENFORCED per row (a violating width would silently drop the
+    // trailing dims from every codeword and score otherwise)
     def subVecs(qvName: String) = {
-      val subDim = (size(col(qvName)) / numSub).cast("int")
+      val width = size(col(qvName))
+      val subDim = when(pmod(width, lit(numSub)) === 0, width / numSub)
+        .otherwise(raise_error(concat(
+          lit(s"PQ: vector width not divisible by numSub=$numSub, got "),
+          width.cast("string"))))
+        .cast("int")
       posexplode(array((0 until numSub).map(m =>
         slice(col(qvName), lit(m) * subDim + 1, subDim)): _*)).as(Seq("sub", "sv"))
     }

@@ -350,14 +350,7 @@ object PdfBuilder {
     }
     val rootNum = 4 + 2 * pageContents.length // outline root
     val itemNum = items.indices.map(_ + rootNum + 1)
-    // pre-order structure recovery
-    def parentOf(i: Int): Int = {
-      val lvl = items(i)._1
-      if (lvl == 0) -1
-      else (i - 1 to 0 by -1).find(j => items(j)._1 == lvl - 1)
-        .getOrElse(throw new IllegalArgumentException("orphan outline item"))
-    }
-    val parents = items.indices.map(parentOf)
+    val parents = preOrderParents(items.map(_._1), "outline item")
     def kidsOf(p: Int): Seq[Int] = items.indices.filter(parents(_) == p)
     val top = kidsOf(-1)
     require(top.nonEmpty, "outline needs at least one top-level item")
@@ -419,13 +412,7 @@ object PdfBuilder {
     val widgetNum: Map[Int, Int] = fields.indices.filter(fields(_)._1 == 0)
       .zipWithIndex.map { case (i, j) => i -> (fieldBase + fields.length + j) }
       .toMap
-    def parentOf(i: Int): Int = {
-      val lvl = fields(i)._1
-      if (lvl == 0) -1
-      else (i - 1 to 0 by -1).find(j => fields(j)._1 == lvl - 1)
-        .getOrElse(throw new IllegalArgumentException("orphan form field"))
-    }
-    val parents = fields.indices.map(parentOf)
+    val parents = preOrderParents(fields.map(_._1), "form field")
     def kidsOf(p: Int): Seq[Int] = fields.indices.filter(parents(_) == p)
     fields.zipWithIndex.foreach { case ((lvl, name, ft, value), i) =>
       val kids = kidsOf(i).map(k => s"${fieldNum(k)} 0 R") ++
@@ -482,6 +469,16 @@ object PdfBuilder {
     }
     writeClassicXref(b, rootRef = s"$catNum 0 R")
   }
+
+  /** Pre-order tree recovery shared by the outline and AcroForm
+    * builders: parent of item i = the nearest preceding item one
+    * level up (-1 for roots). */
+  private def preOrderParents(levels: Seq[Int], what: String): IndexedSeq[Int] =
+    levels.indices.map { i =>
+      if (levels(i) == 0) -1
+      else (i - 1 to 0 by -1).find(j => levels(j) == levels(i) - 1)
+        .getOrElse(throw new IllegalArgumentException(s"orphan $what"))
+    }
 
   /** Text string in its two §7.9.2.2 spellings: escaped literal for
     * ASCII, UTF-16BE hex with BOM otherwise. */

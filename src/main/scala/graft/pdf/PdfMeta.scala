@@ -295,8 +295,12 @@ object PdfMeta {
       case _ => None
     }.toVector.sortBy(_._1)
     if (ranges.isEmpty) return Vector.empty
+    // §12.4.2 mandates a range at page index 0; a tree missing it
+    // would make early pages' labels a guess — declared error instead
+    if (ranges.head._1 != 0)
+      throw new PdfParseException("PageLabels tree missing the page-0 range")
     (0 until doc.pageCount).map { idx =>
-      val (key, d) = ranges.takeWhile(_._1 <= idx).lastOption.getOrElse(ranges.head)
+      val (key, d) = ranges.takeWhile(_._1 <= idx).last
       val st = doc.dictGet(d, "St") match {
         case PInt(s) if s >= 1 => s.toInt
         case _                 => 1
@@ -312,7 +316,9 @@ object PdfMeta {
         case PName("R") => roman(n).toUpperCase(java.util.Locale.ROOT)
         case PName("a") => letters(n)
         case PName("A") => letters(n).toUpperCase(java.util.Locale.ROOT)
-        case _          => "" // no /S: prefix only
+        case PName(other) => // an unknown style must not silently degrade
+          throw new PdfParseException(s"unknown page-label style /$other")
+        case _ => "" // no /S: prefix only (valid per Table 159)
       }
       (idx, prefix + num)
     }.toVector

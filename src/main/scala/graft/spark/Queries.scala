@@ -1316,8 +1316,7 @@ object Queries {
       .otherwise(10)
     rd(s, dir, "documents")
       .select(col("doc_id"), TF.qualityBucket(col("text")).as("quality"))
-      .withColumn("h", conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("long") % 1000)
+      .withColumn("h", graft.operators.Sampling.permilleHash(col("doc_id")))
       .where(col("h") < keepPm)
       .select("doc_id", "quality", "h")
       .orderBy("doc_id")

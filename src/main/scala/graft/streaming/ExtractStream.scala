@@ -203,19 +203,6 @@ object ExtractStream {
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
   }
 
-  /** Event-time SESSIONIZATION: per-user dynamic-gap sessions via
-    * `session_window` — windows merge in the state store while events
-    * arrive (two events fuse iff their gap is STRICTLY under `gap`;
-    * end-exclusive), and the watermark finalizes a session once no
-    * mergeable event can still arrive. This is the streaming twin of
-    * the batch [[graft.spark.Queries.qEventsSessionWindows]] (same
-    * operator, oracle-pinned merge rule) — per-key state is one
-    * (start, end, count) per open session, so state is bounded by the
-    * number of OPEN sessions, not event history: the 10^12-event
-    * sessionization path. Append mode emits only watermark-sealed
-    * sessions; sessions still open when a bounded replay ends stay
-    * withheld (drive the watermark past them to flush — see the
-    * spec). */
   /** Current per-user funnel progression: the reached stage times (a
     * prefix of the funnel's stage list) and the depth. */
   final case class FunnelProgress(user_id: Long, times: Seq[Long], stage: Int)
@@ -253,6 +240,19 @@ object ExtractStream {
       }
   }
 
+  /** Event-time SESSIONIZATION: per-user dynamic-gap sessions via
+    * `session_window` — windows merge in the state store while events
+    * arrive (two events fuse iff their gap is STRICTLY under `gap`;
+    * end-exclusive), and the watermark finalizes a session once no
+    * mergeable event can still arrive. This is the streaming twin of
+    * the batch [[graft.spark.Queries.qEventsSessionWindows]] (same
+    * operator, oracle-pinned merge rule) — per-key state is one
+    * (start, end, count) per open session, so state is bounded by the
+    * number of OPEN sessions, not event history: the 10^12-event
+    * sessionization path. Append mode emits only watermark-sealed
+    * sessions; sessions still open when a bounded replay ends stay
+    * withheld (drive the watermark past them to flush — see the
+    * spec). */
   def eventsSessions(spark: SparkSession, eventsDir: String,
       gap: String = "30 minutes", delay: String = "1 hour",
       maxFilesPerTrigger: Int = 64): DataFrame =

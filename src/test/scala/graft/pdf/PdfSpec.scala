@@ -407,6 +407,18 @@ class PdfSpec extends AnyFunSuite {
     }
     val enc = PdfDocument.load(PdfBuilder.withEncryption(aes = false))
     assert(PdfMeta.pageLabels(enc).isEmpty)
+    // a tree missing the mandated page-0 range would make early
+    // pages' labels a guess — declared error, never a wrong label
+    intercept[PdfParseException] {
+      PdfMeta.pageLabels(PdfDocument.load(PdfBuilder.withPageLabels(
+        Seq("p0", "p1"), Seq((1, Some("D"), None, None)))))
+    }
+    // an unknown numbering style must not silently degrade to
+    // prefix-only
+    intercept[PdfParseException] {
+      PdfMeta.pageLabels(PdfDocument.load(PdfBuilder.withPageLabels(
+        Seq("p0"), Seq((0, Some("Q"), None, None)))))
+    }
   }
 
   test("pdf_outline: /Next cycle is a declared parse error, not a hang") {
