@@ -46,16 +46,23 @@ object PdfBuilder {
   private final class Builder {
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.TreeMap.empty[Int, Int]
+    /** When set, [[streamObj]] payloads and [[textStr]]/[[hexString]]
+      * strings are encrypted with the per-object key of the object
+      * being written ([[curObj]], gen 0). */
+    var crypt: Option[PdfCrypt.StdSecurityHandler] = None
+    var curObj: Int = -1
     def pos: Int = out.size()
     def raw(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     def raw(b: Array[Byte]): Unit = out.write(b)
     def obj(num: Int)(body: => Unit): Unit = {
       offsets(num) = pos
+      curObj = num
       raw(s"$num 0 obj\n"); body; raw("\nendobj\n")
     }
     def streamObj(num: Int, dictExtra: String, data: Array[Byte]): Unit = obj(num) {
-      raw(s"<< /Length ${data.length} $dictExtra >>\nstream\n")
-      raw(data)
+      val payload = crypt.map(_.encryptStream(num, 0, data)).getOrElse(data)
+      raw(s"<< /Length ${payload.length} $dictExtra >>\nstream\n")
+      raw(payload)
       raw("\nendstream")
     }
     def bytes: Array[Byte] = out.toByteArray
@@ -91,6 +98,7 @@ object PdfBuilder {
     * objects + per-page dict and handler-encrypted content stream. */
   private def writeEncryptedPages(b: Builder, texts: Seq[String],
       h: PdfCrypt.StdSecurityHandler): Unit = {
+    b.crypt = Some(h)
     writeHeaderObjects(b, texts.length)
     texts.zipWithIndex.foreach { case (t, i) =>
       val pageObj = 4 + 2 * i; val contObj = 5 + 2 * i
@@ -98,9 +106,70 @@ object PdfBuilder {
         b.raw(s"<< /Type /Page /Parent 2 0 R /Contents $contObj 0 R " +
           "/Resources << /Font << /F1 3 0 R >> >> >>")
       }
-      b.streamObj(contObj, "", h.encryptStream(contObj, 0, tjLine(t).getBytes(ISO_8859_1)))
+      b.streamObj(contObj, "", tjLine(t).getBytes(ISO_8859_1))
     }
   }
+
+  /** Encryption cipher families the metadata fixtures cycle through —
+    * the same three the `pdfz_encrypted` oracle pins. */
+  sealed trait EncKind
+  case object EncRc4 extends EncKind    // V2/R3 RC4-128
+  case object EncAes extends EncKind    // V4/R4 /AESV2 AES-128-CBC
+  case object EncAes256 extends EncKind // V5/R6 /AESV3 AES-256 (PDF 2.0)
+
+  /** Deterministic empty-password encryption materials for the
+    * string-bearing fixtures: the live handler, the /Encrypt dict
+    * body (raw — its own strings are never encrypted, §7.6.2) and the
+    * trailer /ID extra. */
+  private def encMaterials(kind: EncKind): (PdfCrypt.StdSecurityHandler, String, String) =
+    kind match {
+      case EncAes256 =>
+        val fileKey = (0 until 32).map(i => (i * 7 + 11).toByte).toArray
+        val (u, ue, o, oe) = PdfCrypt.buildR6Entries(fileKey, seed = 5)
+        val h = new PdfCrypt.StdSecurityHandler(fileKey, PdfCrypt.Aes256Streams)
+        val dict = "<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+          "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF " +
+          s"/P -44 /O <${hexStr(o)}> /OE <${hexStr(oe)}> /U <${hexStr(u)}> /UE <${hexStr(ue)}> " +
+          "/Perms <00000000000000000000000000000000> >>"
+        (h, dict, "")
+      case _ =>
+        val aes = kind == EncAes
+        val r = if (aes) 4 else 3
+        val id0 = (0 until 16).map(i => (i * 17 + 3).toByte).toArray
+        val p = -44
+        val o = PdfCrypt.computeO(r, 128)
+        val key = PdfCrypt.fileKey(o, p, id0, r, 128)
+        val u = PdfCrypt.computeU(r, key, id0)
+        val mode = if (aes) PdfCrypt.AesStreams else PdfCrypt.Rc4Streams
+        val h = new PdfCrypt.StdSecurityHandler(key, mode)
+        val cf =
+          if (aes) "/V 4 /R 4 /Length 128 /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> " +
+            "/StmF /StdCF /StrF /StdCF"
+          else "/V 2 /R 3 /Length 128"
+        val dict = s"<< /Filter /Standard $cf /P $p /O <${hexStr(o)}> /U <${hexStr(u)}> >>"
+        (h, dict, s" /ID [<${hexStr(id0)}> <${hexStr(id0)}>]")
+    }
+
+  /** Arm `b` for an encrypted fixture; returns the trailer extra to
+    * pass to [[writeClassicXref]] after [[finishEncrypted]]. */
+  private def armEncryption(b: Builder, enc: Option[EncKind]): Option[(String, String)] =
+    enc.map { kind =>
+      val (h, dict, idExtra) = encMaterials(kind)
+      b.crypt = Some(h)
+      (dict, idExtra)
+    }
+
+  /** Write the /Encrypt dictionary (raw) after all content objects
+    * and return the full trailer extra. */
+  private def finishEncrypted(b: Builder, armed: Option[(String, String)]): String =
+    armed match {
+      case Some((dict, idExtra)) =>
+        val encObj = b.offsets.keys.max + 1
+        b.crypt = None // the /Encrypt dict itself is never encrypted
+        b.obj(encObj) { b.raw(dict) }
+        s" /Encrypt $encObj 0 R$idExtra"
+      case None => ""
+    }
 
   /** Encrypted document (ISO 32000-1 §7.6 standard security handler,
     * EMPTY user/owner passwords — the openable-but-encrypted web-PDF
@@ -265,37 +334,42 @@ object PdfBuilder {
 
   /** Document with a trailer /Info dictionary (§14.3.3) and per-page
     * /Link annotations carrying /URI actions (§12.5.6.5, §12.6.4.7).
-    * `infoBody` is the raw /Info dict body (caller writes the string
-    * syntax — literal, hex-with-BOM, …); `links(i)` lists page i's
-    * (uri, rect) pairs, rects written in the GIVEN corner order so a
-    * caller can exercise the min/max normalization. With `decoys`,
-    * page 0 additionally gets a /Text note annotation and a URI-less
-    * /GoTo link — both must be skipped by link extraction. Object
-    * layout: 1-3 header, 4+2i/5+2i page/content, then annotations,
-    * then /Info last. */
-  def withInfoAndLinks(pageContents: Seq[String], infoBody: String,
+    * `info` maps each /Info key to its EXACT string bytes (caller
+    * controls the §7.9.2.2 spelling — UTF-16BE-with-BOM vs raw
+    * PDFDocEncoding bytes; see [[utf16Bytes]]/[[latin1Bytes]]);
+    * `links(i)` lists page i's (uri, rect) pairs, rects written in
+    * the GIVEN corner order so a caller can exercise the min/max
+    * normalization. With `decoys`, page 0 additionally gets a /Text
+    * note annotation and a URI-less /GoTo link — both must be skipped
+    * by link extraction. With `enc`, every string and stream is
+    * Algorithm-1 encrypted under the chosen cipher. Object layout:
+    * 1-3 header, 4+2i/5+2i page/content, then annotations, then
+    * /Info, then (encrypted) /Encrypt last. */
+  def withInfoAndLinks(pageContents: Seq[String],
+      info: Seq[(String, Array[Byte])],
       links: Seq[Seq[(String, (Int, Int, Int, Int))]],
-      decoys: Boolean = true): Array[Byte] = {
+      decoys: Boolean = true,
+      enc: Option[EncKind] = None): Array[Byte] = {
     require(links.length == pageContents.length, "links per page")
     val b = new Builder
+    val armed = armEncryption(b, enc)
     writeHeaderObjects(b, pageContents.length)
     var next = 4 + 2 * pageContents.length
-    def esc(s: String): String =
-      s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
     val annotRefs: Seq[Seq[String]] = links.zipWithIndex.map { case (pl, i) =>
       val real = pl.map { case (uri, (x0, y0, x1, y1)) =>
         val n = next; next += 1
         b.obj(n) {
           b.raw(s"<< /Type /Annot /Subtype /Link /Rect [$x0 $y0 $x1 $y1] " +
-            s"/A << /S /URI /URI (${esc(uri)}) >> >>")
+            s"/A << /S /URI /URI ${strBytes(b, n, uri.getBytes(ISO_8859_1),
+              literalOk = true, lit = uri)} >> >>")
         }
         s"$n 0 R"
       }
       val extra = if (decoys && i == 0) {
         val note = next; next += 1
         b.obj(note) {
-          b.raw("<< /Type /Annot /Subtype /Text /Rect [0 0 10 10] " +
-            "/Contents (a sticky note, not a link) >>")
+          b.raw(s"<< /Type /Annot /Subtype /Text /Rect [0 0 10 10] " +
+            s"/Contents ${textStr(b, note, "a sticky note, not a link")} >>")
         }
         val goto = next; next += 1
         b.obj(goto) {
@@ -318,9 +392,23 @@ object PdfBuilder {
       b.streamObj(contNum, "", tjLine(content).getBytes(ISO_8859_1))
     }
     val infoNum = next
+    val infoBody = info.map { case (k, v) =>
+      s"/$k ${strBytes(b, infoNum, v)}"
+    }.mkString(" ")
     b.obj(infoNum) { b.raw(s"<< $infoBody >>") }
-    writeClassicXref(b, trailerExtra = s" /Info $infoNum 0 R")
+    writeClassicXref(b,
+      trailerExtra = s" /Info $infoNum 0 R" + finishEncrypted(b, armed))
   }
+
+  /** The §7.9.2.2 Unicode spelling of a text string as raw bytes:
+    * UTF-16BE with byte-order mark. */
+  def utf16Bytes(s: String): Array[Byte] =
+    Array(0xFE.toByte, 0xFF.toByte) ++
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE)
+
+  /** Raw single-byte string bytes (PDFDocEncoding spelling — the
+    * caller picks codes from Annex D.3, e.g. 0xA0 = Euro). */
+  def latin1Bytes(s: String): Array[Byte] = s.getBytes(ISO_8859_1)
 
   /** Document with an outline (bookmark) tree (§12.3.3). `items` is
     * the PRE-ORDER flattened tree: (level, title, page). Structure is
@@ -337,8 +425,11 @@ object PdfBuilder {
     * without /Outlines — a reader keying on object order instead of
     * /Root sees no outline at all). */
   def withOutline(pageContents: Seq[String],
-      items: Seq[(Int, String, Int)]): Array[Byte] = {
+      items: Seq[(Int, String, Int)],
+      namedDests: Boolean = false,
+      enc: Option[EncKind] = None): Array[Byte] = {
     val b = new Builder
+    val armed = armEncryption(b, enc)
     writeHeaderObjects(b, pageContents.length)
     pageContents.zipWithIndex.foreach { case (content, i) =>
       val pageNum = 4 + 2 * i; val contNum = 5 + 2 * i
@@ -358,6 +449,15 @@ object PdfBuilder {
       b.raw(s"<< /Type /Outlines /First ${itemNum(top.head)} 0 R " +
         s"/Last ${itemNum(top.last)} 0 R /Count ${items.length} >>")
     }
+    def destArr(page: Int, lvl: Int): String =
+      if (lvl == 0) s"[${4 + 2 * page} 0 R /XYZ 0 792 0]"
+      else s"[${4 + 2 * page} 0 R /Fit]"
+    // with namedDests, string-named items route through the catalog's
+    // /Names /Dests NAME TREE (§7.7.4), name-object items through the
+    // PDF-1.1 catalog /Dests dictionary (§12.3.2.3) — both indirect
+    // forms a reader must resolve; (nowhere) stays absent everywhere
+    val treeEntries = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val dictDests = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     items.zipWithIndex.foreach { case ((lvl, title, page), i) =>
       val sibs = kidsOf(parents(i))
       val at = sibs.indexOf(i)
@@ -365,23 +465,61 @@ object PdfBuilder {
       val parentRef =
         if (parents(i) < 0) s"$rootNum 0 R" else s"${itemNum(parents(i))} 0 R"
       val dest =
-        if (page < 0) "/Dest (nowhere)"
-        else if (lvl == 0) s"/Dest [${4 + 2 * page} 0 R /XYZ 0 792 0]"
-        else s"/A << /S /GoTo /D [${4 + 2 * page} 0 R /Fit] >>"
+        if (page < 0) s"/Dest ${textStr(b, itemNum(i), "nowhere")}"
+        else if (!namedDests) {
+          if (lvl == 0) s"/Dest ${destArr(page, 0)}"
+          else s"/A << /S /GoTo /D ${destArr(page, 1)} >>"
+        } else if (lvl == 0 && i % 2 == 0) {
+          treeEntries += ((s"nmS$i", destArr(page, 0)))
+          s"/Dest ${textStr(b, itemNum(i), s"nmS$i")}"
+        } else if (lvl == 0) {
+          dictDests += ((s"NmN$i", destArr(page, 0)))
+          s"/Dest /NmN$i"
+        } else {
+          treeEntries += ((s"nmC$i", destArr(page, 1)))
+          s"/A << /S /GoTo /D ${textStr(b, itemNum(i), s"nmC$i")} >>"
+        }
       val links = new StringBuilder
       if (at > 0) links ++= s" /Prev ${itemNum(sibs(at - 1))} 0 R"
       if (at < sibs.length - 1) links ++= s" /Next ${itemNum(sibs(at + 1))} 0 R"
       if (kids.nonEmpty)
         links ++= s" /First ${itemNum(kids.head)} 0 R /Last ${itemNum(kids.last)} 0 R /Count ${kids.length}"
       b.obj(itemNum(i)) {
-        b.raw(s"<< /Title ${textStr(title)} /Parent $parentRef $dest${links.result()} >>")
+        b.raw(s"<< /Title ${textStr(b, itemNum(i), title)} /Parent $parentRef $dest${links.result()} >>")
       }
     }
     val catNum = rootNum + items.length + 1
+    val ntRoot = catNum + 1
     b.obj(catNum) {
-      b.raw(s"<< /Type /Catalog /Pages 2 0 R /Outlines $rootNum 0 R >>")
+      val dests =
+        if (dictDests.isEmpty) ""
+        else " /Dests << " + dictDests.map { case (n, a) =>
+          // dict-wrapped form: the /Dests value may be a dict with /D
+          s"/$n << /D $a >>"
+        }.mkString(" ") + " >>"
+      val names =
+        if (treeEntries.isEmpty) ""
+        else s" /Names << /Dests $ntRoot 0 R >>"
+      b.raw(s"<< /Type /Catalog /Pages 2 0 R /Outlines $rootNum 0 R$dests$names >>")
     }
-    writeClassicXref(b, rootRef = s"$catNum 0 R")
+    if (treeEntries.nonEmpty) {
+      // 2-level name tree: sorted names split across two /Kids leaves
+      // with /Limits — the walk a reader must implement (§7.9.6)
+      val sorted = treeEntries.sortBy(_._1).toVector
+      val half = (sorted.length + 1) / 2
+      val parts = Vector(sorted.take(half), sorted.drop(half)).filter(_.nonEmpty)
+      val kidNums = parts.indices.map(_ + ntRoot + 1)
+      b.obj(ntRoot) {
+        b.raw(s"<< /Kids [${kidNums.map(k => s"$k 0 R").mkString(" ")}] >>")
+      }
+      parts.zip(kidNums).foreach { case (entries, kn) =>
+        val lims = s"[${textStr(b, kn, entries.head._1)} ${textStr(b, kn, entries.last._1)}]"
+        val ns = entries.map { case (n, a) => s"${textStr(b, kn, n)} $a" }.mkString(" ")
+        b.obj(kn) { b.raw(s"<< /Limits $lims /Names [$ns] >>") }
+      }
+    }
+    writeClassicXref(b, rootRef = s"$catNum 0 R",
+      trailerExtra = finishEncrypted(b, armed))
   }
 
   /** Document with an /AcroForm field tree (§12.7). `fields` is the
@@ -394,8 +532,10 @@ object PdfBuilder {
     * as presentation, not a child field. The live catalog is written
     * last (object 1 stays a decoy without /AcroForm). */
   def withAcroForm(pageContents: Seq[String],
-      fields: Seq[(Int, String, Option[String], Option[String])]): Array[Byte] = {
+      fields: Seq[(Int, String, Option[String], Option[String])],
+      enc: Option[EncKind] = None): Array[Byte] = {
     val b = new Builder
+    val armed = armEncryption(b, enc)
     writeHeaderObjects(b, pageContents.length)
     pageContents.zipWithIndex.foreach { case (content, i) =>
       val pageNum = 4 + 2 * i; val contNum = 5 + 2 * i
@@ -422,10 +562,11 @@ object PdfBuilder {
           b.raw("<< /Subtype /Widget /Rect [0 0 1 1] >>") // no /T: not a field
         }
       }
-      val parts = new StringBuilder(s"<< /T ${textStr(name)}")
+      val parts = new StringBuilder(s"<< /T ${textStr(b, fieldNum(i), name)}")
       ft.foreach(t => parts ++= s" /FT /$t")
       value.foreach { v =>
-        parts ++= (if (v.startsWith("/")) s" /V $v" else s" /V ${textStr(v)}")
+        parts ++= (if (v.startsWith("/")) s" /V $v"
+          else s" /V ${textStr(b, fieldNum(i), v)}")
       }
       if (parents(i) >= 0) parts ++= s" /Parent ${fieldNum(parents(i))} 0 R"
       if (kids.nonEmpty) parts ++= s" /Kids [${kids.mkString(" ")}]"
@@ -437,15 +578,19 @@ object PdfBuilder {
     b.obj(catNum) {
       b.raw(s"<< /Type /Catalog /Pages 2 0 R /AcroForm << /Fields [$top] >> >>")
     }
-    writeClassicXref(b, rootRef = s"$catNum 0 R")
+    writeClassicXref(b, rootRef = s"$catNum 0 R",
+      trailerExtra = finishEncrypted(b, armed))
   }
 
   /** Document with a /PageLabels number tree (§12.4.2), flat /Nums
     * form. `ranges` = (startPageIndex, style, prefix, st) — None omits
     * the key (no /S → prefix-only labels; no /St → default 1). */
   def withPageLabels(pageContents: Seq[String],
-      ranges: Seq[(Int, Option[String], Option[String], Option[Int])]): Array[Byte] = {
+      ranges: Seq[(Int, Option[String], Option[String], Option[Int])],
+      kidsTree: Boolean = false,
+      enc: Option[EncKind] = None): Array[Byte] = {
     val b = new Builder
+    val armed = armEncryption(b, enc)
     writeHeaderObjects(b, pageContents.length)
     pageContents.zipWithIndex.foreach { case (content, i) =>
       val pageNum = 4 + 2 * i; val contNum = 5 + 2 * i
@@ -456,18 +601,41 @@ object PdfBuilder {
       b.streamObj(contNum, "", tjLine(content).getBytes(ISO_8859_1))
     }
     val catNum = 4 + 2 * pageContents.length
-    val nums = ranges.map { case (key, style, prefix, st) =>
-      val parts = new StringBuilder(s"$key <<")
-      style.foreach(x => parts ++= s" /S /$x")
-      prefix.foreach(p => parts ++= s" /P ${textStr(p)}")
-      st.foreach(x => parts ++= s" /St $x")
-      parts ++= " >>"
-      parts.result()
-    }.mkString(" ")
-    b.obj(catNum) {
-      b.raw(s"<< /Type /Catalog /Pages 2 0 R /PageLabels << /Nums [$nums] >> >>")
+    def numsFor(rs: Seq[(Int, Option[String], Option[String], Option[Int])],
+        objNum: Int): String =
+      rs.map { case (key, style, prefix, st) =>
+        val parts = new StringBuilder(s"$key <<")
+        style.foreach(x => parts ++= s" /S /$x")
+        prefix.foreach(p => parts ++= s" /P ${textStr(b, objNum, p)}")
+        st.foreach(x => parts ++= s" /St $x")
+        parts ++= " >>"
+        parts.result()
+      }.mkString(" ")
+    if (!kidsTree) {
+      b.obj(catNum) {
+        b.raw(s"<< /Type /Catalog /Pages 2 0 R /PageLabels " +
+          s"<< /Nums [${numsFor(ranges, catNum)}] >> >>")
+      }
+    } else {
+      // 2-level NUMBER tree (§7.9.7): the root holds /Kids only, two
+      // leaves carry sorted halves with integer /Limits
+      val sorted = ranges.sortBy(_._1)
+      val half = (sorted.length + 1) / 2
+      val parts = Seq(sorted.take(half), sorted.drop(half)).filter(_.nonEmpty)
+      val kidNums = parts.indices.map(_ + catNum + 1)
+      b.obj(catNum) {
+        b.raw(s"<< /Type /Catalog /Pages 2 0 R /PageLabels " +
+          s"<< /Kids [${kidNums.map(k => s"$k 0 R").mkString(" ")}] >> >>")
+      }
+      parts.zip(kidNums).foreach { case (rs, kn) =>
+        b.obj(kn) {
+          b.raw(s"<< /Limits [${rs.head._1} ${rs.last._1}] " +
+            s"/Nums [${numsFor(rs, kn)}] >>")
+        }
+      }
     }
-    writeClassicXref(b, rootRef = s"$catNum 0 R")
+    writeClassicXref(b, rootRef = s"$catNum 0 R",
+      trailerExtra = finishEncrypted(b, armed))
   }
 
   /** Pre-order tree recovery shared by the outline and AcroForm
@@ -481,12 +649,30 @@ object PdfBuilder {
     }
 
   /** Text string in its two §7.9.2.2 spellings: escaped literal for
-    * ASCII, UTF-16BE hex with BOM otherwise. */
-  private def textStr(s: String): String = {
-    def esc(x: String): String =
-      x.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
-    if (s.forall(_ < 0x80)) s"(${esc(s)})" else utf16HexString(s)
-  }
+    * ASCII, UTF-16BE hex with BOM otherwise. With the builder armed
+    * for encryption, the same bytes are written Algorithm-1-encrypted
+    * as a hex string under object `num`'s key (hence the explicit
+    * object number — several builders format bodies before opening
+    * the object). */
+  private def textStr(b: Builder, num: Int, s: String): String =
+    strBytes(b, num,
+      if (s.forall(_ < 0x80)) s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      else Array(0xFE.toByte, 0xFF.toByte) ++
+        s.getBytes(java.nio.charset.StandardCharsets.UTF_16BE),
+      literalOk = s.forall(_ < 0x80), s)
+
+  /** Raw string bytes → the written spelling: escaped literal when the
+    * caller says the plain form is representable, hex otherwise;
+    * always encrypted hex when the builder is armed. */
+  private def strBytes(b: Builder, num: Int, bytes: Array[Byte],
+      literalOk: Boolean = false, lit: String = ""): String =
+    b.crypt match {
+      case Some(h) => "<" + hexStr(h.encryptString(num, 0, bytes)) + ">"
+      case None =>
+        if (literalOk)
+          s"(${lit.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")})"
+        else "<" + hexStr(bytes) + ">"
+    }
 
   /** UTF-16BE hex string WITH byte-order mark — the §7.9.2.2 Unicode
     * branch of the text-string type, as writers emit it in /Info. */

@@ -25,9 +25,12 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   *
   * Scope: stream decryption (the whole extraction surface — content
   * streams, images, ToUnicode, ObjStm containers all flow through
-  * streams). Top-level string objects are NOT decrypted — the
-  * extractor reads no document-level strings — and non-empty
-  * passwords are a declared failure, never a wrong decode. */
+  * streams) AND top-level string objects (Algorithm 1 with the same
+  * per-object keys; V4 routes strings through the /StrF-named crypt
+  * filter, R6 strings use the file key directly) — so [[PdfMeta]]'s
+  * /Info, /URI, bookmark-title and form-value strings decode on the
+  * encrypted class too. Unsupported schemes and wrong passwords are
+  * a declared failure, never a wrong decode. */
 object PdfCrypt {
 
   /** Subclasses [[PdfParseException]] so every load/extract fail-soft
@@ -190,26 +193,38 @@ object PdfCrypt {
   case object Aes256Streams extends StreamCipher
 
   /** The resolved handler: decrypts stream payloads per the stream
-    * cipher mode. */
-  final class StdSecurityHandler(val fileKey: Array[Byte], val mode: StreamCipher) {
-    private def aes = mode == AesStreams
-    def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
-      mode match {
+    * cipher mode and string objects per the (possibly distinct)
+    * string cipher mode — V4's /StmF and /StrF name independent
+    * crypt filters (§7.6.5); V1/V2 and R6 use one cipher for both. */
+  final class StdSecurityHandler(val fileKey: Array[Byte], val mode: StreamCipher,
+      val strMode: StreamCipher) {
+    def this(fileKey: Array[Byte], mode: StreamCipher) = this(fileKey, mode, mode)
+    private def applyCipher(m: StreamCipher, num: Int, gen: Int,
+        data: Array[Byte], encrypt: Boolean): Array[Byte] =
+      m match {
         case IdentityStreams => data
-        case Aes256Streams => aesDecrypt(fileKey, data)
+        case Aes256Streams =>
+          if (encrypt) aesEncrypt(fileKey, num, gen, data)
+          else aesDecrypt(fileKey, data)
         case _ =>
+          val aes = m == AesStreams
           val k = objectKey(fileKey, num, gen, aes)
-          if (aes) aesDecrypt(k, data) else rc4(k, data)
+          if (!aes) rc4(k, data)
+          else if (encrypt) aesEncrypt(k, num, gen, data)
+          else aesDecrypt(k, data)
       }
+    def decryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      applyCipher(mode, num, gen, data, encrypt = false)
     /** Fixture-side inverse. */
     def encryptStream(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
-      mode match {
-        case IdentityStreams => data
-        case Aes256Streams => aesEncrypt(fileKey, num, gen, data)
-        case _ =>
-          val k = objectKey(fileKey, num, gen, aes)
-          if (aes) aesEncrypt(k, num, gen, data) else rc4(k, data)
-      }
+      applyCipher(mode, num, gen, data, encrypt = true)
+    /** Algorithm 1 over a STRING object's bytes (§7.6.2: strings use
+      * the same per-object keys as streams, via the /StrF filter). */
+    def decryptString(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      applyCipher(strMode, num, gen, data, encrypt = false)
+    /** Fixture-side inverse for strings. */
+    def encryptString(num: Int, gen: Int, data: Array[Byte]): Array[Byte] =
+      applyCipher(strMode, num, gen, data, encrypt = true)
   }
 
   // ---- R6 / AES-256 (ISO 32000-2 §7.6.4, the PDF 2.0 scheme) --------
@@ -348,21 +363,23 @@ object PdfCrypt {
       // PDF 2.0 AES-256 (AESV3). R5 (the deprecated interim Adobe
       // scheme with an unhardened hash) is declared out of scope.
       if (r != 6) throw new PdfCryptException(s"unsupported encryption V=5 R=$r")
-      val stmF5 = resolve(enc.get("StmF").getOrElse(PNull)) match {
-        case PName(n) => n; case _ => "Identity"
-      }
+      def filterName5(k: String): String =
+        resolve(enc.get(k).getOrElse(PNull)) match {
+          case PName(n) => n; case _ => "Identity"
+        }
       def strOpt(k: String): Option[Array[Byte]] =
         resolve(enc.get(k).getOrElse(PNull)) match {
           case PStr(b) => Some(b); case _ => None
         }
-      def key5 = fileKeyR6(str("U"), str("UE"), strOpt("O"), strOpt("OE"), password)
-      if (stmF5 == "Identity")
-        return new StdSecurityHandler(key5, IdentityStreams)
-      cfmFor(enc, stmF5, resolve) match {
-        case ("AESV3", _) => ()
-        case (other, _) => throw new PdfCryptException(s"unsupported V5 /CFM $other")
-      }
-      return new StdSecurityHandler(key5, Aes256Streams)
+      def mode5(name: String): StreamCipher =
+        if (name == "Identity") IdentityStreams
+        else cfmFor(enc, name, resolve) match {
+          case ("AESV3", _) => Aes256Streams
+          case (other, _) => throw new PdfCryptException(s"unsupported V5 /CFM $other")
+        }
+      val (stm5, str5) = (mode5(filterName5("StmF")), mode5(filterName5("StrF")))
+      val key5 = fileKeyR6(str("U"), str("UE"), strOpt("O"), strOpt("OE"), password)
+      return new StdSecurityHandler(key5, stm5, str5)
     }
     if (!Set(1, 2, 4).contains(v) || !Set(2, 3, 4).contains(r))
       throw new PdfCryptException(s"unsupported encryption V=$v R=$r")
@@ -375,38 +392,43 @@ object PdfCrypt {
     //    CFM takes its length from the filter's /Length — which many
     //    writers express in BYTES (16) rather than bits, so small
     //    values are scaled — falling back to the top-level /Length.
-    val (mode: StreamCipher, lengthBits: Int) = v match {
-      case 1 => (Rc4Streams, 40)
+    val (mode: StreamCipher, strMode: StreamCipher, lengthBits: Int) = v match {
+      case 1 => (Rc4Streams, Rc4Streams, 40)
       case 2 =>
         val lb = int("Length", 40).toInt
         if (lb < 40 || lb > 128 || lb % 8 != 0)
           throw new PdfCryptException(s"bad key length $lb")
-        (Rc4Streams, lb)
-      case _ => // v == 4
-        val stmF = resolve(enc.get("StmF").getOrElse(PNull)) match {
-          case PName(n) => n; case _ => "Identity"
-        }
-        if (stmF == "Identity") {
-          // streams plaintext (strings may still be encrypted; the
-          // extractor reads no document-level strings — scope note)
-          (IdentityStreams, math.max(40, int("Length", 40).toInt))
-        } else {
-          val (cfmName, cfLenOpt) = cfmFor(enc, stmF, resolve)
-          val cfLenRaw = cfLenOpt.getOrElse(int("Length", 128)).toInt
-          // /CF /Length may be BYTES (Acrobat convention, e.g. 16) or
-          // bits; values < 40 can only be bytes (5 = 40-bit), 40
-          // itself can only be BITS (40 bytes = 320 > the 128-bit V4
-          // max), so scale strictly-below-40 only
-          val cfLen = if (cfLenRaw < 40) cfLenRaw * 8 else cfLenRaw
-          cfmName match {
-            case "AESV2" => (AesStreams, 128)
-            case "V2" =>
-              if (cfLen < 40 || cfLen > 128 || cfLen % 8 != 0)
-                throw new PdfCryptException(s"bad V4 key length $cfLen")
-              (Rc4Streams, cfLen)
-            case other => throw new PdfCryptException(s"unsupported /CFM $other")
+        (Rc4Streams, Rc4Streams, lb)
+      case _ => // v == 4: /StmF and /StrF name independent crypt filters
+        def filterName(key: String): String =
+          resolve(enc.get(key).getOrElse(PNull)) match {
+            case PName(n) => n; case _ => "Identity"
           }
-        }
+        def cfMode(name: String): (StreamCipher, Int) =
+          if (name == "Identity")
+            // that side plaintext (Identity never appears inside /CF,
+            // §7.6.5); key length from the top-level /Length
+            (IdentityStreams, math.max(40, int("Length", 40).toInt))
+          else {
+            val (cfmName, cfLenOpt) = cfmFor(enc, name, resolve)
+            val cfLenRaw = cfLenOpt.getOrElse(int("Length", 128)).toInt
+            // /CF /Length may be BYTES (Acrobat convention, e.g. 16) or
+            // bits; values < 40 can only be bytes (5 = 40-bit), 40
+            // itself can only be BITS (40 bytes = 320 > the 128-bit V4
+            // max), so scale strictly-below-40 only
+            val cfLen = if (cfLenRaw < 40) cfLenRaw * 8 else cfLenRaw
+            cfmName match {
+              case "AESV2" => (AesStreams, 128)
+              case "V2" =>
+                if (cfLen < 40 || cfLen > 128 || cfLen % 8 != 0)
+                  throw new PdfCryptException(s"bad V4 key length $cfLen")
+                (Rc4Streams, cfLen)
+              case other => throw new PdfCryptException(s"unsupported /CFM $other")
+            }
+          }
+        val (sm, sBits) = cfMode(filterName("StmF"))
+        val (tm, _) = cfMode(filterName("StrF"))
+        (sm, tm, sBits)
     }
     val encryptMetadata = resolve(enc.get("EncryptMetadata").getOrElse(PNull)) match {
       case PBool(b) => b
@@ -416,7 +438,7 @@ object PdfCrypt {
     // the supplied password as USER password (Algorithm 2 + 6)
     val userKey = fileKey(oE, p, id0, r, lengthBits, encryptMetadata, password)
     if (verifyEmptyUser(r, userKey, id0, uE))
-      return new StdSecurityHandler(userKey, mode)
+      return new StdSecurityHandler(userKey, mode, strMode)
     // else as OWNER password (Algorithm 7): undo /O to the padded user
     // password, re-derive, re-verify — also opens user-passworded docs
     // whose OWNER password is empty (the common web-PDF permissions
@@ -424,7 +446,7 @@ object PdfCrypt {
     val recovered = recoverUserPw(oE, password, r, lengthBits)
     val ownerKey = fileKey(oE, p, id0, r, lengthBits, encryptMetadata, recovered)
     if (verifyEmptyUser(r, ownerKey, id0, uE))
-      return new StdSecurityHandler(ownerKey, mode)
+      return new StdSecurityHandler(ownerKey, mode, strMode)
     throw new PdfCryptException(
       if (password.isEmpty)
         "document requires a non-empty user password (supply one via ExtractOptions.password)"

@@ -42,6 +42,14 @@ final class PdfDocument private (
     * non-empty-password or unsupported-scheme document throws the
     * declared [[PdfCrypt.PdfCryptException]] here, which document
     * loading surfaces fail-soft like any parse failure. */
+  /** The /Encrypt dictionary's own object number: its strings (/O /U
+    * /UE /OE /Perms) are NOT encrypted (§7.6.2) and must parse raw
+    * even after the handler is live. -1 when direct or absent. */
+  private val encryptObjNum: Int = trailer.get("Encrypt") match {
+    case Some(PRef(n, _)) => n
+    case _                => -1
+  }
+
   private var cryptReady = false
   private val crypt: Option[PdfCrypt.StdSecurityHandler] = {
     val h = trailer.get("Encrypt") match {
@@ -72,10 +80,22 @@ final class PdfDocument private (
     h
   }
 
-  /** True when the document has a standard-security handler — the
-    * boundary [[PdfMeta]] declares string-object extraction out of
-    * scope behind (streams decrypt; top-level strings do not). */
+  /** True when the document has a standard-security handler. Both
+    * stream payloads AND top-level strings decrypt (Algorithm 1), so
+    * [[PdfMeta]] works on the encrypted class too. */
   def isEncrypted: Boolean = crypt.isDefined
+
+  /** Algorithm 1 over every string nested in an indirect object's
+    * body (§7.6.2: strings are encrypted with the same per-object
+    * keys as streams). Streams are handled separately at slice time;
+    * strings INSIDE object streams are already plaintext (the ObjStm
+    * container decrypted as a stream) and never reach this. */
+  private def decryptStrings(o: PdfObj, num: Int, gen: Int): PdfObj = o match {
+    case PStr(b)   => PStr(crypt.get.decryptString(num, gen, b))
+    case PArr(xs)  => PArr(xs.map(decryptStrings(_, num, gen)))
+    case PDict(m)  => PDict(m.map { case (k, v) => k -> decryptStrings(v, num, gen) })
+    case other     => other
+  }
 
   def getObject(num: Int): PdfObj = cache.getOrElseUpdate(num, {
     if (!loading.add(num)) throw new PdfParseException(s"reference cycle at obj $num")
@@ -119,6 +139,8 @@ final class PdfDocument private (
       throw new PdfParseException(s"xref points obj $expectNum at obj $n")
     val body = lx.parseObject()
     lx.skipWs()
+    // the /Encrypt dictionary's own strings are never encrypted
+    val decStr = cryptReady && crypt.isDefined && expectNum != encryptObjNum
     body match {
       case d: PDict if lx.peekKeyword("stream") =>
         lx.pos += "stream".length
@@ -135,12 +157,19 @@ final class PdfDocument private (
         // decrypt stream payloads (the one place obj/gen are in hand);
         // xref streams are never encrypted (§7.5.8.2)
         val isXrefStream = d.get("Type").contains(PName("XRef"))
-        val raw =
-          if (cryptReady && crypt.isDefined && !isXrefStream)
-            crypt.get.decryptStream(expectNum, gen, raw0)
-          else raw0
-        PStream(d, raw)
-      case other => other
+        if (isXrefStream) PStream(d, raw0)
+        else {
+          val dd =
+            if (decStr) decryptStrings(d, expectNum, gen).asInstanceOf[PDict]
+            else d
+          val raw =
+            if (cryptReady && crypt.isDefined)
+              crypt.get.decryptStream(expectNum, gen, raw0)
+            else raw0
+          PStream(dd, raw)
+        }
+      case other =>
+        if (decStr) decryptStrings(other, expectNum, gen) else other
     }
   }
 

@@ -15,12 +15,10 @@ package graft.pdf
   * edge set — the link-graph signal crawl-based corpora get from HTML
   * anchors.
   *
-  * Encrypted documents are out of scope BY THE SAME declared boundary
-  * as [[PdfCrypt]]'s string scope: the handler decrypts stream
-  * payloads (the whole extraction surface) but not top-level string
-  * objects, so /Info and /URI strings in an encrypted file would
-  * surface as ciphertext. Rather than emit garbage, both entry points
-  * return empty on an encrypted document. */
+  * Encrypted documents work like plain ones: [[PdfDocument]] decrypts
+  * top-level strings (Algorithm 1, via V4's /StrF or R6's file key) at
+  * parse time, so /Info, /URI, bookmark titles, form values and page-
+  * label prefixes all surface as plaintext on the encrypted class. */
 object PdfMeta {
 
   final case class DocInfo(
@@ -50,7 +48,6 @@ object PdfMeta {
     * returned verbatim (the `D:YYYYMMDDHHmmSS` ASCII form is its own
     * exchange format, §7.9.4). */
   def info(doc: PdfDocument): DocInfo = {
-    if (doc.isEncrypted) return DocInfo(None, None, None, None, None, None)
     val d = doc.dictGet(doc.trailer, "Info") match {
       case pd: PDict => pd
       case _         => PDict(Map.empty)
@@ -76,7 +73,6 @@ object PdfMeta {
     * outbound web-edge set. URI bytes are 7-bit ASCII by §12.6.4.7
     * (writers percent-encode beyond ASCII), read as Latin-1. */
   def links(doc: PdfDocument): Vector[Link] = {
-    if (doc.isEncrypted) return Vector.empty
     doc.pages.iterator.zipWithIndex.flatMap { case (pg, idx) =>
       val annots = doc.dictGet(pg, "Annots") match {
         case PArr(items) => items
@@ -105,16 +101,16 @@ object PdfMeta {
     * item's /Title (a §7.9.2.2 text string), nesting level, and
     * destination page resolved through /Dest — or through an /A /GoTo
     * action's /D (§12.6.4.2) — by matching the destination array's
-    * leading page reference against the page tree. Named (string)
-    * destinations require the catalog's name tree and are out of
-    * declared scope → page -1, never a guess. Siblings follow /Next
-    * from /First; a /First//Next reference seen twice is a declared
-    * parse error (same cycle posture as the page-tree walk), as is a
-    * tree deeper than 64 levels. Encrypted documents return empty —
-    * titles are top-level strings, outside [[PdfCrypt]]'s stream-only
-    * decryption scope (see class doc). */
+    * leading page reference against the page tree. NAMED destinations
+    * resolve too (§12.3.2.3): a name object through the catalog's
+    * PDF-1.1 /Dests dictionary, a byte string through the /Names
+    * /Dests name tree (§7.9.6 — /Kids walked with /Limits pruning);
+    * either value form unwraps (a plain dest array, or a dict whose
+    * /D holds it). A name absent from both maps is -1, never a guess.
+    * Siblings follow /Next from /First; a /First//Next reference seen
+    * twice is a declared parse error (same cycle posture as the
+    * page-tree walk), as is a tree deeper than 64 levels. */
   def outline(doc: PdfDocument): Vector[OutlineItem] = {
-    if (doc.isEncrypted) return Vector.empty
     val root = doc.dictGet(doc.trailer, "Root") match {
       case d: PDict => d
       case _        => return Vector.empty
@@ -128,19 +124,43 @@ object PdfMeta {
     val out = Vector.newBuilder[OutlineItem]
     val seen = scala.collection.mutable.HashSet.empty[Int]
     var ord = 0
-    def destPage(item: PDict): Int = {
-      val dest = doc.dictGet(item, "Dest") match {
-        case a: PArr => a
-        case _ => doc.dictGet(item, "A") match {
-          case act: PDict if doc.dictGet(act, "S") == PName("GoTo") =>
-            doc.dictGet(act, "D") match {
-              case a: PArr => a
-              case _       => PArr(Vector.empty)
-            }
-          case _ => PArr(Vector.empty)
-        }
+    // a named destination's VALUE may be the dest array itself or a
+    // dict carrying it under /D (§12.3.2.3)
+    def unwrapDest(v: PdfObj): Option[PArr] = doc.resolve(v) match {
+      case a: PArr  => Some(a)
+      case d: PDict => doc.dictGet(d, "D") match {
+        case a: PArr => Some(a)
+        case _       => None
       }
-      dest.items.headOption match {
+      case _ => None
+    }
+    def namedDest(bs: Array[Byte]): Option[PArr] =
+      doc.dictGet(root, "Names") match {
+        case nd: PDict => doc.dictGet(nd, "Dests") match {
+          case tree: PDict => lookupNameTree(doc, tree, bs, 0).flatMap(unwrapDest)
+          case _           => None
+        }
+        case _ => None
+      }
+    def destPage(item: PDict): Int = {
+      val rawDest = doc.dictGet(item, "Dest") match {
+        case PNull => doc.dictGet(item, "A") match {
+          case act: PDict if doc.dictGet(act, "S") == PName("GoTo") =>
+            doc.dictGet(act, "D")
+          case _ => PNull
+        }
+        case other => other
+      }
+      val dest: Option[PArr] = rawDest match {
+        case a: PArr    => Some(a)
+        case PStr(bs)   => namedDest(bs)
+        case PName(nm)  => doc.dictGet(root, "Dests") match {
+          case dd: PDict => dd.get(nm).flatMap(unwrapDest)
+          case _         => None
+        }
+        case _ => None
+      }
+      dest.flatMap(_.items.headOption) match {
         case Some(PRef(n, _)) => pageIdx.getOrElse(n, -1)
         case _                => -1
       }
@@ -176,6 +196,59 @@ object PdfMeta {
     out.result()
   }
 
+  /** NAME-TREE lookup (§7.9.6): a node holds either /Names (a flat
+    * sorted [key value key value …] leaf) or /Kids; /Limits [lo hi]
+    * prunes subtrees that cannot hold the key. Keys compare as
+    * unsigned byte strings. Depth-guarded like every other tree walk. */
+  private def lookupNameTree(doc: PdfDocument, node: PDict,
+      key: Array[Byte], depth: Int): Option[PdfObj] = {
+    if (depth > 32) throw new PdfParseException("name tree too deep")
+    def cmp(a: Array[Byte], b: Array[Byte]): Int = {
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d
+        i += 1
+      }
+      a.length - b.length
+    }
+    doc.dictGet(node, "Names") match {
+      case PArr(items) =>
+        items.grouped(2).foreach {
+          case Vector(k, v) => doc.resolve(k) match {
+            case PStr(bs) if cmp(bs, key) == 0 => return Some(v)
+            case _ =>
+          }
+          case _ =>
+        }
+        None
+      case _ => doc.dictGet(node, "Kids") match {
+        case PArr(kids) =>
+          kids.foreach { kid =>
+            doc.resolve(kid) match {
+              case kd: PDict =>
+                val inRange = doc.dictGet(kd, "Limits") match {
+                  case PArr(Vector(lo, hi)) =>
+                    (doc.resolve(lo), doc.resolve(hi)) match {
+                      case (PStr(l), PStr(h)) =>
+                        cmp(key, l) >= 0 && cmp(key, h) <= 0
+                      case _ => true // malformed limits: search anyway
+                    }
+                  case _ => true
+                }
+                if (inRange) {
+                  val hit = lookupNameTree(doc, kd, key, depth + 1)
+                  if (hit.isDefined) return hit
+                }
+              case _ =>
+            }
+          }
+          None
+        case _ => None
+      }
+    }
+  }
+
   /** One terminal interactive-form field: emission order, fully
     * qualified name (ancestor partial names joined with '.'), field
     * type and current value (None when neither the field nor an
@@ -192,10 +265,8 @@ object PdfMeta {
     * per type: text strings through [[decodeTextString]], name values
     * (radio/checkbox states) as `/Name`. A field with no /FT anywhere
     * in its chain is skipped (not a renderable field class we can
-    * type), never a guess. Same guards and encrypted-empty posture as
-    * [[outline]]. */
+    * type), never a guess. Same guards as [[outline]]. */
   def formFields(doc: PdfDocument): Vector[FormField] = {
-    if (doc.isEncrypted) return Vector.empty
     val root = doc.dictGet(doc.trailer, "Root") match {
       case d: PDict => d
       case _        => return Vector.empty
@@ -261,17 +332,16 @@ object PdfMeta {
 
   /** PAGE LABELS (§12.4.2): the per-page display labels a viewer
     * shows instead of raw indexes ("iv", "A-7"). The catalog's
-    * /PageLabels number tree (flat /Nums form — a /Kids-split tree is
-    * a declared parse error, out of scope) maps starting page indexes
-    * to label dictionaries: /S numbering style (D decimal, r/R roman,
-    * a/A letters — Table 159), /P prefix (a §7.9.2.2 text string),
-    * /St range start (default 1). Each page takes the range with the
-    * largest key ≤ its index; its number is St + (index − key); a
-    * range with no /S shows the prefix alone. No /PageLabels → empty
-    * (the viewer default of decimal indexes is implicit, not data).
-    * Encrypted → empty per the string-scope boundary. */
+    * /PageLabels NUMBER TREE (§7.9.7 — flat /Nums leaves or a
+    * /Kids-split tree, recursed depth-guarded) maps starting page
+    * indexes to label dictionaries: /S numbering style (D decimal,
+    * r/R roman, a/A letters — Table 159), /P prefix (a §7.9.2.2 text
+    * string), /St range start (default 1). Each page takes the range
+    * with the largest key ≤ its index; its number is St + (index −
+    * key); a range with no /S shows the prefix alone. No /PageLabels
+    * → empty (the viewer default of decimal indexes is implicit, not
+    * data). */
   def pageLabels(doc: PdfDocument): Vector[(Int, String)] = {
-    if (doc.isEncrypted) return Vector.empty
     val root = doc.dictGet(doc.trailer, "Root") match {
       case d: PDict => d
       case _        => return Vector.empty
@@ -280,20 +350,7 @@ object PdfMeta {
       case d: PDict => d
       case _        => return Vector.empty
     }
-    if (pl.get("Kids").isDefined)
-      throw new PdfParseException("PageLabels /Kids trees not supported (declared scope)")
-    val nums = doc.dictGet(pl, "Nums") match {
-      case PArr(items) => items
-      case _           => return Vector.empty
-    }
-    val ranges = nums.grouped(2).flatMap {
-      case Vector(k, v) =>
-        (doc.resolve(k), doc.resolve(v)) match {
-          case (PInt(key), d: PDict) => Some((key.toInt, d))
-          case _                     => None
-        }
-      case _ => None
-    }.toVector.sortBy(_._1)
+    val ranges = numberTreePairs(doc, pl, 0).sortBy(_._1)
     if (ranges.isEmpty) return Vector.empty
     // §12.4.2 mandates a range at page index 0; a tree missing it
     // would make early pages' labels a guess — declared error instead
@@ -322,6 +379,37 @@ object PdfMeta {
       }
       (idx, prefix + num)
     }.toVector
+  }
+
+  /** NUMBER-TREE flatten (§7.9.7): collect every (integer key, value
+    * dict) pair from /Nums leaves, recursing /Kids nodes. Lookup here
+    * is whole-tree (page labels need every range anyway), so /Limits
+    * are not consulted; depth and reference cycles are guarded by the
+    * depth cap. */
+  private def numberTreePairs(doc: PdfDocument, node: PDict,
+      depth: Int): Vector[(Int, PDict)] = {
+    if (depth > 32) throw new PdfParseException("number tree too deep")
+    val own = doc.dictGet(node, "Nums") match {
+      case PArr(items) => items.grouped(2).flatMap {
+        case Vector(k, v) =>
+          (doc.resolve(k), doc.resolve(v)) match {
+            case (PInt(key), d: PDict) => Some((key.toInt, d))
+            case _                     => None
+          }
+        case _ => None
+      }.toVector
+      case _ => Vector.empty
+    }
+    val fromKids = doc.dictGet(node, "Kids") match {
+      case PArr(kids) => kids.flatMap { kid =>
+        doc.resolve(kid) match {
+          case kd: PDict => numberTreePairs(doc, kd, depth + 1)
+          case _         => Vector.empty
+        }
+      }
+      case _ => Vector.empty
+    }
+    own ++ fromKids
   }
 
   /** Lowercase roman numerals, standard subtractive form (Table 159

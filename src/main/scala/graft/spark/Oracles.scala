@@ -390,7 +390,7 @@ object Oracles {
         |      ELSE NULL END AS keywords,
         | 'graft ' || CAST(i % 5 AS VARCHAR) AS producer,
         | 'D:2026081' || CAST(i % 10 AS VARCHAR) || '120000Z' AS creation_date
-        |FROM range(12) t(i) ORDER BY id""".stripMargin,
+        |FROM range(16) t(i) ORDER BY id""".stripMargin,
 
     "pdfz_links" ->
       // the full (doc, page, rect, uri) edge set closed-form; rects
@@ -401,13 +401,13 @@ object Oracles {
         |  CAST(10 + 5 * k AS BIGINT) AS x0, CAST(20 AS BIGINT) AS y0,
         |  CAST(110 + 5 * k AS BIGINT) AS x1, CAST(40 AS BIGINT) AS y1,
         |  'https://ex.org/d' || CAST(i AS VARCHAR) || '/l' || CAST(k AS VARCHAR) AS uri
-        | FROM range(12) t(i), range(2) s(k) WHERE k < i % 3),
+        | FROM range(16) t(i), range(2) s(k) WHERE k < i % 3),
         |p1 AS (
         | SELECT i AS id, 1 AS page, CAST(30 AS BIGINT) AS x0,
         |  CAST(40 AS BIGINT) AS y0, CAST(200 AS BIGINT) AS x1,
         |  CAST(60 AS BIGINT) AS y1,
         |  'https://ex.org/d' || CAST(i AS VARCHAR) || '/p1' AS uri
-        | FROM range(12) t(i))
+        | FROM range(16) t(i))
         |SELECT * FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)
         |ORDER BY id, page, uri""".stripMargin,
 
@@ -418,7 +418,7 @@ object Oracles {
       // literal parens), the named-destination appendix pinned to -1
       """WITH secs AS (
         | SELECT i AS id, s, (i + s) % 3 AS nc
-        | FROM range(12) t(i), range(4) r(s) WHERE s < 2 + i % 3),
+        | FROM range(18) t(i), range(4) r(s) WHERE s < 2 + i % 3),
         |soff AS (
         | SELECT id, s, nc, s + COALESCE(SUM(nc) OVER (PARTITION BY id ORDER BY s
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ord0
@@ -459,7 +459,7 @@ object Oracles {
       def lettersSql(n: String) =
         s"repeat(chr(97 + CAST((($n)-1)%26 AS INTEGER)), " +
           s"CAST((($n)-1)//26 + 1 AS INTEGER))"
-      s"""WITH pg AS (SELECT i AS id, p FROM range(12) t(i), range(6) r(p))
+      s"""WITH pg AS (SELECT i AS id, p FROM range(16) t(i), range(6) r(p))
          |SELECT id, CAST(p AS INTEGER) AS page,
          | CASE
          |  WHEN p < 2 AND id % 2 = 0 THEN ${romanSql("1 + id%3 + p")}
@@ -477,7 +477,7 @@ object Oracles {
       // chr(233)=é through both string spellings, name-object values
       // as '/On1', the value-less field as NULL
       """WITH ids AS (SELECT i AS id, 1 + i % 3 AS ntop, i % 2 AS haskid
-        | FROM range(12) t(i)),
+        | FROM range(16) t(i)),
         |r0 AS (SELECT id, 0 AS ord,
         |  CASE WHEN haskid = 1
         |   THEN 'fld' || chr(233) || CAST(id AS VARCHAR) || '_0.k0'

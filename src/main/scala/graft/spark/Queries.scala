@@ -338,7 +338,7 @@ object Queries {
     * the hash. */
   def pdfzOutline(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.range(12).repartition(4).flatMap { id =>
+    s.range(18).repartition(4).flatMap { id =>
       val nSec = 2 + (id % 3).toInt
       val items = (0 until nSec).flatMap { sIdx =>
         val nc = ((id + sIdx) % 3).toInt
@@ -348,8 +348,12 @@ object Queries {
           (1, s"Item $id.$sIdx.$k", (sIdx + k + 1) % 3)
         }
       } :+ ((0, s"Appendix $id", -1))
+      // ids 12-17 route every destination through NAMED forms (name
+      // tree + catalog /Dests); 15-17 additionally encrypt the doc
+      // (cycling the 3 ciphers) \u2014 resolved pages must be identical
       val pdf = graft.pdf.PdfBuilder.withOutline(
-        Seq(s"outline a $id", s"outline b $id", s"outline c $id"), items)
+        Seq(s"outline a $id", s"outline b $id", s"outline c $id"), items,
+        namedDests = id >= 12, enc = if (id >= 15) metaEncFor(id) else None)
       graft.pdf.PdfMeta.outline(graft.pdf.PdfDocument.load(pdf)).map { o =>
         (id, o.ord, o.level, o.title, o.page)
       }
@@ -367,16 +371,20 @@ object Queries {
     * repeat). */
   def pdfzPagelabels(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.range(12).repartition(4).flatMap { id =>
+    s.range(16).repartition(4).flatMap { id =>
       val styleA = if (id % 2 == 0) "r" else "R"
       val tail: (Int, Option[String], Option[String], Option[Int]) =
         if (id % 2 == 0) (4, Some("a"), None, Some(25 + id.toInt))
         else (4, None, Some("x-"), None)
+      // ids 12-15 split the ranges across a 2-level /Kids NUMBER TREE
+      // (\u00A77.9.7); 12-14 additionally encrypt (prefixes are strings) \u2014
+      // labels must be identical either way
       val pdf = graft.pdf.PdfBuilder.withPageLabels(
         (0 until 6).map(p => s"pl $id page $p"),
         Seq((0, Some(styleA), None, Some(1 + (id % 3).toInt)),
           (2, Some("D"), Some(s"A\u00E9-"), Some(5 + (id % 5).toInt)),
-          tail))
+          tail),
+        kidsTree = id >= 12, enc = if (id < 15) metaEncFor(id) else None)
       graft.pdf.PdfMeta.pageLabels(graft.pdf.PdfDocument.load(pdf)).map {
         case (pg, label) => (id, pg, label)
       }
@@ -394,7 +402,7 @@ object Queries {
     * regenerates the terminal-field rows closed form. */
   def pdfzFormfields(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.range(12).repartition(4).flatMap { id =>
+    s.range(16).repartition(4).flatMap { id =>
       val nTop = 1 + (id % 3).toInt
       val hasKid = id % 2 == 1
       val top0 =
@@ -407,7 +415,7 @@ object Queries {
         else (0, s"fld\u00E9${id}_2", Some("Tx"), None)
       }
       val pdf = graft.pdf.PdfBuilder.withAcroForm(
-        Seq(s"form doc $id"), top0 ++ rest)
+        Seq(s"form doc $id"), top0 ++ rest, enc = metaEncFor(id))
       graft.pdf.PdfMeta.formFields(graft.pdf.PdfDocument.load(pdf)).map { f =>
         (id, f.ord, f.name, f.ft, f.value)
       }
@@ -427,14 +435,18 @@ object Queries {
     * a wrong encoding-table byte flips the compare). */
   def pdfzMetadata(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.range(12).repartition(4).map { id =>
-      val title = graft.pdf.PdfBuilder.utf16HexString(s"Title\u00E9 doc $id")
-      val kw = if (id % 2 == 0) s" /Keywords (k$id corpus)" else ""
-      val infoBody =
-        s"/Title $title /Author (J\u00A0Smith $id) /Subject (subject ${id * 3})" +
-          s"$kw /Producer (graft ${id % 5}) /CreationDate (D:2026081${id % 10}120000Z)"
-      val pdf = graft.pdf.PdfBuilder.withInfoAndLinks(
-        Seq(s"meta body $id"), infoBody, Seq(Seq.empty), decoys = false)
+    s.range(16).repartition(4).map { id =>
+      val B = graft.pdf.PdfBuilder
+      val info0 = Seq(
+        "Title" -> B.utf16Bytes(s"Title\u00E9 doc $id"),
+        "Author" -> B.latin1Bytes(s"J\u00A0Smith $id"), // 0xA0 = PDFDoc Euro
+        "Subject" -> B.latin1Bytes(s"subject ${id * 3}")) ++
+        (if (id % 2 == 0) Seq("Keywords" -> B.latin1Bytes(s"k$id corpus"))
+         else Seq.empty) ++ Seq(
+        "Producer" -> B.latin1Bytes(s"graft ${id % 5}"),
+        "CreationDate" -> B.latin1Bytes(s"D:2026081${id % 10}120000Z"))
+      val pdf = B.withInfoAndLinks(Seq(s"meta body $id"), info0,
+        Seq(Seq.empty), decoys = false, enc = metaEncFor(id))
       val info = graft.pdf.PdfMeta.info(graft.pdf.PdfDocument.load(pdf))
       (id, info.title, info.author, info.subject, info.keywords,
         info.producer, info.creationDate)
@@ -442,6 +454,21 @@ object Queries {
         "creation_date")
       .orderBy("id")
   }
+
+  /** Encrypted-mode selector shared by the five metadata-family
+    * queries: ids past the plaintext dozen cycle the three cipher
+    * families the `pdfz_encrypted` oracle pins \u2014 RC4-128 (R3),
+    * AES-128 (V4 /AESV2) and AES-256 (V5/R6 /AESV3). Output rows are
+    * IDENTICAL to what the same id would yield unencrypted: Algorithm
+    * 1 string decryption must be transparent, so the oracle formulas
+    * simply extend their range. */
+  private def metaEncFor(id: Long): Option[graft.pdf.PdfBuilder.EncKind] =
+    if (id < 12) None
+    else Some((id % 3) match {
+      case 0L => graft.pdf.PdfBuilder.EncRc4
+      case 1L => graft.pdf.PdfBuilder.EncAes
+      case _  => graft.pdf.PdfBuilder.EncAes256
+    })
 
   /** LINK-ANNOTATION extraction, oracle-pinned (DECLARED EXTENSION):
     * 12 two-page documents; page 0 carries id%3 URI links (the k=1
@@ -452,7 +479,7 @@ object Queries {
     * closed-form. */
   def pdfzLinks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.range(12).repartition(4).flatMap { id =>
+    s.range(16).repartition(4).flatMap { id =>
       val p0 = (0 until (id % 3).toInt).map { k =>
         val r = (10 + 5 * k, 20, 110 + 5 * k, 40)
         val rect = if (k == 1) (r._3, r._4, r._1, r._2) else r
@@ -461,7 +488,8 @@ object Queries {
       val p1 = Seq((s"https://ex.org/d$id/p1", (30, 40, 200, 60)))
       val pdf = graft.pdf.PdfBuilder.withInfoAndLinks(
         Seq(s"links a $id", s"links b $id"),
-        s"/Producer (graft links $id)", Seq(p0, p1))
+        Seq("Producer" -> graft.pdf.PdfBuilder.latin1Bytes(s"graft links $id")),
+        Seq(p0, p1), enc = metaEncFor(id))
       graft.pdf.PdfMeta.links(graft.pdf.PdfDocument.load(pdf)).map { l =>
         (id, l.page, math.round(l.x0), math.round(l.y0),
           math.round(l.x1), math.round(l.y1), l.uri)

@@ -46,6 +46,28 @@ class PdfCryptSpec extends AnyFunSuite {
       PdfCrypt.aesEncrypt(k5.take(16), 5, 0, data)).toSeq == data.toSeq)
   }
 
+  test("string objects round-trip per cipher family (rc4 / aes / aes256; /StrF honored)") {
+    // handler-level round-trip: strMode drives string bytes
+    val k16 = (1 to 16).map(_.toByte).toArray
+    val k32 = (1 to 32).map(_.toByte).toArray
+    val data = "string object payload é".getBytes("ISO-8859-1")
+    for ((h, tag) <- Seq(
+        new PdfCrypt.StdSecurityHandler(k16, PdfCrypt.Rc4Streams) -> "rc4",
+        new PdfCrypt.StdSecurityHandler(k16, PdfCrypt.AesStreams) -> "aes",
+        new PdfCrypt.StdSecurityHandler(k32, PdfCrypt.Aes256Streams) -> "aes256")) {
+      val ct = h.encryptString(9, 0, data)
+      assert(!ct.sameElements(data), s"$tag: must not be plaintext")
+      assert(h.decryptString(9, 0, ct).toSeq == data.toSeq, tag)
+    }
+    // split-mode handler: /StmF Identity + /StrF RC4 (the fixture's
+    // identityStreams shape) — streams pass through, strings decrypt
+    val split = new PdfCrypt.StdSecurityHandler(k16,
+      PdfCrypt.IdentityStreams, PdfCrypt.Rc4Streams)
+    assert(split.decryptStream(3, 0, data).toSeq == data.toSeq)
+    assert(split.decryptString(3, 0, split.encryptString(3, 0, data)).toSeq == data.toSeq)
+    assert(!split.encryptString(3, 0, data).sameElements(data))
+  }
+
   test("/EncryptMetadata false changes the file key (Algorithm 2 step f) and still opens") {
     val texts = Seq("meta false page")
     val enc = PdfBuilder.withEncryption(aes = true, texts, encryptMetadata = false)

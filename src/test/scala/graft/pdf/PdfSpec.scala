@@ -299,9 +299,10 @@ class PdfSpec extends AnyFunSuite {
   }
 
   test("pdf_meta_info: /Info entries decode per branch; absent entries are None") {
-    val title = PdfBuilder.utf16HexString("T\u00E9st")
     val pdf = PdfBuilder.withInfoAndLinks(Seq("m"),
-      s"/Title $title /Author (J\u00A0D) /Producer (graft)",
+      Seq("Title" -> PdfBuilder.utf16Bytes("T\u00E9st"),
+        "Author" -> PdfBuilder.latin1Bytes("J\u00A0D"),
+        "Producer" -> PdfBuilder.latin1Bytes("graft")),
       Seq(Seq.empty), decoys = false)
     val info = PdfMeta.info(PdfDocument.load(pdf))
     assert(info.title.contains("T\u00E9st"))
@@ -312,7 +313,7 @@ class PdfSpec extends AnyFunSuite {
 
   test("pdf_meta_links: URI links per page, rect corner order normalized, decoys skipped") {
     val pdf = PdfBuilder.withInfoAndLinks(
-      Seq("p0", "p1"), "/Producer (x)",
+      Seq("p0", "p1"), Seq("Producer" -> PdfBuilder.latin1Bytes("x")),
       Seq(Seq(("https://a.example/one", (10, 20, 110, 40)),
               // corner-reversed on write: extraction must normalize
               ("https://a.example/two", (115, 45, 15, 25))),
@@ -324,9 +325,28 @@ class PdfSpec extends AnyFunSuite {
       PdfMeta.Link(1, 30, 40, 200, 60, "https://a.example/three")))
   }
 
-  test("pdf_meta_encrypted: declared string-scope boundary - empty info and links, never ciphertext") {
-    val pdf = PdfBuilder.withEncryption(aes = false)
-    val doc = PdfDocument.load(pdf)
+  test("pdf_meta_encrypted: Algorithm-1 string decryption - info and links plaintext under all 3 ciphers") {
+    for (enc <- Seq(PdfBuilder.EncRc4, PdfBuilder.EncAes, PdfBuilder.EncAes256)) {
+      val pdf = PdfBuilder.withInfoAndLinks(Seq("m"),
+        Seq("Title" -> PdfBuilder.utf16Bytes("Tést"),
+          "Author" -> PdfBuilder.latin1Bytes("J D")),
+        Seq(Seq(("https://a.example/enc", (10, 20, 110, 40)))),
+        decoys = true, enc = Some(enc))
+      // sanity: neither the title bytes nor the URI appear in clear
+      val raw = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      assert(!raw.contains("a.example/enc"), s"$enc: URI must be ciphertext")
+      val doc = PdfDocument.load(pdf)
+      assert(doc.isEncrypted)
+      val info = PdfMeta.info(doc)
+      assert(info.title.contains("Tést"), s"$enc title")
+      assert(info.author.contains("J€D"), s"$enc author")
+      assert(PdfMeta.links(doc) ==
+        Vector(PdfMeta.Link(0, 10, 20, 110, 40, "https://a.example/enc")), s"$enc links")
+    }
+  }
+
+  test("pdf_meta_encrypted: a doc with NO info/links still reads empty, never throws") {
+    val doc = PdfDocument.load(PdfBuilder.withEncryption(aes = false))
     assert(doc.isEncrypted)
     assert(PdfMeta.info(doc) == PdfMeta.DocInfo(None, None, None, None, None, None))
     assert(PdfMeta.links(doc).isEmpty)
@@ -350,6 +370,24 @@ class PdfSpec extends AnyFunSuite {
       PdfMeta.OutlineItem(4, 0, "Annex", -1)))
   }
 
+  test("pdf_outline: NAMED destinations resolve - /Names tree (strings), catalog /Dests (names), absent -> -1") {
+    // same tree routed through named forms: item 0 (string, /Names
+    // name tree with /Limits kids), items 1-2 (strings via /GoTo /D),
+    // item 3 (name object, catalog /Dests dict-wrapped /D), item 4
+    // ("nowhere", absent from both maps) \u2014 pages must be identical,
+    // with and without encryption
+    val items = Seq((0, "S\u00E9c one", 0), (1, "kid (a)", 2), (1, "kid b", 1),
+      (0, "Sec two", 2), (0, "Annex", -1))
+    val expect = Vector(0, 2, 1, 2, -1)
+    for (enc <- Seq(None, Some(PdfBuilder.EncAes))) {
+      val pdf = PdfBuilder.withOutline(Seq("p0", "p1", "p2"), items,
+        namedDests = true, enc = enc)
+      val got = PdfMeta.outline(PdfDocument.load(pdf))
+      assert(got.map(_.page) == expect, s"enc=$enc")
+      assert(got.map(_.title) == items.map(_._2).toVector, s"enc=$enc titles")
+    }
+  }
+
   test("pdf_formfields: qualified names, FT/V inheritance, widget kids skipped, value-less -> None") {
     val pdf = PdfBuilder.withAcroForm(Seq("p0"), Seq(
       (0, "grp", Some("Tx"), Some("inherited")), // non-terminal: V inherits down
@@ -364,9 +402,14 @@ class PdfSpec extends AnyFunSuite {
       PdfMeta.FormField(2, "radio", "Btn", Some("/Off"))))
   }
 
-  test("pdf_formfields: encrypted docs return empty (string-scope boundary)") {
-    val doc = PdfDocument.load(PdfBuilder.withEncryption(aes = true))
-    assert(doc.isEncrypted && PdfMeta.formFields(doc).isEmpty)
+  test("pdf_formfields: encrypted AcroForm decodes names and values (AES-128 strings)") {
+    val pdf = PdfBuilder.withAcroForm(Seq("p0"), Seq(
+      (0, "grpé", Some("Tx"), Some("inherited")),
+      (1, "a", None, None)), enc = Some(PdfBuilder.EncAes))
+    val doc = PdfDocument.load(pdf)
+    assert(doc.isEncrypted)
+    assert(PdfMeta.formFields(doc) ==
+      Vector(PdfMeta.FormField(0, "grpé.a", "Tx", Some("inherited"))))
   }
 
   test("pdf_formfields: a /Kids cycle is a declared parse error, not a hang") {
@@ -382,7 +425,7 @@ class PdfSpec extends AnyFunSuite {
     intercept[PdfParseException] { PdfMeta.formFields(doc) }
   }
 
-  test("pdf_pagelabels: range selection, styles, defaults; Kids tree declared error; encrypted empty") {
+  test("pdf_pagelabels: range selection, styles, defaults; /Kids number tree; encrypted labels") {
     // roman/letter formatters pinned directly (subtractive edges,
     // the doubled-letter rollover past z)
     assert(PdfMeta.roman(4) == "iv" && PdfMeta.roman(9) == "ix")
@@ -397,16 +440,17 @@ class PdfSpec extends AnyFunSuite {
         (4, None, Some("blank "), None)))       // prefix only
     val got = PdfMeta.pageLabels(PdfDocument.load(pdf))
     assert(got == Vector(0 -> "i", 1 -> "ii", 2 -> "B-7", 3 -> "B-8", 4 -> "blank "))
-    // /Kids-split number trees are a declared error, never wrong labels
-    val kidsTxt = new String(PdfBuilder.withPageLabels(Seq("p"),
-      Seq((0, Some("D"), None, None))), java.nio.charset.StandardCharsets.ISO_8859_1)
-      .replace("/Nums [0 <<", "/Kids [0 <<") // same-length rewrite
-    intercept[PdfParseException] {
-      PdfMeta.pageLabels(PdfDocument.load(
-        kidsTxt.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)))
+    // the same ranges split across a 2-level /Kids number tree
+    // (§7.9.7) yield identical labels — with and without encryption
+    for (enc <- Seq(None, Some(PdfBuilder.EncRc4), Some(PdfBuilder.EncAes256))) {
+      val kidsPdf = PdfBuilder.withPageLabels(
+        (0 until 5).map(i => s"p$i"),
+        Seq((0, Some("r"), None, None),
+          (2, Some("D"), Some("B-"), Some(7)),
+          (4, None, Some("blank "), None)),
+        kidsTree = true, enc = enc)
+      assert(PdfMeta.pageLabels(PdfDocument.load(kidsPdf)) == got, s"enc=$enc")
     }
-    val enc = PdfDocument.load(PdfBuilder.withEncryption(aes = false))
-    assert(PdfMeta.pageLabels(enc).isEmpty)
     // a tree missing the mandated page-0 range would make early
     // pages' labels a guess — declared error, never a wrong label
     intercept[PdfParseException] {
