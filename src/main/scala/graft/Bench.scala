@@ -93,8 +93,13 @@ object Bench {
     try {
       val l = scala.io.Source.fromFile("/proc/stat").getLines().next()
       val f = l.trim.split("\\s+").drop(1).map(_.toLong)
-      // user nice system idle iowait irq softirq steal ...
-      f.zipWithIndex.collect { case (v, i) if i != 3 && i != 4 => v }.sum
+      // user nice system idle iowait irq softirq steal guest guest_nice
+      // — skip idle/iowait (3,4) AND guest/guest_nice (8,9): the
+      // kernel already folds guest time into user/nice, so counting
+      // fields 8-9 double-counts on a VM host and skews ambient_pct
+      f.zipWithIndex.collect {
+        case (v, i) if i != 3 && i != 4 && i != 8 && i != 9 => v
+      }.sum
     } catch { case _: Throwable => 0L }
   }
 

@@ -673,7 +673,11 @@ object Dedup {
     * Output: (doc_id, bloom_hit, exact_dup) for every batch doc. */
   def bloomIncrementalExact(corpus: DataFrame, batch: DataFrame,
       mBits: Int = 4096, k: Int = 3): DataFrame = {
-    val flags = bloomIncrementalFlags(corpus, batch, mBits, k)
+    // materialize the flags frame ONCE: it feeds both the flagged
+    // filter and the final left join — unmaterialized, the corpus
+    // bloom-bit aggregation subtree would execute twice (the PQ-LUT
+    // double-instantiation class); the frame is batch-sized
+    val flags = defaultTruncate(bloomIncrementalFlags(corpus, batch, mBits, k))
     val flaggedFp = flags.where(col("bloom_hit") === 1)
       .join(batch.select(col("doc_id"), TF.fingerprint(col("text")).as("fp")),
         Seq("doc_id"))
@@ -716,18 +720,43 @@ object Dedup {
     * aggregate's sort-based fallback spills it rather than OOM.
     *
     * Output: (doc_id, start_pos, end_pos, n_grams, n_tokens), one row
-    * per maximal duplicated run. */
-  def exactSubstringSpans(docs: DataFrame, minTokens: Int = 15): DataFrame = {
+    * per maximal duplicated run.
+    *
+    * `maxDf` (opt-in) bounds the per-gram occurrence buffer: a hot
+    * boilerplate gram (a 15-token license header across millions of
+    * docs) concentrates O(df) structs in ONE aggregation-buffer key —
+    * the OOM class BoundedCollectLongs fixed for jaccard; the hash
+    * aggregate's sort-based fallback spills BETWEEN keys, not within
+    * one. With `maxDf` set, a cheap count-only pre-aggregation finds
+    * grams with 2 ≤ df ≤ maxDf and the positional aggregation runs
+    * only over them (semi-join BEFORE collect, so buffers are bounded
+    * by construction). DECLARED truncation: spans witnessed only by
+    * grams hotter than maxDf are not reported — at that frequency
+    * the text is boilerplate for a hot-list/rule pass, not span
+    * surgery. The price is a second scan+shingle pass (count-only);
+    * the default None keeps the single-scan plan. */
+  def exactSubstringSpans(docs: DataFrame, minTokens: Int = 15,
+      maxDf: Option[Int] = None): DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    require(maxDf.forall(_ >= 2), s"maxDf must be >= 2, got $maxDf")
     import org.apache.spark.sql.expressions.Window
     val grams = docs.select(col("doc_id"),
       posexplode(TF.shingles(col("text"), minTokens)).as(Seq("pos", "gh")))
-    val covered = grams.groupBy("gh")
-      .agg(count(lit(1)).as("n"),
-        collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
-      .where(col("n") >= 2)
-      .select(explode(col("occ")).as("o"))
-      .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+    val covered = maxDf match {
+      case None =>
+        grams.groupBy("gh")
+          .agg(count(lit(1)).as("n"),
+            collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+          .where(col("n") >= 2)
+          .select(explode(col("occ")).as("o"))
+          .select(col("o.doc_id").as("doc_id"), col("o.pos").as("pos"))
+      case Some(cap) =>
+        val eligible = grams.groupBy("gh").agg(count(lit(1)).as("n"))
+          .where(col("n") >= 2 && col("n") <= cap)
+          .select("gh")
+        grams.join(eligible, Seq("gh"), "left_semi")
+          .select(col("doc_id"), col("pos"))
+    }
     val w = Window.partitionBy("doc_id").orderBy("pos")
     covered.withColumn("island", col("pos") - row_number().over(w))
       .groupBy("doc_id", "island")

@@ -24,11 +24,20 @@ object Funnel {
     * (event-type values, in order). Output: one row per distinct
     * user — (user_id, t1..tN, stage) where tK is the first stage-K
     * time strictly after t(K-1), NULL once the user drops out, and
-    * stage ∈ [0, N] is the reached depth. */
+    * stage ∈ [0, N] is the reached depth.
+    *
+    * `maxGapMs` is the CONVERSION WINDOW, the standard
+    * product-analytics parameter: stage K must occur within
+    * `maxGapMs` of stage K-1 (t(K-1) < tK ≤ t(K-1) + maxGapMs); the
+    * first stage is unbounded (no predecessor). First-qualifying-time
+    * semantics are preserved — tK is the min qualifying time UNDER
+    * the gap constraint, so a user is never "rescued" by a later
+    * in-window event once an earlier stage time is fixed. */
   def funnel(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", typeCol: String = "event_type",
-      tsCol: String = "tms"): DataFrame = {
+      tsCol: String = "tms", maxGapMs: Option[Long] = None): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
+    require(maxGapMs.forall(_ >= 1), s"maxGapMs must be >= 1, got $maxGapMs")
     val ev = events.select(col(userCol).as("user_id"),
       col(typeCol).as("et"), col(tsCol).as("tms"))
     var acc = ev.select(col("user_id")).distinct()
@@ -39,9 +48,14 @@ object Funnel {
       val qualified = prevT match {
         case None => stageEv
         case Some(p) =>
-          stageEv.join(acc.where(col(p).isNotNull).select(col("user_id"), col(p)),
+          val after = stageEv
+            .join(acc.where(col(p).isNotNull).select(col("user_id"), col(p)),
               Seq("user_id"))
             .where(col("tms") > col(p))
+          maxGapMs match {
+            case Some(g) => after.where(col("tms") <= col(p) + g)
+            case None    => after
+          }
       }
       val mins = qualified.groupBy("user_id").agg(min(col("tms")).as(name))
       acc = acc.join(mins, Seq("user_id"), "left")

@@ -39,7 +39,11 @@ object Graphs {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0,1000], got $dampingPermille")
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    // materialize the edge table once: it is referenced by the node
+    // set, the degree aggregation AND every iteration's join — an
+    // untruncated upstream (corpus scan + synthetic-edge derivation)
+    // would re-execute per round
+    val e = truncate(edges.select(col("src").cast("long"), col("dst").cast("long")))
     val nodes = truncate(
       e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
     // out-degrees are loop-invariant: truncate once or every round

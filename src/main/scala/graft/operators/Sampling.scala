@@ -42,10 +42,16 @@ object Sampling {
   /** Keep rows so the kept mixture follows n_g^(1/2) per group in
     * `byCol`; the smallest group is kept whole. Output: (doc_id,
     * byCol, n_group, h) for kept rows. Rows with a NULL group are
-    * dropped by the inner group join (NULL joins nothing) —
-    * `coalesce` the column upstream to keep them as their own
-    * group. */
-  def temperatureSample(docs: DataFrame, byCol: String): DataFrame = {
+    * dropped (NULL joins no count row) — `coalesce` the column
+    * upstream to keep them as their own group. At 100 TB a
+    * mostly-NULL group column would silently shred the corpus, so
+    * pass `observer` to make the silence VISIBLE: after any action on
+    * the result it carries `kept` + `dropped_by_rule` +
+    * `dropped_null_group`, which sum to the input row count (the
+    * observed subtree has exactly one consumer — the round-4 max_df
+    * re-execution lesson does not bite). */
+  def temperatureSample(docs: DataFrame, byCol: String,
+      observer: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // materialize the tiny per-group counts ONCE: deriving n_min from
     // the lazy aggregation frame would re-instantiate its corpus scan
     // (the exact-substring round-6 lesson) — with the checkpoint the
@@ -54,12 +60,24 @@ object Sampling {
       docs.groupBy(byCol).agg(count(lit(1)).as("n_group")))
     val nMin = counts.agg(min(col("n_group")).as("n_min"))
     val wide = DecimalType(38, 0)
-    docs.select(col("doc_id"), col(byCol))
+    val kept = col("h").cast(wide) * col("h") * col("n_group") <
+      col("n_min").cast(wide) * lit(1000000L)
+    // LEFT join so NULL-group rows survive to the observation point
+    // (they match no count row; the filter below drops them exactly
+    // like the previous inner join did — the kept set is unchanged)
+    val tagged = docs.select(col("doc_id"), col(byCol))
       .withColumn("h", permilleHash(col("doc_id")))
-      .join(broadcast(counts), Seq(byCol))
+      .join(broadcast(counts), Seq(byCol), "left")
       .crossJoin(broadcast(nMin))
-      .where(col("h").cast(wide) * col("h") * col("n_group") <
-        col("n_min").cast(wide) * lit(1000000L))
+    val observed = observer match {
+      case Some(obs) => tagged.observe(obs,
+        sum(when(col(byCol).isNull, 1L).otherwise(0L)).as("dropped_null_group"),
+        sum(when(col(byCol).isNotNull && kept, 1L).otherwise(0L)).as("kept"),
+        sum(when(col(byCol).isNotNull && !kept, 1L).otherwise(0L)).as("dropped_by_rule"))
+      case None => tagged
+    }
+    observed
+      .where(col(byCol).isNotNull && kept)
       .select(col("doc_id"), col(byCol), col("n_group"), col("h"))
   }
 }

@@ -234,11 +234,11 @@ object ContentText {
     }
   }
 
-  /** Extract the text of one page per the pinned reassembly rule. */
   /** Depth cap on Form-XObject recursion (a hostile chain of forms
     * must terminate; real documents nest shallowly). */
   val MaxFormDepth = 8
 
+  /** Extract the text of one page per the pinned reassembly rule. */
   def extractPageText(doc: PdfDocument, page: PDict,
       recurseForms: Boolean = false): String =
     extractPageTextCounted(doc, page, recurseForms)._1

@@ -1411,6 +1411,29 @@ object Oracles {
         |       LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
 
+    "q_events_funnel_window" ->
+      // the 24h-conversion-window funnel: stage K qualifies only
+      // within 86400000 ms of stage K-1 (first stage unbounded);
+      // min-under-constraint preserves first-qualifying-time
+      """WITH ev AS (SELECT user_id, event_type AS et, epoch_ms(ts) AS tms FROM events),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |s1 AS (SELECT user_id, min(tms) AS t1 FROM ev WHERE et = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.tms) AS t2 FROM ev e
+        |  JOIN s1 ON s1.user_id = e.user_id AND e.tms > s1.t1
+        |    AND e.tms <= s1.t1 + 86400000
+        |  WHERE e.et = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.tms) AS t3 FROM ev e
+        |  JOIN s2 ON s2.user_id = e.user_id AND e.tms > s2.t2
+        |    AND e.tms <= s2.t2 + 86400000
+        |  WHERE e.et = 'purchase' GROUP BY 1)
+        |SELECT u.user_id, t1, t2, t3,
+        | CAST(CASE WHEN t1 IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t2 IS NULL THEN 0 ELSE 1 END
+        |    + CASE WHEN t3 IS NULL THEN 0 ELSE 1 END AS INTEGER) AS stage
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |       LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+
     "graph_pagerank" -> {
       // exact replay of Graphs.pageRank: 3 rounds of
       // pr' = 150000 + (850 * sum(pr // outdeg)) // 1000 over the

@@ -207,20 +207,44 @@ object ExtractStream {
     * prefix of the funnel's stage list) and the depth. */
   final case class FunnelProgress(user_id: Long, times: Seq[Long], stage: Int)
 
+  /** The shared greedy stage-advance rule of the streaming funnels:
+    * batch-sorted (tms, event_type) events advance one stage whenever
+    * the next stage's type appears STRICTLY after the last reached
+    * time and (with `maxGapMs`) within the conversion window — the
+    * same rule as the batch [[graft.operators.Funnel.funnel]]. */
+  private def advanceFunnel(times0: Seq[Long], stages: Seq[String],
+      rows: Seq[(Long, String, Long)], maxGapMs: Option[Long]): Seq[Long] = {
+    var times = times0
+    rows.sortBy(r => (r._3, r._2)).foreach { case (_, et, tms) =>
+      if (times.length < stages.length && et == stages(times.length) &&
+          (times.isEmpty || (tms > times.last &&
+            maxGapMs.forall(g => tms <= times.last + g)))) times = times :+ tms
+    }
+    times
+  }
+
   /** STREAMING ordered funnel — the stateful twin of
     * [[graft.operators.Funnel.funnel]]: per-user state holds the
     * reached stage times; each micro-batch's events are processed in
     * (tms, event_type) order, advancing one stage whenever the next
     * stage's type appears STRICTLY after the last reached time (same
-    * strict-after, first-qualifying-time rule as batch). The
-    * incremental greedy scan equals the batch result whenever each
-    * user's events arrive in timestamp order across micro-batches
-    * (the usual stateful-streaming contract; an out-of-order arrival
-    * would need watermarked retraction, which first-qualifying
-    * semantics deliberately avoid). Emits one updated row per user
-    * per micro-batch (update output mode). */
+    * strict-after, first-qualifying-time rule as batch; `maxGapMs` =
+    * the same conversion window). The incremental greedy scan equals
+    * the batch result whenever each user's events arrive in timestamp
+    * order across micro-batches (the usual stateful-streaming
+    * contract; an out-of-order arrival would need watermarked
+    * retraction, which first-qualifying semantics deliberately
+    * avoid). Emits one updated row per user per micro-batch (update
+    * output mode).
+    *
+    * DECLARED unbounded-state contract: per-user state never evicts —
+    * right for a bounded replay or a keyed corpus; a long-running
+    * stream over an unbounded user population should use
+    * [[funnelStreamBounded]], which evicts idle users at a watermark
+    * horizon. */
   def funnelStream(spark: SparkSession, events: DataFrame,
-      stages: Seq[String]): Dataset[FunnelProgress] = {
+      stages: Seq[String],
+      maxGapMs: Option[Long] = None): Dataset[FunnelProgress] = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     import spark.implicits._
     events.select(col("user_id").cast("long"), col("event_type").cast("string"),
@@ -230,13 +254,56 @@ object ExtractStream {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, String, Long)],
             state: GroupState[Seq[Long]]) =>
-          var times = state.getOption.getOrElse(Seq.empty)
-          rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, et, tms) =>
-            if (times.length < stages.length && et == stages(times.length) &&
-                (times.isEmpty || tms > times.last)) times = times :+ tms
-          }
+          val times = advanceFunnel(state.getOption.getOrElse(Seq.empty),
+            stages, rows.toSeq, maxGapMs)
           state.update(times)
           FunnelProgress(uid, times, times.length)
+      }
+  }
+
+  /** BOUNDED-STATE streaming funnel — the 10^12-user path: same
+    * greedy advance rule, but per-user state carries an EVENT-TIME
+    * timeout `idleTimeoutMs` past the user's latest event; when the
+    * stream's watermark (on `tsCol`, lateness `delay`) passes it, the
+    * user's state is EVICTED and the final progress row is emitted
+    * with `stage = -(depth + 1)` marking closure (distinguishable
+    * from live updates without a schema change). A post-eviction
+    * event restarts that user's funnel from stage 0 — the declared
+    * trade for bounded state, mirroring
+    * [[nearDedupStreamWithinWatermark]]'s horizon contract. */
+  def funnelStreamBounded(spark: SparkSession, events: DataFrame,
+      stages: Seq[String], tsCol: String = "ts", delay: String = "1 hour",
+      idleTimeoutMs: Long = 3600000L,
+      maxGapMs: Option[Long] = None): Dataset[FunnelProgress] = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(idleTimeoutMs >= 1, s"idleTimeoutMs must be >= 1, got $idleTimeoutMs")
+    import spark.implicits._
+    // the WATERMARKED column itself must flow into the stateful
+    // operator (the event-time-timeout checker follows the attribute
+    // tag; projecting it away to a long loses it)
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", delay)
+      .as[(Long, String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, java.sql.Timestamp)],
+            state: GroupState[Seq[Long]]) =>
+          if (state.hasTimedOut) {
+            val times = state.getOption.getOrElse(Seq.empty)
+            state.remove()
+            FunnelProgress(uid, times, -(times.length + 1))
+          } else {
+            val batch = rows.map(r => (r._1, r._2, r._3.getTime)).toSeq
+            val times = advanceFunnel(state.getOption.getOrElse(Seq.empty),
+              stages, batch, maxGapMs)
+            state.update(times)
+            if (batch.nonEmpty)
+              state.setTimeoutTimestamp(batch.map(_._3).max + idleTimeoutMs)
+            FunnelProgress(uid, times, times.length)
+          }
       }
   }
 

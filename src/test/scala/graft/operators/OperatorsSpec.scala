@@ -487,6 +487,28 @@ class OperatorsSpec extends AnyFunSuite {
       (3L, 10, 15, 2L, 6)))
   }
 
+  test("exactSubstringSpans maxDf: hot grams declared-truncated; within-cap result equals the default plan") {
+    val aToks = (0 until 30).map(i => s"w$i")
+    val bToks = Seq("x0", "x1") ++ aToks.slice(5, 25) ++ Seq("y0")
+    val docs2 = Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" ")))
+      .toDF("doc_id", "text")
+    // every shared gram has df = 2 <= cap: bounded path = default path
+    val dflt = Dedup.exactSubstringSpans(docs2, minTokens = 5)
+      .collect().map(_.toSeq).toSet
+    val capped = Dedup.exactSubstringSpans(docs2, minTokens = 5, maxDf = Some(2))
+      .collect().map(_.toSeq).toSet
+    assert(capped == dflt && dflt.nonEmpty)
+    // a boilerplate 5-gram stamped across 4 docs (df = 4 > cap = 3)
+    // is EXCLUDED by the declared truncation; the df-2 pair stays
+    val boiler = (0 until 5).map(i => s"b$i").mkString(" ")
+    val hot = (10L until 14L).map(id => (id, s"$boiler tail$id"))
+    val docs3 = (Seq((1L, aToks.mkString(" ")), (2L, bToks.mkString(" "))) ++ hot)
+      .toDF("doc_id", "text")
+    val got = Dedup.exactSubstringSpans(docs3, minTokens = 5, maxDf = Some(3))
+      .collect().map(r => r.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"hot-gram docs must be truncated out, got $got")
+  }
+
   test("componentsStarAdaptive: early-stop on a star graph, full schedule on a diameter-31 chain, labels exact") {
     // pre-converged star forest: fixpoint after the 1 confirming round
     val star = Seq.tabulate(20)(i => (0L, i + 1L)).toDF("a_id", "b_id")
@@ -627,6 +649,32 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(1L) == ((10L, 20L, 30L, 3)))
     assert(got(2L) == ((-1L, -1L, -1L, 0)))
     assert(got(3L) == ((1L, 2L, -1L, 2)))
+  }
+
+  test("funnel conversion window: boundary-inclusive gap; out-of-gap events are not progress") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: click in gap (150 <= 100+100), purchase OUT of gap
+      // from t2=150 (500 > 250) -> stage 2
+      (1L, "view", 100L), (1L, "click", 150L), (1L, "purchase", 500L),
+      // user 2: only click is out of gap (300 > 200) -> stage 1
+      (2L, "view", 100L), (2L, "click", 300L),
+      // user 3: click EXACTLY at the boundary (200 = 100+100) counts
+      (3L, "view", 100L), (3L, "click", 200L),
+      // user 4: first-qualifying UNDER the constraint — the early
+      // in-gap click wins even though a later out-of-gap one exists
+      (4L, "view", 100L), (4L, "click", 400L), (4L, "click", 150L))
+      .toDF("user_id", "event_type", "tms")
+    val got = graft.operators.Funnel.funnel(ev, Seq("view", "click", "purchase"),
+        maxGapMs = Some(100L))
+      .collect().map { r =>
+        def g(n: String) = if (r.isNullAt(r.fieldIndex(n))) -1L else r.getAs[Long](n)
+        r.getAs[Long]("user_id") -> ((g("t1"), g("t2"), g("t3"), r.getAs[Int]("stage")))
+      }.toMap
+    assert(got(1L) == ((100L, 150L, -1L, 2)))
+    assert(got(2L) == ((100L, -1L, -1L, 1)))
+    assert(got(3L) == ((100L, 200L, -1L, 2)))
+    assert(got(4L) == ((100L, 150L, -1L, 2)))
   }
 
   test("pageRank: hand-computed integer fixed-point ladder on a 3-node graph") {
@@ -899,6 +947,32 @@ class OperatorsSpec extends AnyFunSuite {
     val expectG0 = (0L until 64L).filter(i => h(i) * h(i) * 64 < 4000000L).toSet
     assert(kept.filter(_._2 == "g0").map(_._1).toSet == expectG0)
     assert(kept.forall(k => h(k._1) == k._3), "h column must be the replayable hash")
+  }
+
+  test("temperatureSample: observer surfaces kept + dropped_by_rule + dropped_null_group = input count") {
+    // null-bearing corpus: 64 g0 + 4 g1 + 8 NULL-group rows. The NULL
+    // rows must be VISIBLE as dropped_null_group, not silently shred
+    val rows = (0L until 64L).map(i => (i, Some("g0"))) ++
+      (100L until 104L).map(i => (i, Some("g1"))) ++
+      (200L until 208L).map(i => (i, None: Option[String]))
+    val df = rows.toDF("doc_id", "grp")
+    val obs = new org.apache.spark.sql.Observation("temp-sample")
+    val res = graft.operators.Sampling.temperatureSample(df, byCol = "grp",
+      observer = Some(obs))
+    val keptRows = res.collect()
+    val m = obs.get
+    val (k, dr, dn) = (m("kept").asInstanceOf[Long],
+      m("dropped_by_rule").asInstanceOf[Long],
+      m("dropped_null_group").asInstanceOf[Long])
+    assert(dn == 8L, s"all 8 NULL-group rows must be counted, got $dn")
+    assert(k == keptRows.length.toLong, s"kept metric $k vs result ${keptRows.length}")
+    assert(k + dr + dn == rows.length.toLong,
+      s"counts must sum to input: $k + $dr + $dn != ${rows.length}")
+    // and the kept set is unchanged by the observation plumbing
+    val plain = graft.operators.Sampling.temperatureSample(
+      df.where(col("grp").isNotNull), byCol = "grp").collect()
+    assert(keptRows.map(_.getAs[Long]("doc_id")).toSet ==
+      plain.map(_.getAs[Long]("doc_id")).toSet)
   }
 
   test("lshBitsFor grows with corpus size and is clamped") {

@@ -299,6 +299,67 @@ class ExtractStreamSpec extends AnyFunSuite {
     assert(advanced, "no user progressed across the micro-batch boundary")
   }
 
+  test("bounded streaming funnel: gap rule honored; idle state EVICTS at the watermark horizon; restart-safe") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp("bfun-src"); val ck = tmp("bfun-ck"); val out = tmp("bfun-out")
+    val stages = Seq("view", "click", "purchase")
+    val t0 = 1000000000000L // fixed epoch-ms base
+    def write(name: String, rows: Seq[(Long, String, Long)]): Unit =
+      rows.toDF("user_id", "event_type", "tms")
+        .select(col("user_id"), col("event_type"),
+          timestamp_millis(col("tms")).as("ts"))
+        .coalesce(1).write.parquet(s"$src/$name")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    def runOnce(): Unit = {
+      val st = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$src/f*")
+      val q = ExtractStream.funnelStreamBounded(spark, st, stages,
+          tsCol = "ts", delay = "1 second", idleTimeoutMs = 10000L,
+          maxGapMs = Some(100L))
+        .writeStream.option("checkpointLocation", ck).outputMode("update")
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[ExtractStream.FunnelProgress], id: Long) =>
+            b.toDF().withColumn("bid", lit(id)).write.mode("append").parquet(out)
+            ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: user 7 views at t0 and clicks OUT of gap (t0+500 >
+    // t0+100) — the conversion window must hold in streaming too
+    write("f1", Seq((7L, "view", t0), (7L, "click", t0 + 500L)))
+    runOnce()
+    // two far-future sentinel batches (eviction happens the batch
+    // AFTER the watermark advances): user 7's timeout (t0+10s) falls
+    // behind the watermark, so its state is evicted with the closure
+    // marker stage = -(depth+1) = -2
+    write("f2", Seq((555L, "view", t0 + 3600000L)))
+    write("f3", Seq((555L, "view", t0 + 7200000L)))
+    runOnce()
+    // batch 4: user 7 returns AFTER eviction — the funnel RESTARTS
+    // from stage 0 (bounded-state contract), so this view becomes t1
+    write("f4", Seq((7L, "view", t0 + 7300000L)))
+    runOnce()
+    val rows = spark.read.parquet(out)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("bid"),
+        r.getAs[scala.collection.Seq[Long]]("times").toList, r.getAs[Int]("stage")))
+    val u7 = rows.filter(_._1 == 7L).sortBy(_._2)
+    assert(u7.head._3 == List(t0) && u7.head._4 == 1,
+      s"gap rule: the out-of-gap click must not advance, got ${u7.head}")
+    assert(u7.exists(r => r._4 == -2 && r._3 == List(t0)),
+      s"eviction must emit the closure row (stage -2), got $u7")
+    assert(u7.last._3 == List(t0 + 7300000L) && u7.last._4 == 1,
+      s"post-eviction event must RESTART the funnel, got ${u7.last}")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses in-horizon duplicates across micro-batches") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, Trigger}
