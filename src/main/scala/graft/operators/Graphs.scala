@@ -30,6 +30,46 @@ import org.apache.spark.sql.types.DecimalType
   * (outdeg 0) absorb rank and contribute none, declared. */
 object Graphs {
 
+  private val wide = DecimalType(38, 0)
+
+  /** The loop-invariant frames every PageRank variant shares, each
+    * truncated ONCE: the cast edge table (referenced by every round's
+    * join — an untruncated upstream would re-execute per round), the
+    * node set and the out-degrees. */
+  private def prepGraph(edges: DataFrame,
+      truncate: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
+    val e = truncate(edges.select(col("src").cast("long"), col("dst").cast("long")))
+    val nodes = truncate(
+      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
+    val outdeg = truncate(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    (e, nodes, outdeg)
+  }
+
+  /** One damped update: pr' = (1000−d)·10³ + (d·(inflow + share)) div
+    * 10³, all DECIMAL(38,0)-widened (the hub-node inflow sum AND the
+    * d·inflow product would wrap a long near 2^63 total contribution —
+    * within 10× of the 10^12-node design point; the DuckDB twin's
+    * BIGINT-into-HUGEINT sum is exact the same way). `share` is the
+    * optional per-node dangling redistribution (a broadcast one-row
+    * frame), 0 when disabled. */
+  private def rankRound(e: DataFrame, nodes: DataFrame, outdeg: DataFrame,
+      ranks: DataFrame, base: Long, dampingPermille: Int,
+      share: Option[DataFrame]): DataFrame = {
+    val contrib = e
+      .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+      .join(outdeg, Seq("src"))
+      .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
+    val inflow = contrib.groupBy("id")
+      .agg(sum(col("c").cast(wide)).as("inflow"))
+    val withShare = share match {
+      case Some(sh) => nodes.join(inflow, Seq("id"), "left").crossJoin(broadcast(sh))
+      case None => nodes.join(inflow, Seq("id"), "left").withColumn("share", lit(0L))
+    }
+    withShare.select(col("id"),
+      (lit(base) + floor((coalesce(col("inflow"), lit(0L).cast(wide)) +
+        col("share").cast(wide)) * dampingPermille / 1000).cast("long")).as("pr"))
+  }
+
   /** `iterations` rounds of damped integer PageRank over
     * `edges(src, dst)`. Output: (id, pr) for every node appearing as
     * src or dst. */
@@ -39,36 +79,64 @@ object Graphs {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampingPermille >= 0 && dampingPermille <= 1000,
       s"dampingPermille must be in [0,1000], got $dampingPermille")
-    // materialize the edge table once: it is referenced by the node
-    // set, the degree aggregation AND every iteration's join — an
-    // untruncated upstream (corpus scan + synthetic-edge derivation)
-    // would re-execute per round
-    val e = truncate(edges.select(col("src").cast("long"), col("dst").cast("long")))
-    val nodes = truncate(
-      e.select(col("src").as("id")).union(e.select(col("dst").as("id"))).distinct())
-    // out-degrees are loop-invariant: truncate once or every round
-    // re-runs the degree aggregation over the full edge table
-    val outdeg = truncate(e.groupBy("src").agg(count(lit(1)).as("outdeg")))
+    val (e, nodes, outdeg) = prepGraph(edges, truncate)
     val base = (1000L - dampingPermille) * 1000L
-    val wide = DecimalType(38, 0)
     var ranks = nodes.select(col("id"), lit(1000000L).as("pr"))
     for (_ <- 0 until iterations) {
-      val contrib = e
-        .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
-        .join(outdeg, Seq("src"))
-        .select(col("dst").as("id"), expr("pr div outdeg").as("c"))
-      // the hub-node inflow sum AND the d·inflow product both run in
-      // DECIMAL(38,0): a long sum would wrap silently near 2^63 total
-      // contribution (within 10× of the 10^12-node design point) —
-      // widen like the cosine threshold does. The DuckDB twin's
-      // BIGINT-into-HUGEINT sum is exact the same way.
-      val inflow = contrib.groupBy("id")
-        .agg(sum(col("c").cast(wide)).as("inflow"))
-      ranks = truncate(nodes.join(inflow, Seq("id"), "left")
-        .select(col("id"),
-          (lit(base) + floor(coalesce(col("inflow"), lit(0L).cast(wide)) *
-            dampingPermille / 1000).cast("long")).as("pr")))
+      ranks = truncate(
+        rankRound(e, nodes, outdeg, ranks, base, dampingPermille, None))
     }
     ranks
+  }
+
+  /** CONVERGENCE-ADAPTIVE [[pageRank]] with optional DANGLING-MASS
+    * redistribution — the two standard knobs the fixed-rounds ladder
+    * declares out:
+    *
+    *  - rounds run until the rank vector reaches an exact FIXPOINT
+    *    (integer ranks make "this round changed nothing" an equality
+    *    test, not an epsilon — one count + one exceptAll probe per
+    *    round over the already-truncated frames, the
+    *    [[Dedup.componentsStarAdaptive]] recipe); `maxIterations`
+    *    bounds a slow spectrum (contraction is ×d/1000 per round, so
+    *    micro-unit ranks converge in ≲ log(10⁶)/log(1000/d) rounds);
+    *  - with `redistributeDangling`, each round sums the rank held by
+    *    dangling nodes (outdeg 0 — they absorb mass in the plain
+    *    ladder) and hands every node `floor(danglingSum / n)` extra
+    *    inflow before damping: the standard stochastic-matrix repair
+    *    (Page et al. 1999 §2.6), floor-exact so the DuckDB twin
+    *    replays it.
+    *
+    * Returns (ranks(id, pr), roundsExecuted); roundsExecuted INCLUDES
+    * the final confirming no-op round — a pre-converged input (a
+    * permutation graph at the uniform fixpoint) reports 1. */
+  def pageRankAdaptive(edges: DataFrame, maxIterations: Int = 40,
+      dampingPermille: Int = 850, redistributeDangling: Boolean = false,
+      truncate: DataFrame => DataFrame = Dedup.defaultTruncate): (DataFrame, Int) = {
+    require(maxIterations >= 1, s"maxIterations must be >= 1, got $maxIterations")
+    require(dampingPermille >= 0 && dampingPermille <= 1000,
+      s"dampingPermille must be in [0,1000], got $dampingPermille")
+    val (e, nodes, outdeg) = prepGraph(edges, truncate)
+    val base = (1000L - dampingPermille) * 1000L
+    val nCount = truncate(nodes.agg(count(lit(1)).as("n_nodes")))
+    var ranks = truncate(nodes.select(col("id"), lit(1000000L).as("pr")))
+    var used = 0
+    var converged = false
+    while (!converged && used < maxIterations) {
+      val share =
+        if (!redistributeDangling) None
+        else Some(ranks
+          .join(outdeg.select(col("src").as("id")), Seq("id"), "left_anti")
+          .agg(coalesce(sum(col("pr").cast(wide)), lit(0L).cast(wide)).as("dang"))
+          .crossJoin(broadcast(nCount))
+          .select(expr("dang div n_nodes").cast("long").as("share")))
+      val next = truncate(
+        rankRound(e, nodes, outdeg, ranks, base, dampingPermille, share))
+      used += 1
+      converged = next.count() == ranks.count() &&
+        next.exceptAll(ranks).limit(1).count() == 0
+      ranks = next
+    }
+    (ranks, used)
   }
 }

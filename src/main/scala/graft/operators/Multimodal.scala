@@ -269,6 +269,62 @@ object Multimodal {
       }
   }
 
+  /** One Goertzel probe result: the final recurrence state pair and
+    * the tone power at the probed frequency. */
+  final case class GoertzelRow(doc_id: String, media_ref: String,
+      frame_idx: Int, coef: Int, s1: Long, s2: Long, power: Long)
+
+  /** INTEGER GOERTZEL tone probe over the framed windows (Goertzel
+    * 1958; the single-bin DFT a VAD/DTMF front-end runs instead of a
+    * full FFT): for each `frameLen`-sample window of channel 0 and
+    * each probed coefficient c = 2·cos(ω) the recurrence
+    * `s[n] = x[n] + c·s[n−1] − s[n−2]` runs once, and the bin power
+    * is `s1² + s2² − c·s1·s2`. Probes are restricted to the INTEGER
+    * coefficients c ∈ {1, 0, −1} — ω = π/3, π/2, 2π/3, i.e. bins
+    * frameLen/6, /4, /3 — so every step is exact 64-bit integer
+    * arithmetic (|s| ≤ frameLen·32768 for |c| ≤ 1: squares fit a long
+    * with 2^20 headroom at frameLen 60) and the DuckDB twin can
+    * replay it CLOSED-FORM: for |c| ≤ 1 the recurrence kernel u[m] =
+    * c·u[m−1] − u[m−2] is periodic (period 6/4/3), so
+    * s[n] = Σ x[j]·u[(n−j) mod P] is a plain weighted sum — two
+    * independent derivations of the same integers, a recurrence bug
+    * cannot hide. Same windowing and skip contract as
+    * [[audioFrames]]. */
+  def audioGoertzel(spark: SparkSession, media: DataFrame,
+      frameLen: Int = 60, coefs: Seq[Int] = Seq(1, 0, -1)): Dataset[GoertzelRow] = {
+    require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    require(coefs.nonEmpty && coefs.forall(c => c >= -1 && c <= 1),
+      s"integer Goertzel probes need coefficients in {-1,0,1}, got $coefs")
+    import spark.implicits._
+    media.select(col("doc_id").cast("string"), col("media_ref").cast("string"),
+        col("payload").cast("binary"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (docId, ref, bytes) =>
+          graft.media.Wav.samples(bytes).toSeq.flatMap { case (_, channels, all) =>
+            val n = all.length / channels
+            for {
+              fi <- 0 until n / frameLen
+              c <- coefs
+            } yield {
+              var s1 = 0L // s[n-1]
+              var s2 = 0L // s[n-2]
+              var j = 0
+              while (j < frameLen) {
+                val x = all((fi * frameLen + j) * channels).toLong
+                val s0 = x + c * s1 - s2
+                s2 = s1
+                s1 = s0
+                j += 1
+              }
+              GoertzelRow(docId, ref, fi, c, s1, s2,
+                s1 * s1 + s2 * s2 - c * s1 * s2)
+            }
+          }
+        }
+      }
+  }
+
   /** One sampled frame of a video-like payload. `frame_off` is the
     * absolute payload offset of the frame's bytes; `frame_ms` the
     * decode timestamp (−1 on the stub-chunker path, which has no

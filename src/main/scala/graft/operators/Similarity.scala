@@ -218,33 +218,90 @@ object Similarity {
     require(numSub >= 1, s"numSub must be >= 1, got $numSub")
     require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
     val it = items.select(col("vec_id").as("item_id"), VF.quantize(col("embedding")).as("qv"))
-    val cent = seedCentroids(items, numCentroids)
-    val lists = assignNearestQ(it, cent, "item_id", "qv") // (item_id, cid, qv)
+    pqScoreAndRank(queries, it, items, k, numCentroids, nProbe, numSub,
+      seedCodebooks(it, numSub, codebookSize))
+  }
 
-    // subspace m covers dims [m·subDim, (m+1)·subDim); subDim is
-    // derived from the vector width. The width-divisibility contract
-    // is ENFORCED per row (a violating width would silently drop the
-    // trailing dims from every codeword and score otherwise)
-    def subVecs(qvName: String) = {
-      val width = size(col(qvName))
-      val subDim = when(pmod(width, lit(numSub)) === 0, width / numSub)
-        .otherwise(raise_error(concat(
-          lit(s"PQ: vector width not divisible by numSub=$numSub, got "),
-          width.cast("string"))))
-        .cast("int")
-      posexplode(array((0 until numSub).map(m =>
-        slice(col(qvName), lit(m) * subDim + 1, subDim)): _*)).as(Seq("sub", "sv"))
+  /** [[ivfPqTopK]] with LEARNED per-subspace codebooks: `iterations`
+    * deterministic Lloyd rounds refine each subspace's codewords from
+    * the seed subvectors (exact integer L2² assignment with ties to
+    * the smaller code, element-wise floor-of-mean recompute — the
+    * same replayable k-means recipe as the coarse [[ivfTopKKmeans]]),
+    * so codewords adapt to the data distribution instead of echoing
+    * whatever the first `codebookSize` items happened to be. A
+    * codeword that loses every member drops out (both engines). The
+    * trained codebook is materialized ONCE (it feeds both the encoder
+    * and the ADC LUT — unmaterialized, the whole Lloyd lineage would
+    * execute twice); training cost at 10^12 items is `iterations`
+    * broadcast+partial-agg passes over (item, sub) — the same shape
+    * as one encode pass. */
+  def ivfPqTopKKmeans(queries: DataFrame, items: DataFrame, k: Int,
+      numCentroids: Int = 8, nProbe: Int = 2,
+      numSub: Int = 4, codebookSize: Int = 16, iterations: Int = 2): DataFrame = {
+    require(numSub >= 1, s"numSub must be >= 1, got $numSub")
+    require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val it = items.select(col("vec_id").as("item_id"), VF.quantize(col("embedding")).as("qv"))
+    var cb = seedCodebooks(it, numSub, codebookSize)
+    val sub = it.select(col("item_id"), subVecs("qv", numSub))
+      .withColumn("svn", VF.normSqQ(col("sv")))
+    for (_ <- 0 until iterations) {
+      val asg = sub.join(broadcast(cb), Seq("sub"))
+        .withColumn("d2",
+          col("svn") - lit(2L) * VF.dotQ(col("sv"), col("scv")) + col("scn"))
+        .groupBy("item_id", "sub")
+        .agg(min_by(struct(col("code"), col("sv").as("v")),
+          struct(col("d2"), col("code"))).as("m"))
+        .select(col("sub"), col("m.code").as("code"), col("m.v").as("sv"))
+      cb = asg
+        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
+        .groupBy("sub", "code", "d")
+        .agg(floor(sum(col("x")) / count(lit(1))).cast("long").as("m"))
+        .groupBy("sub", "code")
+        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
+          p => p.getField("m")).as("scv"))
+        .withColumn("scn", VF.normSqQ(col("scv")))
     }
+    pqScoreAndRank(queries, it, items, k, numCentroids, nProbe, numSub,
+      Dedup.defaultTruncate(cb))
+  }
 
-    // per-subspace codebooks: codewords = subvectors of the seed items
-    val cb = it.where(col("item_id") < codebookSize)
-      .select(col("item_id").cast("int").as("code"), subVecs("qv"))
+  /** Subspace splitter: subspace m covers dims [m·subDim, (m+1)·subDim);
+    * subDim is derived from the vector width. The width-divisibility
+    * contract is ENFORCED per row (a violating width would silently
+    * drop the trailing dims from every codeword and score otherwise). */
+  private def subVecs(qvName: String, numSub: Int): Column = {
+    val width = size(col(qvName))
+    val subDim = when(pmod(width, lit(numSub)) === 0, width / numSub)
+      .otherwise(raise_error(concat(
+        lit(s"PQ: vector width not divisible by numSub=$numSub, got "),
+        width.cast("string"))))
+      .cast("int")
+    posexplode(array((0 until numSub).map(m =>
+      slice(col(qvName), lit(m) * subDim + 1, subDim)): _*)).as(Seq("sub", "sv"))
+  }
+
+  /** Seed per-subspace codebooks: codewords = subvectors of the first
+    * `codebookSize` item vectors. */
+  private def seedCodebooks(it: DataFrame, numSub: Int, codebookSize: Int): DataFrame =
+    it.where(col("item_id") < codebookSize)
+      .select(col("item_id").cast("int").as("code"), subVecs("qv", numSub))
       .withColumnRenamed("sv", "scv")
       .withColumn("scn", VF.normSqQ(col("scv")))
 
+  /** The shared IVF-ADC tail: coarse assignment, encode against `cb`,
+    * broadcast ADC LUT (derived from the RAW query side, not from
+    * `probes`, so the probe-ranking window subtree is instantiated
+    * once), score, rank. */
+  private def pqScoreAndRank(queries: DataFrame, it: DataFrame,
+      items: DataFrame, k: Int, numCentroids: Int, nProbe: Int,
+      numSub: Int, cb: DataFrame): DataFrame = {
+    val cent = seedCentroids(items, numCentroids)
+    val lists = assignNearestQ(it, cent, "item_id", "qv") // (item_id, cid, qv)
+
     // encode: nearest codeword per (item, subspace) — min_by hash agg,
     // map-side combine collapses the K candidate rows per (item, sub)
-    val enc = lists.select(col("item_id"), col("cid"), subVecs("qv"))
+    val enc = lists.select(col("item_id"), col("cid"), subVecs("qv", numSub))
       .withColumn("svn", VF.normSqQ(col("sv")))
       .join(broadcast(cb), Seq("sub"))
       .withColumn("d2", col("svn") - lit(2L) * VF.dotQ(col("sv"), col("scv")) + col("scn"))
@@ -252,12 +309,10 @@ object Similarity {
       .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
 
     val probes = assignProbes(queries, cent, "query_id", "q_qv", nProbe)
-    // ADC lookup table: q_sub(m) · codeword(m, c) per query — derived
-    // from the RAW query side, not from `probes`, so the probe-ranking
-    // window subtree is instantiated once, not once per consumer
+    // ADC lookup table: q_sub(m) · codeword(m, c) per query
     val lut = queries
       .select(col("vec_id").as("query_id"), VF.quantize(col("embedding")).as("q_qv"))
-      .select(col("query_id"), subVecs("q_qv"))
+      .select(col("query_id"), subVecs("q_qv", numSub))
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         VF.dotQ(col("sv"), col("scv")).as("pdot"))

@@ -159,9 +159,12 @@ object Oracles {
 
   /** Shared CTE chain of the IVF-PQ replay (Similarity.ivfPqTopK),
     * ending at `scored(query_id, item_id, adot)` — the ADC scores of
-    * every probed item per query. Used by sim_topk_pq (rank directly)
-    * and sim_topk_pq_rerank (shortlist then exact re-rank). */
-  private lazy val pqScoredCtes =
+    * every probed item per query. `trainCtes` (optional, ",<ctes>")
+    * splices codebook-training CTEs after the seeds; `encCb` names
+    * the codebook table the encoder + LUT read (the seed `cbn`, or a
+    * Lloyd-trained table from `trainCtes`). Used by sim_topk_pq,
+    * sim_topk_pq_rerank and sim_topk_pq_kmeans. */
+  private def pqCtes(trainCtes: String, encCb: String) =
     s"""$qEmb,
        |qn AS (SELECT vec_id, qv,
        |  CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS vn FROM qemb),
@@ -179,23 +182,54 @@ object Oracles {
        |cbn AS (SELECT code, sub, scv,
        |  CAST(list_sum(list_transform(scv, x -> x*x)) AS BIGINT) AS scn FROM cb),
        |isub AS (SELECT item_id, cid, CAST(m AS INTEGER) AS sub,
-       |  list_slice(qv, m*16+1, m*16+16) AS sv
-       | FROM lists, range(4) r(m)),
+       |  list_slice(qv, m*16+1, m*16+16) AS sv,
+       |  CAST(list_sum(list_transform(list_slice(qv, m*16+1, m*16+16),
+       |    x -> x*x)) AS BIGINT) AS svn
+       | FROM lists, range(4) r(m))$trainCtes,
        |enc AS (SELECT item_id, cid, sub, code FROM (
        | SELECT i.item_id, i.cid, i.sub, c.code,
        |  row_number() OVER (PARTITION BY i.item_id, i.sub
-       |   ORDER BY CAST(list_sum(list_transform(i.sv, x -> x*x)) AS BIGINT)
-       |     - 2*${dot("i.sv", "c.scv")} + c.scn, c.code) AS rk
-       | FROM isub i JOIN cbn c USING (sub)) WHERE rk = 1),
+       |   ORDER BY i.svn - 2*${dot("i.sv", "c.scv")} + c.scn, c.code) AS rk
+       | FROM isub i JOIN $encCb c USING (sub)) WHERE rk = 1),
        |lut AS (SELECT q.vec_id AS query_id, c.sub, c.code,
        |  ${dot("list_slice(q.qv, c.sub*16+1, c.sub*16+16)", "c.scv")} AS pdot
-       | FROM qn q, cbn c WHERE q.vec_id < 8),
+       | FROM qn q, $encCb c WHERE q.vec_id < 8),
        |scored AS (SELECT p.query_id, e.item_id,
        |  CAST(sum(l.pdot) AS BIGINT) AS adot
        | FROM enc e JOIN probes p USING (cid)
        | JOIN lut l ON l.query_id = p.query_id AND l.sub = e.sub AND l.code = e.code
        | WHERE p.query_id <> e.item_id
        | GROUP BY 1, 2)""".stripMargin
+
+  private lazy val pqScoredCtes = pqCtes("", "cbn")
+
+  /** Per-subspace Lloyd training replay (Similarity.ivfPqTopKKmeans,
+    * 2 iterations): assign every item subvector to its nearest
+    * codeword (ties to the smaller code), recompute codewords as the
+    * element-wise floored mean, twice; AS MATERIALIZED so each round
+    * computes once. */
+  private lazy val pqKmeansScoredCtes = {
+    def assignCte(name: String, cbn: String) =
+      s"""$name AS MATERIALIZED (SELECT sub, code, sv FROM (
+         | SELECT i.sub, c.code, i.sv,
+         |  row_number() OVER (PARTITION BY i.item_id, i.sub
+         |   ORDER BY i.svn - 2*${dot("i.sv", "c.scv")} + c.scn, c.code) AS rk
+         | FROM isub i JOIN $cbn c USING (sub)) WHERE rk = 1)""".stripMargin
+    def cbCte(asg: String, out: String) =
+      s"""${out}e AS (SELECT sub, code,
+         |  CAST(unnest(range(len(sv))) AS INTEGER) AS d, unnest(sv) AS x FROM $asg),
+         |$out AS (SELECT sub, code, list(m ORDER BY d) AS scv FROM
+         | (SELECT sub, code, d, CAST(floor(sum(x)/count(*)) AS BIGINT) AS m
+         |  FROM ${out}e GROUP BY 1, 2, 3) GROUP BY sub, code),
+         |${out}n AS (SELECT sub, code, scv,
+         |  CAST(list_sum(list_transform(scv, x -> x*x)) AS BIGINT) AS scn
+         | FROM $out)""".stripMargin
+    pqCtes(s""",
+       |${assignCte("pa0", "cbn")},
+       |${cbCte("pa0", "kb1")},
+       |${assignCte("pa1", "kb1n")},
+       |${cbCte("pa1", "kb2")}""".stripMargin, "kb2n")
+  }
 
   val sql: Map[String, String] = Map(
     // ---- reference-pipeline relational ops over the interleaved corpus
@@ -1309,6 +1343,16 @@ object Oracles {
          |        ORDER BY adot DESC, item_id) AS rnk FROM scored)
          |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
 
+    // learned-codebook PQ replay: 2 per-subspace Lloyd iterations
+    // (assign-by-L2², floor-of-mean recompute) from the same seeds,
+    // then the standard encode/LUT/score over the trained table
+    "sim_topk_pq_kmeans" ->
+      s"""WITH $pqKmeansScoredCtes
+         |SELECT query_id, item_id, adot, CAST(rnk AS INTEGER) AS rnk
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adot DESC, item_id) AS rnk FROM scored)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
+
     // two-stage replay: PQ shortlist (top-20 by ADC score) then exact
     // integer dot re-rank of only the shortlist rows
     "sim_topk_pq_rerank" ->
@@ -1461,6 +1505,56 @@ object Oracles {
          |${round(2)},
          |${round(3)}
          |SELECT id, pr FROM r3 ORDER BY id""".stripMargin
+    },
+
+    "graph_pagerank_adaptive" -> {
+      // replay of Graphs.pageRankAdaptive with DANGLING redistribution:
+      // ids % 5 = 0 emit no edges (pure sinks); each round hands every
+      // node floor(danglingSum / n) extra inflow before damping. Rounds
+      // replayed to the engine's maxIterations bound (6); rounds_used =
+      // the first round-over-round fixpoint detected with the identical
+      // count + set-difference probes the Spark loop runs, else 6 —
+      // and a converged ladder reproduces itself, so labels read off r6
+      // either way
+      def round(k: Int) =
+        s"""dg$k AS (SELECT COALESCE(SUM(pr), 0) AS dang FROM r${k - 1}
+           | WHERE id NOT IN (SELECT src FROM od)),
+           |sh$k AS (SELECT CAST(dang // nn2.nnodes AS BIGINT) AS share FROM dg$k, nn2),
+           |c$k AS (SELECT e.dst AS id, SUM(r.pr // od.outdeg) AS inflow
+           | FROM e JOIN r${k - 1} r ON r.id = e.src
+           | JOIN od ON od.src = e.src GROUP BY 1),
+           |r$k AS MATERIALIZED (SELECT nodes.id,
+           |  CAST(150000 + (850 * (COALESCE(c.inflow, 0) + s.share)) // 1000 AS BIGINT) AS pr
+           | FROM nodes LEFT JOIN c$k c USING (id) CROSS JOIN sh$k s)""".stripMargin
+      val eqs = (1 to 6).map { k =>
+        s"((SELECT count(*) FROM r$k) = (SELECT count(*) FROM r${k - 1}) AND " +
+          s"NOT EXISTS (SELECT 1 FROM (SELECT id, pr FROM r$k EXCEPT SELECT id, pr FROM r${k - 1}))) AS e$k"
+      }.mkString(", ")
+      val cases = (1 to 6).map(k => s"WHEN e$k THEN $k").mkString(" ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM documents),
+         |e AS MATERIALIZED (
+         | SELECT src, dst FROM (
+         |  SELECT doc_id AS src, (doc_id * 7 + 3) % nn.n AS dst
+         |   FROM documents, nn WHERE doc_id % 5 <> 0
+         |  UNION ALL
+         |  SELECT doc_id AS src, (doc_id * doc_id + 1) % nn.n AS dst
+         |   FROM documents, nn WHERE doc_id % 5 <> 0)
+         | WHERE src <> dst),
+         |nodes AS MATERIALIZED (SELECT DISTINCT id FROM
+         | (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         |nn2 AS (SELECT count(*) AS nnodes FROM nodes),
+         |od AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM e GROUP BY 1),
+         |r0 AS MATERIALIZED (SELECT id, CAST(1000000 AS BIGINT) AS pr FROM nodes),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)},
+         |${round(4)},
+         |${round(5)},
+         |${round(6)},
+         |eqs AS (SELECT $eqs),
+         |ru AS (SELECT CAST(CASE $cases ELSE 6 END AS INTEGER) AS rounds_used FROM eqs)
+         |SELECT r.id, r.pr, u.rounds_used FROM r6 r CROSS JOIN ru u
+         |ORDER BY r.id""".stripMargin
     },
 
     "sample_temperature" -> {
@@ -1697,6 +1791,41 @@ object Oracles {
         | CAST(list_sum(list_transform(sl, x -> x * x)) AS BIGINT) AS energy,
         | CAST(list_max(list_transform(sl, x -> abs(x))) AS INTEGER) AS peak
         |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_audio_goertzel" -> {
+      // CLOSED-FORM Goertzel replay: for integer coefficients the
+      // recurrence kernel u[m] = c*u[m-1] - u[m-2] is PERIODIC
+      // (c=1: 1,1,0,-1,-1,0; c=0: 1,0,-1,0; c=-1: 1,-1,0), so
+      // s[n] = sum_j x[j]*u[(n-j) mod P] — an independent derivation
+      // of the exact integers the Spark recurrence produces
+      def wexpr(c: Int, m: String): String = c match {
+        case 1 => s"CASE ($m) % 6 WHEN 0 THEN 1 WHEN 1 THEN 1 WHEN 3 THEN -1 WHEN 4 THEN -1 ELSE 0 END"
+        case 0 => s"CASE ($m) % 4 WHEN 0 THEN 1 WHEN 2 THEN -1 ELSE 0 END"
+        case _ => s"CASE ($m) % 3 WHEN 0 THEN 1 WHEN 1 THEN -1 ELSE 0 END"
+      }
+      def sExpr(c: Int, last: Int) =
+        s"CAST(list_sum(list_transform(range(${last + 1}), " +
+          s"j -> sl[j + 1] * (${wexpr(c, s"$last - j")}))) AS BIGINT)"
+      def branch(c: Int) =
+        s"""SELECT i, fi, CAST($c AS INTEGER) AS coef,
+           |  ${sExpr(c, 59)} AS s1, ${sExpr(c, 58)} AS s2 FROM w""".stripMargin
+      s"""WITH s AS (
+         | SELECT i, list_transform(range(240), k ->
+         |   CAST(CASE i % 3
+         |     WHEN 0 THEN CASE WHEN k % 6 < 3 THEN 800 ELSE -800 END
+         |     WHEN 1 THEN CASE WHEN k % 4 < 2 THEN 800 ELSE -800 END
+         |     ELSE CASE WHEN k % 3 = 0 THEN 800 ELSE -400 END END
+         |    + (k * 5 + i) % 7 - 3 AS BIGINT)) AS xs
+         | FROM range(48) t(i)),
+         |w AS (SELECT i, fi, list_slice(xs, fi*60 + 1, fi*60 + 60) AS sl
+         | FROM s, range(4) f(fi)),
+         |g AS (${branch(1)} UNION ALL ${branch(0)} UNION ALL ${branch(-1)})
+         |SELECT printf('ag%08d', i) AS doc_id, printf('g_%d.wav', i) AS media_ref,
+         | CAST(fi AS INTEGER) AS frame_idx, coef, s1, s2,
+         | CAST(CAST(s1 AS HUGEINT)*s1 + CAST(s2 AS HUGEINT)*s2
+         |      - coef*CAST(s1 AS HUGEINT)*s2 AS BIGINT) AS power
+         |FROM g ORDER BY doc_id, frame_idx, coef""".stripMargin
+    },
 
     "mm_frame_sample" ->
       // stub rows: fixed 32-byte chunks, frame_ms = -1. BMFF rows:

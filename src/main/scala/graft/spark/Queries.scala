@@ -1286,6 +1286,18 @@ object Queries {
       .orderBy("query_id", "rnk")
   }
 
+  /** [[simTopkPq]] with LEARNED codebooks: 2 per-subspace Lloyd
+    * iterations from the same seeds (integer floor-of-mean codewords,
+    * min_by assignment); the DuckDB twin replays the exact training
+    * rounds, so one drifted codeword flips the compare. */
+  def simTopkPqKmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = rd(s, dir, "embeddings")
+    Similarity.ivfPqTopKKmeans(emb.where(col("vec_id") < 8), emb, k = 5,
+        numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16,
+        iterations = 2)
+      .orderBy("query_id", "rnk")
+  }
+
   /** Two-stage retrieval: PQ top-20 shortlist, exact integer dot
     * re-rank to top-5 — recall follows stage 1's recall@20 while the
     * corpus-side cost stays the compressed-code scan. */
@@ -1400,6 +1412,27 @@ object Queries {
       .where(col("src") =!= col("dst"))
     graft.operators.Graphs.pageRank(edges, iterations = 3)
       .orderBy("id")
+  }
+
+  /** CONVERGENCE-ADAPTIVE PageRank with DANGLING redistribution over
+    * a sink-bearing variant of the synthetic graph (ids % 5 = 0 emit
+    * no edges — 20% pure sinks, so the dangling term moves real
+    * mass): rounds run to an exact integer fixpoint or the
+    * maxIterations=6 cap, `rounds_used` on every row; the DuckDB twin
+    * replays all 6 rounds and detects the fixpoint with the identical
+    * count + set-difference probes. */
+  def graphPagerankAdaptive(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents").select("doc_id")
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    val edges = docs.crossJoin(broadcast(nDf))
+      .where(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id").as("src"),
+        explode(array((col("doc_id") * 7 + 3) % col("n"),
+          (col("doc_id") * col("doc_id") + 1) % col("n"))).as("dst"))
+      .where(col("src") =!= col("dst"))
+    val (ranks, used) = graft.operators.Graphs.pageRankAdaptive(edges,
+      maxIterations = 6, redistributeDangling = true)
+    ranks.withColumn("rounds_used", lit(used)).orderBy("id")
   }
 
   /** TEMPERATURE (α = 1/2) mixture sampling by language — the
@@ -1780,6 +1813,31 @@ object Queries {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** Integer GOERTZEL tone probes over framed WAV windows
+    * ([[graft.operators.Multimodal.audioGoertzel]]): 48 payloads each
+    * carrying a square tone whose fundamental lands on ONE of the
+    * three probed bins (period 6/4/3 ↔ coefficient 1/0/−1 by id%3)
+    * plus deterministic dither; every (frame, probe) emits the exact
+    * recurrence states and bin power. The DuckDB twin recomputes the
+    * same integers CLOSED-FORM via the periodic recurrence kernel —
+    * an independent derivation, so a recurrence bug cannot hide. */
+  def mmAudioGoertzel(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.range(48).map { i =>
+      val samples = Array.tabulate(240) { k =>
+        val tone = (i % 3) match {
+          case 0L => if (k % 6 < 3) 800 else -800
+          case 1L => if (k % 4 < 2) 800 else -800
+          case _  => if (k % 3 == 0) 800 else -400
+        }
+        (tone + (k * 5 + i.toInt) % 7 - 3).toShort
+      }
+      (f"ag$i%08d", s"g_$i.wav", graft.media.Wav.encodePcm16(8000, 1, samples))
+    }.toDF("doc_id", "media_ref", "payload")
+    Multimodal.audioGoertzel(s, media, frameLen = 60).toDF()
+      .orderBy("doc_id", "frame_idx", "coef")
+  }
+
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // stub-path rows (non-BMFF payloads, fixed 32-byte chunks) plus
@@ -1874,6 +1932,7 @@ object Queries {
     "sim_topk_ivf" -> (simTopkIvf _),
     "sim_topk_ivf_kmeans" -> (simTopkIvfKmeans _),
     "sim_topk_pq" -> (simTopkPq _),
+    "sim_topk_pq_kmeans" -> (simTopkPqKmeans _),
     "sim_topk_pq_rerank" -> (simTopkPqRerank _),
     "text_stats" -> (textStats _),
     "text_distinct_kmv" -> (textDistinctKmv _),
@@ -1881,6 +1940,7 @@ object Queries {
     "sample_stratified" -> (sampleStratified _),
     "sample_temperature" -> (sampleTemperature _),
     "graph_pagerank" -> (graphPagerank _),
+    "graph_pagerank_adaptive" -> (graphPagerankAdaptive _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_funnel_window" -> (qEventsFunnelWindow _),
     "text_tokens_fp" -> (textTokensFp _),
@@ -1899,5 +1959,6 @@ object Queries {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_audio_pitch" -> (mmAudioPitch _),
-    "mm_audio_frames" -> (mmAudioFrames _))
+    "mm_audio_frames" -> (mmAudioFrames _),
+    "mm_audio_goertzel" -> (mmAudioGoertzel _))
 }

@@ -631,6 +631,30 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("audioGoertzel: the probe matching the tone's fundamental dominates the off-bin probes") {
+    import spark.implicits._
+    // pure period-6 square wave (fundamental at omega = pi/3 = the
+    // c=1 probe); the c=0 (pi/2) and c=-1 (2pi/3) bins are not
+    // harmonics of a period-6 square and must read near-zero
+    val samples = Array.tabulate(120)(k => (if (k % 6 < 3) 1000 else -1000).toShort)
+    val media = Seq(("d0", "t.wav",
+      graft.media.Wav.encodePcm16(8000, 1, samples))).toDF("doc_id", "media_ref", "payload")
+    val rows = graft.operators.Multimodal.audioGoertzel(spark, media, frameLen = 60)
+      .collect().filter(_.frame_idx == 0).map(r => r.coef -> r.power).toMap
+    assert(rows.keySet == Set(1, 0, -1))
+    assert(rows(1) > 5L * math.max(rows(0), rows(-1)),
+      s"on-bin power must dominate: $rows")
+    // and the recurrence states match the closed-form periodic-kernel
+    // derivation (u for c=1 has period 6: 1,1,0,-1,-1,0)
+    val u = Array(1, 1, 0, -1, -1, 0)
+    def sCf(last: Int) =
+      (0 to last).map(j => samples(j).toLong * u((last - j) % 6)).sum
+    val r1 = graft.operators.Multimodal.audioGoertzel(spark, media, frameLen = 60)
+      .collect().find(r => r.frame_idx == 0 && r.coef == 1).get
+    assert(r1.s1 == sCf(59) && r1.s2 == sCf(58),
+      s"recurrence (${r1.s1},${r1.s2}) vs closed form (${sCf(59)},${sCf(58)})")
+  }
+
   test("funnel: strict ordering — out-of-order events are not progress; drop-outs stay NULL") {
     import spark.implicits._
     val ev = Seq(
@@ -927,6 +951,31 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => (r.getAs[Long]("item_id"), r.getAs[Long]("dot")))
     assert(got.toSeq == Seq((100L, 1000000L), (2L, 900000L)),
       s"exact re-rank must beat the code tie: got ${got.toSeq}")
+  }
+
+  test("pageRankAdaptive: uniform cycle converges in the confirming round; dangling mass hand-computed") {
+    import spark.implicits._
+    // 4-cycle, all outdeg 1: uniform 10^6 is the EXACT fixpoint, so
+    // round 1 reproduces r0 and the loop stops with rounds_used = 1
+    val cyc = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L)).toDF("src", "dst")
+    val (cr, cu) = graft.operators.Graphs.pageRankAdaptive(cyc, maxIterations = 6)
+    assert(cu == 1, s"pre-converged cycle must stop after the confirming round, ran $cu")
+    assert(cr.collect().forall(_.getLong(1) == 1000000L))
+    // dangling redistribution, one hand-computed round: edges 0->1,
+    // 0->2, 1->0; node 2 is a SINK holding 10^6 -> share = 10^6 div 3
+    // = 333333; pr'(0) = 150000 + (850*(1000000+333333)) div 1000 =
+    // 1283333; pr'(1) = pr'(2) = 150000 + (850*(500000+333333)) div
+    // 1000 = 858333
+    val dg = Seq((0L, 1L), (0L, 2L), (1L, 0L)).toDF("src", "dst")
+    val (dr, du) = graft.operators.Graphs.pageRankAdaptive(dg,
+      maxIterations = 1, redistributeDangling = true)
+    assert(du == 1)
+    val got = dr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 1283333L, 1L -> 858333L, 2L -> 858333L), s"got $got")
+    // without redistribution the sink absorbs: same round, share = 0
+    val (pr, _) = graft.operators.Graphs.pageRankAdaptive(dg, maxIterations = 1)
+    val plain = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plain == Map(0L -> 1000000L, 1L -> 575000L, 2L -> 575000L), s"got $plain")
   }
 
   test("temperatureSample: smallest group kept whole; dominant group follows the exact sqrt rule") {

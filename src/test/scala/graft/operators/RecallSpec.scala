@@ -101,6 +101,15 @@ class RecallSpec extends AnyFunSuite {
         numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16))
     assert(rr >= pq, s"rerank recall ($rr) must not trail PQ ($pq)")
     assert(rr >= 0.90, s"IVF-PQ+rerank recall@$k = $rr < 0.90")
+    // LEARNED codebooks: Lloyd-refined codewords track cluster means
+    // instead of echoing seed members — recall must hold the seeded
+    // floor and never trail the seeded PQ on this corpus
+    val km = RecallProbe.recallAtK(truth,
+      Similarity.ivfPqTopKKmeans(queries, clusteredMm, k,
+        numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16,
+        iterations = 2))
+    assert(km >= 0.85, s"IVF-PQ-kmeans recall@$k = $km < 0.85")
+    assert(km >= pq, s"learned codebooks ($km) must not trail seeded PQ ($pq)")
   }
 
   /** 40 base docs × 3 variants (base + two one-token edits): every
