@@ -369,7 +369,9 @@ object Bench {
       "pipeline_clean_corpus", "pipeline_curate", "pipeline_seq_pack",
       "sim_topk_brute", "sim_topk_lsh",
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_pq", "sim_topk_pq_rerank",
-      "sample_temperature", "graph_pagerank", "q_events_funnel",
+      "sim_topk_pq_kmeans",
+      "sample_temperature", "graph_pagerank", "graph_pagerank_adaptive",
+      "q_events_funnel", "q_events_funnel_window",
       "text_stats", "text_langid", "text_distinct_kmv", "text_repetition", "text_gopher_quality",
       "pdfz_form_text",
       "q_events_session_windows", "pdfz_images", "pdfz_images_jbig2",

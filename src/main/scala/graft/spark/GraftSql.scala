@@ -97,16 +97,27 @@ object GraftSql {
       .createOrReplaceTempView(s"${prefix}topk_pq")
     Similarity.ivfPqTopKRerank(queries, emb, k, shortlist = 4 * k)
       .createOrReplaceTempView(s"${prefix}topk_pq_rerank")
+    Similarity.ivfPqTopKKmeans(queries, emb, k)
+      .createOrReplaceTempView(s"${prefix}topk_pq_kmeans")
   }
 
-  /** Register `<prefix>pagerank` over `edgesView(src, dst)`: integer
-    * fixed-point damped PageRank ([[graft.operators.Graphs]]),
-    * EAGER at registration like the components views (the rank table
-    * is the round ladder's fixed output, not a re-derivable view). */
+  /** Register `<prefix>pagerank` and `<prefix>pagerank_adaptive`
+    * (fixpoint rounds + dangling redistribution, `rounds_used`
+    * column) over `edgesView(src, dst)`: integer fixed-point damped
+    * PageRank ([[graft.operators.Graphs]]), EAGER at registration
+    * like the components views (the rank table is the round ladder's
+    * fixed output, not a re-derivable view). */
   def registerGraphViews(spark: SparkSession, edgesView: String,
       iterations: Int = 3, prefix: String = "graft_"): Unit = {
     graft.operators.Graphs.pageRank(spark.table(edgesView), iterations)
       .localCheckpoint()
       .createOrReplaceTempView(s"${prefix}pagerank")
+    // registration is EAGER: bound the adaptive ladder so a slow
+    // spectrum cannot turn view setup into 40 checkpointed rounds
+    val (ranks, used) = graft.operators.Graphs.pageRankAdaptive(
+      spark.table(edgesView), maxIterations = 8, redistributeDangling = true)
+    ranks.withColumn("rounds_used", org.apache.spark.sql.functions.lit(used))
+      .localCheckpoint()
+      .createOrReplaceTempView(s"${prefix}pagerank_adaptive")
   }
 }

@@ -96,6 +96,9 @@ class GraftSqlSpec extends AnyFunSuite {
     val pq = spark.sql(
       "SELECT query_id, count(*) AS n FROM graft_topk_pq GROUP BY query_id").collect()
     assert(pq.nonEmpty && pq.forall(_.getLong(1) <= 3))
+    val pqk = spark.sql(
+      "SELECT query_id, count(*) AS n FROM graft_topk_pq_kmeans GROUP BY query_id").collect()
+    assert(pqk.nonEmpty && pqk.forall(_.getLong(1) <= 3))
   }
 
   test("graph view: pagerank round-trips in SQL and matches the direct call") {
@@ -106,5 +109,19 @@ class GraftSqlSpec extends AnyFunSuite {
     val viaSql = spark.sql("SELECT id, pr FROM graft_pagerank ORDER BY id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(viaSql == Seq((0L, 1127500L), (1L, 1722500L), (2L, 150000L)))
+    // adaptive view over a SINK-bearing graph (node 2 has in-edges
+    // but no out-edge): dangling redistribution on, rounds_used
+    // present and constant, and the sink's rank must EXCEED the plain
+    // ladder's no-inflow floor of 150000 + d*share
+    Seq((0L, 1L), (0L, 2L), (1L, 0L)).toDF("src", "dst")
+      .createOrReplaceTempView("edges_dang_sql")
+    GraftSql.registerGraphViews(spark, "edges_dang_sql", iterations = 2)
+    val ad = spark.sql(
+      "SELECT id, pr, rounds_used FROM graft_pagerank_adaptive ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(ad.map(_._1).toSeq == Seq(0L, 1L, 2L))
+    assert(ad.map(_._3).distinct.length == 1 && ad.head._3 >= 1)
+    assert(ad.find(_._1 == 2L).get._2 > 150000L,
+      s"dangling share must reach the no-outdeg sink: ${ad.toSeq}")
   }
 }

@@ -254,6 +254,33 @@ class PlanSpec extends AnyFunSuite {
     assert(windows == 2, s"expected 2 query-side windows, got $windows:\n${plan.take(4000)}")
   }
 
+  test("IVF-PQ kmeans: trained codebook is a materialized leaf — Lloyd lineage absent from the scoring plan") {
+    val plan = physical(Queries.simTopkPqKmeans(spark, sf))
+    // same scoring shape as the seeded PQ...
+    assert(plan.contains("partial_min_by") && plan.contains("partial_sum") &&
+      plan.contains("BroadcastHashJoin"),
+      s"PQ-kmeans scoring shape regressed:\n${plan.take(4000)}")
+    val windows = "Window\\b".r.findAllIn(plan).size
+    assert(windows == 2, s"expected 2 query-side windows, got $windows:\n${plan.take(4000)}")
+    // ...and the trained codebook feeds encoder + LUT from ONE
+    // materialized table: the Lloyd iterations' mean-recompute aggs
+    // (collect_list of per-dim means) must NOT re-instantiate inside
+    // the scoring plan, and only the encoder's + LUT's two subspace
+    // splitters remain
+    assert(!plan.contains("collect_list"),
+      s"Lloyd training lineage leaked into the scoring plan:\n${plan.take(4000)}")
+    val gens = "posexplode".r.findAllIn(plan).size
+    assert(gens == 2, s"expected the 2 scoring-side subspace splits, got $gens")
+  }
+
+  test("funnel window: the conversion-window variant keeps the agg+join shape — still no event-stream window") {
+    val plan = physical(Queries.qEventsFunnelWindow(spark, sf))
+    assert(!plan.contains("Window"),
+      s"event-stream window scale-killer in windowed funnel:\n${plan.take(4000)}")
+    assert(plan.contains("partial_min"),
+      s"stage times lost their map-side min partials:\n${plan.take(4000)}")
+  }
+
   test("temperature sampling: group stats broadcast back — the corpus itself is never shuffled") {
     val plan = physical(Queries.sampleTemperature(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
