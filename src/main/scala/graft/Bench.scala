@@ -403,7 +403,7 @@ object Bench {
         ambientPct: Double, clean: Boolean, coherent: Boolean, runs: Int)
     val qListener = new CpuListener
     spark.sparkContext.addSparkListener(qListener)
-    val qTimes: Seq[(String, QTime)] = headline.map { name =>
+    def timeQuery(name: String): QTime = {
       val fn = Queries.all(name)
       runFullPlan(fn(spark, sfDir)) // warmup (codegen + JIT)
       def timed(): QRun = {
@@ -451,9 +451,25 @@ object Bench {
       val kept = if (clean.nonEmpty) clean else runs
       val best = kept.minBy(_.sec)
       val coh = coherent(runs)
-      name -> QTime(best.sec, best.cpuSec, best.stealPct, best.ambientPct,
+      QTime(best.sec, best.cpuSec, best.stealPct, best.ambientPct,
         clean.nonEmpty && coh, coh, runs.length)
     }
+    // first sweep, then CALM RE-MEASUREMENT passes: a query stamped
+    // dirty mid-sweep (an ambient burst that has since passed) gets
+    // re-timed from scratch up to twice at the end; only a clean
+    // retake replaces its stamp — the round artifact should be a
+    // window with queries_dirty empty, not a burst's souvenir
+    val qMap = scala.collection.mutable.LinkedHashMap(
+      headline.map(n => n -> timeQuery(n)): _*)
+    var calmPass = 0
+    while (qMap.values.exists(!_.clean) && calmPass < 2) {
+      calmPass += 1
+      qMap.collect { case (k, v) if !v.clean => k }.toSeq.foreach { k =>
+        val retake = timeQuery(k)
+        if (retake.clean) qMap(k) = retake
+      }
+    }
+    val qTimes: Seq[(String, QTime)] = qMap.toSeq
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
 
@@ -518,7 +534,7 @@ object Bench {
       f""","reps":{"2":${repsJson(l2all)},"8":${repsJson(l8all)},"32":${repsJson(l32)}},""" +
       f""""graded_window_reps":{"2":${repsJson(l2)},"8":${repsJson(l8)}},""" +
       f""""query_meta":$qMeta,""" +
-      f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region; per query: own steal%% window per timed run, best-of-clean reported, no-clean-after-4 marked dirty in queries_dirty",""" +
+      f""""query_action":"executedPlan.execute().count — each query's final global ORDER BY stays in the timed region; per query: own steal%% window per timed run, best-of-clean reported, no-clean-after-4 marked dirty; dirty queries get up to 2 end-of-sweep CALM re-measurements (round 8) before landing in queries_dirty",""" +
       f""""protocol":"N vs 4N as local[2] vs local[8] (graded) and local[8] vs local[32] (diagnostic: single-VM bandwidth ceiling, see cpu_efficiency). Per rep: tmpfs sink, System.gc settle, own steal%% window; reps over the gate are discarded+retried and all reps are recorded; graded levels are re-measured (fresh window, up to 2x) until they hold >=1 clean rep AND clean reps agree within the cpu_dps coherence band, else graded_clean=false; best-of-clean in the final window graded, median reported; local[32]<local[8] triggers one re-measure (anomaly flag); freq_parity_2_8 = best-wall reps' cpu_dps[2]/cpu_dps[8] exposes per-core clock skew between the graded levels (turbo on the 2-thread level during busy-host windows) — beyond 15%% the window is flagged freq_skewed (re-measure in a calm window); eff x parity = utilization ratio, a DECOMPOSITION diagnostic that strips per-core differences of any cause and is therefore not a gate. skew_fanout: giant-doc page-chunk fan-out OFF vs ON on the same corpus — max_task_ms is the straggler task."}}"""
     Files.write(Paths.get(fullPath), full.getBytes("UTF-8"))
     // stdout: close the extract object, then root-level full_record

@@ -210,6 +210,12 @@ object PdfCrypt {
           val aes = m == AesStreams
           val k = objectKey(fileKey, num, gen, aes)
           if (!aes) rc4(k, data)
+          else if (k.length != 16)
+            // a pathological V4 dict can pair an AESV2 filter with a
+            // short doc-level /Length: the truncated object key is not
+            // a legal AES key — declared error, not a JDK crash class
+            throw new PdfCryptException(
+              s"AESV2 object key needs a 128-bit file key, got ${fileKey.length * 8} bits")
           else if (encrypt) aesEncrypt(k, num, gen, data)
           else aesDecrypt(k, data)
       }

@@ -301,7 +301,13 @@ object ExtractStream {
               stages, batch, maxGapMs)
             state.update(times)
             if (batch.nonEmpty)
-              state.setTimeoutTimestamp(batch.map(_._3).max + idleTimeoutMs)
+              // a straggler batch wholly behind the watermark (late
+              // events are NOT auto-dropped for mapGroupsWithState)
+              // must not set an already-expired timeout — Spark
+              // rejects timestamps at or before the watermark
+              state.setTimeoutTimestamp(math.max(
+                batch.map(_._3).max + idleTimeoutMs,
+                state.getCurrentWatermarkMs() + 1))
             FunnelProgress(uid, times, times.length)
           }
       }

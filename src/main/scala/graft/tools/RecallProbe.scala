@@ -83,7 +83,10 @@ object RecallProbe {
         numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16),
       "ivf_pq_rerank" -> Similarity.ivfPqTopKRerank(queries, emb, k,
         shortlist = 4 * k, numCentroids = 8, nProbe = 2,
-        numSub = 4, codebookSize = 16))
+        numSub = 4, codebookSize = 16),
+      "ivf_pq_kmeans" -> Similarity.ivfPqTopKKmeans(queries, emb, k,
+        numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16,
+        iterations = 2))
     val annRecall = ann.map { case (n, df) => n -> recallAtK(truth, df) }
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

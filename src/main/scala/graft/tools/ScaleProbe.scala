@@ -85,7 +85,35 @@ object ScaleProbe {
             ((col("doc_id") * 7 + 3) % 4000000L).as("dst"))
           .unionAll(d.select(col("doc_id").as("src"),
             ((col("doc_id") * col("doc_id") + 1) % 4000000L).as("dst")))
-          .where(col("src") =!= col("dst")), iterations = 3)))
+          .where(col("src") =!= col("dst")), iterations = 3)),
+      // fixpoint probes + per-round dangling sum on a 20%-sink graph,
+      // capped at 3 rounds so the probe measures per-round cost growth
+      // (rounds_used is data-independent here: the cap binds)
+      "graph_pagerank_adaptive" -> (d => graft.operators.Graphs.pageRankAdaptive(
+        d.where(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id").as("src"),
+            ((col("doc_id") * 7 + 3) % 4000000L).as("dst"))
+          .where(col("src") =!= col("dst")),
+        maxIterations = 3, redistributeDangling = true)._1),
+      // learned-codebook PQ over synthetic per-doc vectors derived
+      // from the id (deterministic, dim 16): training + encode + ADC
+      "sim_topk_pq_kmeans" -> (d => {
+        val emb = d.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)),
+            i => (pmod(col("doc_id") * (i + 3) + i * 7, lit(2000)) - 1000)
+              .cast("float") / 1000f).as("embedding"))
+        // FIXED 8-query side (copy 0 only) so the ratio measures the
+        // ITEM-side growth, not queries x items
+        graft.operators.Similarity.ivfPqTopKKmeans(
+          emb.where(col("vec_id") < 8), emb, k = 5,
+          numCentroids = 8, nProbe = 2, numSub = 4, codebookSize = 16,
+          iterations = 2)
+      }),
+      "q_events_funnel_window" -> (d => graft.operators.Funnel.funnel(
+        d.select((col("doc_id") % 997).as("user_id"),
+          concat(lit("s"), (col("doc_id") % 3).cast("string")).as("event_type"),
+          (col("doc_id") * 37 % 100000L).as("tms")),
+        stages = Seq("s0", "s1", "s2"), maxGapMs = Some(50000L))))
 
     val results = ops.map { case (name, op) =>
       runPlan(op(scaled(1))) // warmup (codegen + JIT)
