@@ -373,7 +373,7 @@ object Bench {
       "sample_temperature", "graph_pagerank", "graph_pagerank_adaptive",
       "q_events_funnel", "q_events_funnel_window",
       "text_stats", "text_langid", "text_distinct_kmv", "text_repetition", "text_gopher_quality",
-      "pdfz_form_text",
+      "pdfz_form_text", "dedup_image_phash", "html_links",
       "q_events_session_windows", "pdfz_images", "pdfz_images_jbig2",
       "pdfz_images_jbig2_text", "pdfz_encrypted")
     // SORT-PRESERVING action: executing the df's own physical plan keeps

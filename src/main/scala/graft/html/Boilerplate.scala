@@ -213,6 +213,81 @@ object Boilerplate {
     out.result()
   }
 
+  /** One outbound link edge: href (verbatim attribute bytes), the
+    * entity-decoded whitespace-normalized anchor text, and whether
+    * the anchor sits inside a STRIPPED (boilerplate) region — the
+    * label a link-graph pipeline weights nav/footer chrome down by. */
+  final case class LinkEdge(href: String, anchor: String, boilerplate: Boolean)
+
+  /** Extract every `<a href=…>` edge in document order — the HTML
+    * analog of the PDF /Link /URI extraction ([[graft.pdf.PdfMeta]]):
+    * the document→web edge set crawl-based corpora mine from anchors.
+    * Same tokenizer and raw-text consumption as [[extract]] (an `<a>`
+    * inside a script string is never an edge); anchors with an absent
+    * or empty href are not edges; a new `<a>` before the previous one
+    * closed flushes it (the browser auto-close rule). The boilerplate
+    * flag is taken at the anchor's OPENING tag. */
+  def links(html: String): Vector[LinkEdge] = {
+    val out = Vector.newBuilder[LinkEdge]
+    var stripDepth = 0
+    var rawUntil: String = null
+    var openHref: String = null
+    var openBoiler = false
+    val anchor = new java.lang.StringBuilder
+    def flush(): Unit = {
+      if (openHref != null) {
+        out += LinkEdge(openHref, normalizeWs(anchor.toString), openBoiler)
+        openHref = null
+      }
+      anchor.setLength(0)
+    }
+    var i = 0
+    while (i < html.length) {
+      if (rawUntil != null) {
+        val close = indexOfIgnoreCase(html, s"</$rawUntil", i)
+        if (close < 0) i = html.length
+        else {
+          val gt = html.indexOf('>', close)
+          i = if (gt < 0) html.length else gt + 1
+        }
+        rawUntil = null
+      } else if (html.charAt(i) == '<') {
+        parseTag(html, i) match {
+          case Some((tag, next)) =>
+            i = next
+            tag.name match {
+              case "!--" | "!" => ()
+              case n if stripTags.contains(n) =>
+                if (tag.closing) stripDepth = math.max(0, stripDepth - 1)
+                else if (!tag.selfClosing) {
+                  if (n == "script" || n == "style" || n == "noscript" || n == "template")
+                    rawUntil = n
+                  else stripDepth += 1
+                }
+              case "a" =>
+                if (tag.closing) flush()
+                else {
+                  flush() // auto-close a dangling anchor
+                  tag.attrs.get("href").filter(_.nonEmpty).foreach { h =>
+                    openHref = h
+                    openBoiler = stripDepth > 0
+                  }
+                }
+              case _ => ()
+            }
+          case None =>
+            if (openHref != null) anchor.append(html.charAt(i))
+            i += 1
+        }
+      } else {
+        if (openHref != null) anchor.append(html.charAt(i))
+        i += 1
+      }
+    }
+    flush()
+    out.result()
+  }
+
   def normalizeWs(s: String): String = {
     val decoded = decodeEntities(s)
     val sb = new java.lang.StringBuilder(decoded.length)

@@ -93,9 +93,9 @@ object Multimodal {
 
   /** 8×8 average-hash of an RGBA buffer: nearest-neighbor resize to
     * 8×8, integer grayscale (r+g+b)/3, one bit per cell (1 iff above
-    * the 64-cell mean), rendered as 16 hex chars. Deterministic pure
-    * pixel math — the perceptual-fingerprint baseline (aHash). */
-  def averageHash(rgba: Array[Byte], w: Int, h: Int): String = {
+    * the 64-cell mean). Deterministic pure pixel math — the
+    * perceptual-fingerprint baseline (aHash). */
+  def averageHashBits(rgba: Array[Byte], w: Int, h: Int): Long = {
     val small = graft.pdf.PdfImages.resizeRgba(rgba, w, h, 8, 8)
     val gray = new Array[Int](64)
     var i = 0
@@ -110,7 +110,79 @@ object Multimodal {
     var bits = 0L
     i = 0
     while (i < 64) { if (gray(i) > mean) bits |= (1L << i); i += 1 }
-    f"$bits%016x"
+    bits
+  }
+
+  /** [[averageHashBits]] rendered as 16 hex chars. */
+  def averageHash(rgba: Array[Byte], w: Int, h: Int): String =
+    f"${averageHashBits(rgba, w, h)}%016x"
+
+  /** One decoded image's average-hash as TWO 32-bit halves — the
+    * simhash64 convention: an external engine replays 32-bit shift
+    * arithmetic without the signed-bit-63 hazards of a full long. */
+  final case class ImageHash(img_id: String, lo: Long, hi: Long)
+
+  /** Perceptual hashes of every DECODABLE image payload (PNG/BMP/
+    * JPEG/GIF/TIFF via the JDK codec); non-image payloads are SKIPPED
+    * — dedup over stub pseudo-hashes would report fake duplicates,
+    * never acceptable. One codec instance per partition batch. */
+  def imageHashes(spark: SparkSession, media: DataFrame): Dataset[ImageHash] = {
+    import spark.implicits._
+    media.select(col("doc_id").cast("string"), col("media_ref").cast("string"),
+        col("payload").cast("binary"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (d, r, bytes) =>
+          graft.pdf.ImageCodec.decodeToRgba(bytes).map { case (w, h, rgba) =>
+            val bits = averageHashBits(rgba, w, h)
+            ImageHash(s"$d:$r", bits & 0xFFFFFFFFL, bits >>> 32)
+          }
+        }
+      }
+  }
+
+  /** IMAGE NEAR-DUP candidate pairs by perceptual hash — the image
+    * twin of the simhash text dedup (the LAION-style image-dedup
+    * step a multimodal training pipeline runs before contrastive
+    * training): REAL pixel decode → 8×8 aHash → banded LSH → exact
+    * Hamming verification. Pairs with distance ≤ `maxHamming` over
+    * the 64-bit hash are emitted.
+    *
+    * Recall is STRUCTURAL, not probabilistic: the hash splits into 4
+    * disjoint 16-bit bands, so any pair within Hamming distance 3 (<
+    * 4) leaves at least one band untouched (pigeonhole) and MUST
+    * collide — banding loses nothing at the default threshold; raise
+    * `maxHamming` past bands−1 and the pigeonhole guarantee lapses
+    * (declared, like the simhash tiers).
+    *
+    * Shape at 10^9 images: decode is map-side mapPartitions (one
+    * codec per batch); ONE shuffle on the 16-bit band keys; pair
+    * verification is a long-xor + bit_count per candidate — never
+    * all-pairs. Skewed bands (monochrome web images all hashing 0)
+    * are the same hot-bucket tail every LSH family has; the exact
+    * verify keeps output correct and the candidate volume is bounded
+    * by the band width. Output: (a_id, b_id, hamming), a_id < b_id. */
+  def imagePhashPairs(spark: SparkSession, media: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 64,
+      s"maxHamming must be in [0,64], got $maxHamming")
+    val hashes = imageHashes(spark, media).toDF()
+    val banded = hashes.select(col("img_id"), col("lo"), col("hi"),
+      posexplode(array(
+        expr("lo & 65535"), expr("shiftright(lo, 16) & 65535"),
+        expr("hi & 65535"), expr("shiftright(hi, 16) & 65535")))
+        .as(Seq("band", "key")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.img_id") < col("b.img_id"))
+      .select(col("a.img_id").as("a_id"), col("b.img_id").as("b_id"),
+        col("a.lo").as("alo"), col("a.hi").as("ahi"),
+        col("b.lo").as("blo"), col("b.hi").as("bhi"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming",
+        expr("bit_count(alo ^ blo) + bit_count(ahi ^ bhi)").cast("int"))
+      .where(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
   }
 
   /** Input: (doc_id string, media_ref string, payload binary).

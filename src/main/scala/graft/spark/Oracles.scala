@@ -315,6 +315,23 @@ object Oracles {
         |SELECT id, CAST(pos AS INTEGER) AS pos, kind, content FROM p
         |ORDER BY id, pos""".stripMargin,
 
+    "html_links" ->
+      // the full anchor edge set closed-form: nav/footer anchors
+      // boilerplate-flagged, &amp; decoded, the unquoted href kept,
+      // the empty-href anchor and the script-string decoy absent
+      """WITH d AS (SELECT i AS id FROM range(40) t(i)),
+        |p AS (
+        | SELECT id, 0 AS ord, '/nav' || CAST(id AS VARCHAR) AS href,
+        |  'home ' || CAST(id AS VARCHAR) AS anchor, 1 AS boiler FROM d
+        | UNION ALL SELECT id, 1, 'https://ex.org/d' || CAST(id AS VARCHAR),
+        |  'doc & more', 0 FROM d
+        | UNION ALL SELECT id, 2, '/a' || CAST(id AS VARCHAR), 'l one', 0 FROM d
+        | UNION ALL SELECT id, 3, '/b' || CAST(id AS VARCHAR), 'l2', 0 FROM d
+        | UNION ALL SELECT id, 4, '/legal', 'terms', 1 FROM d)
+        |SELECT id, CAST(ord AS INTEGER) AS ord, href, anchor,
+        | CAST(boiler AS INTEGER) AS boiler
+        |FROM p ORDER BY id, ord""".stripMargin,
+
     // CCITT G4 pin: dims + black-pixel count of the deterministic fax
     // pattern, recomputed analytically (max extent 12x8 cross-joined,
     // filtered per image — range() takes no lateral column refs)
@@ -1791,6 +1808,33 @@ object Oracles {
         | CAST(list_sum(list_transform(sl, x -> x * x)) AS BIGINT) AS energy,
         | CAST(list_max(list_transform(sl, x -> abs(x))) AS INTEGER) AS peak
         |FROM w ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "dedup_image_phash" ->
+      // aHash replay: the 2x nearest-neighbor resize samples pixel
+      // (2cx, 2cy); grayscale = the pixel's closed-form gray; mean =
+      // integer floor; hash = two 32-bit halves (the simhash64
+      // convention); pairs = EXACT Hamming <= 3 over all pairs — the
+      // operator's banded LSH has recall 1.0 at this threshold by
+      // pigeonhole (4 disjoint 16-bit bands), so all-pairs replay is
+      // set-identical to the banded plan
+      """WITH cells AS (
+        | SELECT i, cy*8 + cx AS bit,
+        |  ((2*cx)*7 + (2*cy)*13 + (i//3)*31) % 200
+        |   + CASE WHEN i%3 = 2 AND cx = 1 AND cy = 1 THEN 40 ELSE 0 END AS gray
+        | FROM range(48) t(i), range(8) a(cx), range(8) c(cy)),
+        |m AS (SELECT i, SUM(gray)//64 AS mean FROM cells GROUP BY 1),
+        |h AS (SELECT c.i,
+        |  CAST(SUM(CASE WHEN gray > mean AND bit < 32
+        |    THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS lo,
+        |  CAST(SUM(CASE WHEN gray > mean AND bit >= 32
+        |    THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi
+        | FROM cells c JOIN m USING (i) GROUP BY 1)
+        |SELECT printf('img%08d:p_%d.png', a.i, a.i) AS a_id,
+        | printf('img%08d:p_%d.png', b.i, b.i) AS b_id,
+        | CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
+        |FROM h a JOIN h b ON a.i < b.i
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "mm_audio_goertzel" -> {
       // CLOSED-FORM Goertzel replay: for integer coefficients the

@@ -576,6 +576,33 @@ object Queries {
     .orderBy("id", "pos")
   }
 
+  /** HTML LINK-EDGE extraction, oracle-pinned: the document→web edge
+    * set from anchors ([[graft.html.Boilerplate.links]]) — the HTML
+    * analog of `pdfz_links`. 40 documents exercising: a nav anchor
+    * (boilerplate-flagged), an entity-bearing content anchor, a
+    * quoted and an UNQUOTED href, a footer anchor (flagged), an
+    * empty-href non-edge, and a script-string decoy `<a>` that must
+    * never parse. The DuckDB twin regenerates the full (id, ord,
+    * href, anchor, boiler) set closed-form. */
+  def htmlLinks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.range(40).repartition(4).flatMap { id =>
+      val html =
+        s"""<html><head><title>skip</title></head><body>
+           |<nav>Site <a href="/nav$id">home $id</a> junk</nav>
+           |<p>see <a href="https://ex.org/d$id">doc &amp; more</a> inline</p>
+           |<div><a href="/a$id">l one</a> <a href=/b$id>l2</a></div>
+           |<script>var s = "<a href='/fake'>never</a>";</script>
+           |<footer><a href="/legal">terms</a></footer>
+           |<a href="">not an edge</a>
+           |</body></html>""".stripMargin
+      graft.html.Boilerplate.links(html).zipWithIndex.map { case (l, i) =>
+        (id, i, l.href, l.anchor, if (l.boilerplate) 1 else 0)
+      }
+    }.toDF("id", "ord", "href", "anchor", "boiler")
+      .orderBy("id", "ord")
+  }
+
   /** S8 analog: point lookup of one document's content (`GET
     * /content/:id`) — partition-prunable scan, no shuffle. */
   def pdfzPointLookup(s: SparkSession, dir: String): DataFrame = {
@@ -1838,6 +1865,34 @@ object Queries {
       .orderBy("doc_id", "frame_idx", "coef")
   }
 
+  /** IMAGE NEAR-DUP pairs by perceptual hash
+    * ([[Multimodal.imagePhashPairs]]): 48 grayscale 16×16 PNGs in 16
+    * groups of 3 — the base, a variant touching only an ODD-coordinate
+    * pixel (invisible to the 2× nearest-neighbor resize → Hamming 0)
+    * and a variant touching one SAMPLED cell (a small Hamming delta);
+    * REAL decode through the JDK codec, banded 16-bit LSH with the
+    * pigeonhole recall guarantee, exact bit_count verification. The
+    * DuckDB twin replays pixels → cells → mean → hash halves → every
+    * qualifying pair closed-form. */
+  def dedupImagePhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = s.range(48).map { i =>
+      val b = (i / 3).toInt; val v = (i % 3).toInt
+      val rgba = new Array[Byte](16 * 16 * 4)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        var g = (x * 7 + y * 13 + b * 31) % 200
+        if (v == 1 && x == 1 && y == 1) g += 40
+        if (v == 2 && x == 2 && y == 2) g += 40
+        val p = (y * 16 + x) * 4
+        rgba(p) = g.toByte; rgba(p + 1) = g.toByte
+        rgba(p + 2) = g.toByte; rgba(p + 3) = -1
+      }
+      (f"img$i%08d", s"p_$i.png", graft.pdf.PdfImages.encodePng(16, 16, rgba))
+    }.toDF("doc_id", "media_ref", "payload")
+    Multimodal.imagePhashPairs(s, media, maxHamming = 3)
+      .orderBy("a_id", "b_id")
+  }
+
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     // stub-path rows (non-BMFF payloads, fixed 32-byte chunks) plus
@@ -1884,6 +1939,7 @@ object Queries {
     "pdfz_pagelabels" -> (pdfzPagelabels _),
     "pdfz_links" -> (pdfzLinks _),
     "html_boilerplate" -> (htmlBoilerplate _),
+    "html_links" -> (htmlLinks _),
     "q1_pricing" -> (q1Pricing _),
     "q3_top_orders" -> (q3TopOrders _),
     "q5_region_revenue" -> (q5RegionRevenue _),
@@ -1960,5 +2016,6 @@ object Queries {
     "mm_audio_features" -> (mmAudioFeatures _),
     "mm_audio_pitch" -> (mmAudioPitch _),
     "mm_audio_frames" -> (mmAudioFrames _),
-    "mm_audio_goertzel" -> (mmAudioGoertzel _))
+    "mm_audio_goertzel" -> (mmAudioGoertzel _),
+    "dedup_image_phash" -> (dedupImagePhash _))
 }

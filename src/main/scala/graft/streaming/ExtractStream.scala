@@ -191,6 +191,21 @@ object ExtractStream {
       .withWatermark(tsCol, delay)
       .dropDuplicatesWithinWatermark("near_key")
 
+  /** Streaming IMAGE dedup at aHash precision — the multimodal twin
+    * of [[nearDedupStream]]: each arriving payload is REALLY decoded
+    * ([[graft.operators.Multimodal.imageHashes]], map-side, one codec
+    * per batch) and suppressed iff its 64-bit perceptual hash matches
+    * any earlier image's, across micro-batches and restarts.
+    * Non-image payloads are dropped (never deduped on stub hashes).
+    * State is one row per distinct hash; the same unbounded-state
+    * contract as [[nearDedupStream]] (bound it with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` upstream when
+    * the stream carries an event-time column). */
+  def imageDedupStream(spark: SparkSession, media: DataFrame): DataFrame =
+    graft.operators.Multimodal.imageHashes(spark, media)
+      .toDF()
+      .dropDuplicates("lo", "hi")
+
   /** Event-time windowed aggregation with a watermark over the events
     * stream table — the engine's late-data-tolerant streaming agg
     * (absent from the reference, which has no time semantics:

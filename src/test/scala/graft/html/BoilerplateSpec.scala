@@ -63,4 +63,27 @@ class BoilerplateSpec extends AnyFunSuite {
     val html = "<SCRIPT>var x = '<p>ghost</p>';</SCRIPT><p>Real.</p><style>p{}</STYLE><p>Also.</p>"
     assert(extract(html) == Vector(TextPiece("Real."), TextPiece("Also.")))
   }
+
+  test("links: edges in order, boilerplate flag, entity-decoded anchors, decoys skipped") {
+    import Boilerplate.LinkEdge
+    val html =
+      """<nav><a href="/home">Home &amp; start</a></nav>
+        |<p><a href="/x">one</a> mid <a href=/y>two  words</a></p>
+        |<script>var a = "<a href='/ghost'>no</a>";</script>
+        |<a name="anchor-only">not an edge</a><a href="">empty</a>
+        |<footer><a href="/f">f</a></footer>""".stripMargin
+    assert(Boilerplate.links(html) == Vector(
+      LinkEdge("/home", "Home & start", boilerplate = true),
+      LinkEdge("/x", "one", boilerplate = false),
+      LinkEdge("/y", "two words", boilerplate = false),
+      LinkEdge("/f", "f", boilerplate = true)))
+  }
+
+  test("links: a new <a> auto-closes a dangling one (browser rule); unclosed final anchor flushes") {
+    import Boilerplate.LinkEdge
+    val html = """<a href="/1">first <a href="/2">second"""
+    assert(Boilerplate.links(html) == Vector(
+      LinkEdge("/1", "first", boilerplate = false),
+      LinkEdge("/2", "second", boilerplate = false)))
+  }
 }

@@ -631,6 +631,45 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("imagePhashPairs: real decode; odd-pixel edit is Hamming 0; non-images skipped; band recall structural") {
+    import spark.implicits._
+    def png(edit: (Int, Int, Int)*): Array[Byte] = {
+      val rgba = new Array[Byte](16 * 16 * 4)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = edit.find(e => e._1 == x && e._2 == y).map(_._3)
+          .getOrElse((x * 11 + y * 5) % 180)
+        val p = (y * 16 + x) * 4
+        rgba(p) = g.toByte; rgba(p + 1) = g.toByte
+        rgba(p + 2) = g.toByte; rgba(p + 3) = -1
+      }
+      graft.pdf.PdfImages.encodePng(16, 16, rgba)
+    }
+    val media = Seq(
+      ("d", "base.png", png()),
+      ("d", "odd.png", png((3, 5, 250))),    // odd coords: never sampled
+      ("d", "inv.png", png((0 until 16).flatMap(x =>
+        (0 until 16).map(y => (x, y, 199 - (x * 11 + y * 5) % 180))): _*)),
+      ("d", "noise.bin", Array.tabulate[Byte](64)(_.toByte))) // not an image: skipped
+      .toDF("doc_id", "media_ref", "payload")
+    val pairs = graft.operators.Multimodal.imagePhashPairs(spark, media, maxHamming = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // base vs odd-pixel edit: identical after the 2x resize
+    assert(pairs.contains(("d:base.png", "d:odd.png", 0)), s"got ${pairs.toSeq}")
+    // the inverted image is maximally distant — never a pair; the
+    // non-image payload contributes nothing at all
+    assert(pairs.forall(p => !p._1.contains("inv") && !p._2.contains("inv")))
+    assert(pairs.forall(p => !p._1.contains("noise") && !p._2.contains("noise")))
+    // structural recall: a 3-bit perturbation of a hash MUST share a
+    // band (pigeonhole over 4 disjoint 16-bit bands) — verified via
+    // the hashes themselves
+    val h = graft.operators.Multimodal.imageHashes(spark, media).collect()
+      .find(_.img_id == "d:base.png").get
+    val bands = Seq(h.lo & 0xFFFF, (h.lo >> 16) & 0xFFFF, h.hi & 0xFFFF, (h.hi >> 16) & 0xFFFF)
+    val fl = h.lo ^ 7L // flip 3 bits in band 0
+    val fBands = Seq(fl & 0xFFFF, (fl >> 16) & 0xFFFF, h.hi & 0xFFFF, (h.hi >> 16) & 0xFFFF)
+    assert(bands.zip(fBands).count { case (a, b) => a == b } >= 3)
+  }
+
   test("audioGoertzel: the probe matching the tone's fundamental dominates the off-bin probes") {
     import spark.implicits._
     // pure period-6 square wave (fundamental at omega = pi/3 = the

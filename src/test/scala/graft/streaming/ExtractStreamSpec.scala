@@ -45,6 +45,48 @@ class ExtractStreamSpec extends AnyFunSuite {
     assert((kept & Set(1L, 3L)).size == 1)
   }
 
+  test("streaming IMAGE dedup: perceptual-hash duplicates suppressed across batches; non-images dropped") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    def png(shift: Int, oddEdit: Boolean): Array[Byte] = {
+      val rgba = new Array[Byte](16 * 16 * 4)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        var g = (x * 11 + y * 5 + shift) % 180
+        if (oddEdit && x == 3 && y == 5) g = 250 // odd coords: hash-invisible
+        val p = (y * 16 + x) * 4
+        rgba(p) = g.toByte; rgba(p + 1) = g.toByte
+        rgba(p + 2) = g.toByte; rgba(p + 3) = -1
+      }
+      graft.pdf.PdfImages.encodePng(16, 16, rgba)
+    }
+    val src = tmp("idd-src"); val out = tmp("idd-out"); val ck = tmp("idd-ck")
+    Seq(("d1", "a.png", png(0, oddEdit = false)),
+        ("d2", "bin.dat", Array.tabulate[Byte](32)(_.toByte)))
+      .toDF("doc_id", "media_ref", "payload").coalesce(1).write.parquet(s"$src/f1")
+    // batch 2: a hash-identical variant of a.png (odd-pixel edit) and
+    // a genuinely different image
+    Seq(("d3", "dup.png", png(0, oddEdit = true)),
+        ("d4", "other.png", png(90, oddEdit = false)))
+      .toDF("doc_id", "media_ref", "payload").coalesce(1).write.parquet(s"$src/f2")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("media_ref", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.BinaryType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$src/f*")
+    val q = ExtractStream.imageDedupStream(spark, stream)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode(OutputMode.Append).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val kept = spark.read.parquet(out).select("img_id").as[String].collect().toSet
+    // the cross-batch perceptual duplicate is suppressed; the distinct
+    // image survives; the binary payload never enters the stream
+    assert((kept & Set("d1:a.png", "d3:dup.png")).size == 1, s"got $kept")
+    assert(kept.contains("d4:other.png") && !kept.exists(_.contains("bin.dat")))
+    assert(kept.size == 2)
+  }
+
   test("streaming NEAR-dedup: signature duplicates suppressed across batches; short docs fall back to exact fp") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
