@@ -135,26 +135,22 @@ object Boilerplate {
     Some((Tag(name, closing, selfClosing, attrs.toMap)), i).map { case (t, p) => (t, p) }
   }
 
-  /** Extract ordered content pieces from raw HTML. */
-  def extract(html: String): Vector[Piece] = {
-    val out = Vector.newBuilder[Piece]
-    val text = new java.lang.StringBuilder
-    var linkChars = 0
-    var totalChars = 0
+  private val rawTextTags = Set("script", "style", "noscript", "template")
+
+  /** THE tokenizer walk — the one automaton [[extract]] and [[links]]
+    * both ride, so their strip-region accounting, raw-text (script/
+    * style) consumption and comment skipping can never desynchronize.
+    * `onTag(tag, stripDepthBefore, opensStrip)` fires for every
+    * non-comment, non-raw-text tag (strip-depth bookkeeping itself
+    * stays in here); `onText(char, stripDepth, failedTagParse)` fires
+    * per text character (`failedTagParse` = a bare '<' that did not
+    * parse as a tag — [[extract]] counts it differently, a pinned
+    * quirk). */
+  private def walkHtml(html: String)(
+      onTag: (Tag, Int, Boolean) => Unit)(
+      onText: (Char, Int, Boolean) => Unit): Unit = {
     var stripDepth = 0
-    var linkDepth = 0
-    // raw-text elements whose content is consumed until the close tag
     var rawUntil: String = null
-
-    def flushBlock(): Unit = {
-      val t = normalizeWs(text.toString)
-      if (t.nonEmpty) {
-        val density = if (totalChars == 0) 0.0 else linkChars.toDouble / totalChars
-        if (density <= 0.5) out += TextPiece(t)
-      }
-      text.setLength(0); linkChars = 0; totalChars = 0
-    }
-
     var i = 0
     while (i < html.length) {
       if (rawUntil != null) {
@@ -166,46 +162,69 @@ object Boilerplate {
           i = if (gt < 0) html.length else gt + 1
         }
         rawUntil = null
-      } else {
-        val c = html.charAt(i)
-        if (c == '<') {
-          parseTag(html, i) match {
-            case Some((tag, next)) =>
-              i = next
-              tag.name match {
-                case "!--" | "!" => // comment/doctype: skip
-                case n if stripTags.contains(n) =>
-                  if (tag.closing) stripDepth = math.max(0, stripDepth - 1)
-                  else if (!tag.selfClosing) {
-                    if (n == "script" || n == "style" || n == "noscript" || n == "template") {
-                      // raw-text content: consume to close tag directly
-                      rawUntil = n
-                    } else { flushBlock(); stripDepth += 1 }
-                  }
-                case "img" =>
-                  if (stripDepth == 0) {
-                    flushBlock()
-                    tag.attrs.get("src").filter(_.nonEmpty).foreach(src => out += MediaPiece(src))
-                  }
-                case "a" =>
-                  if (tag.closing) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
-                case n if blockTags.contains(n) =>
-                  if (stripDepth == 0) flushBlock()
-                case _ => // inline tag: no block boundary
-              }
-            case None =>
-              if (stripDepth == 0) { text.append(c); totalChars += 1 }
-              i += 1
-          }
-        } else {
-          if (stripDepth == 0) {
-            text.append(c)
-            if (!c.isWhitespace) {
-              totalChars += 1
-              if (linkDepth > 0) linkChars += 1
+      } else if (html.charAt(i) == '<') {
+        parseTag(html, i) match {
+          case Some((tag, next)) =>
+            i = next
+            tag.name match {
+              case "!--" | "!" => // comment/doctype: skip
+              case n if stripTags.contains(n) =>
+                if (tag.closing) stripDepth = math.max(0, stripDepth - 1)
+                else if (!tag.selfClosing) {
+                  if (rawTextTags.contains(n)) rawUntil = n
+                  else { onTag(tag, stripDepth, true); stripDepth += 1 }
+                }
+              case _ => onTag(tag, stripDepth, false)
             }
+          case None =>
+            onText(html.charAt(i), stripDepth, true)
+            i += 1
+        }
+      } else {
+        onText(html.charAt(i), stripDepth, false)
+        i += 1
+      }
+    }
+  }
+
+  /** Extract ordered content pieces from raw HTML. */
+  def extract(html: String): Vector[Piece] = {
+    val out = Vector.newBuilder[Piece]
+    val text = new java.lang.StringBuilder
+    var linkChars = 0
+    var totalChars = 0
+    var linkDepth = 0
+
+    def flushBlock(): Unit = {
+      val t = normalizeWs(text.toString)
+      if (t.nonEmpty) {
+        val density = if (totalChars == 0) 0.0 else linkChars.toDouble / totalChars
+        if (density <= 0.5) out += TextPiece(t)
+      }
+      text.setLength(0); linkChars = 0; totalChars = 0
+    }
+
+    walkHtml(html) { (tag, depth, opensStrip) =>
+      if (opensStrip) flushBlock()
+      else tag.name match {
+        case "img" =>
+          if (depth == 0) {
+            flushBlock()
+            tag.attrs.get("src").filter(_.nonEmpty).foreach(src => out += MediaPiece(src))
           }
-          i += 1
+        case "a" =>
+          if (tag.closing) linkDepth = math.max(0, linkDepth - 1) else linkDepth += 1
+        case n if blockTags.contains(n) =>
+          if (depth == 0) flushBlock()
+        case _ => // inline tag: no block boundary
+      }
+    } { (c, depth, failedTag) =>
+      if (depth == 0) {
+        text.append(c)
+        if (failedTag) totalChars += 1 // a bare '<': counted, never link-weighted
+        else if (!c.isWhitespace) {
+          totalChars += 1
+          if (linkDepth > 0) linkChars += 1
         }
       }
     }
@@ -229,8 +248,6 @@ object Boilerplate {
     * flag is taken at the anchor's OPENING tag. */
   def links(html: String): Vector[LinkEdge] = {
     val out = Vector.newBuilder[LinkEdge]
-    var stripDepth = 0
-    var rawUntil: String = null
     var openHref: String = null
     var openBoiler = false
     val anchor = new java.lang.StringBuilder
@@ -241,48 +258,19 @@ object Boilerplate {
       }
       anchor.setLength(0)
     }
-    var i = 0
-    while (i < html.length) {
-      if (rawUntil != null) {
-        val close = indexOfIgnoreCase(html, s"</$rawUntil", i)
-        if (close < 0) i = html.length
+    walkHtml(html) { (tag, depth, opensStrip) =>
+      if (!opensStrip && tag.name == "a") {
+        if (tag.closing) flush()
         else {
-          val gt = html.indexOf('>', close)
-          i = if (gt < 0) html.length else gt + 1
+          flush() // auto-close a dangling anchor
+          tag.attrs.get("href").filter(_.nonEmpty).foreach { h =>
+            openHref = h
+            openBoiler = depth > 0
+          }
         }
-        rawUntil = null
-      } else if (html.charAt(i) == '<') {
-        parseTag(html, i) match {
-          case Some((tag, next)) =>
-            i = next
-            tag.name match {
-              case "!--" | "!" => ()
-              case n if stripTags.contains(n) =>
-                if (tag.closing) stripDepth = math.max(0, stripDepth - 1)
-                else if (!tag.selfClosing) {
-                  if (n == "script" || n == "style" || n == "noscript" || n == "template")
-                    rawUntil = n
-                  else stripDepth += 1
-                }
-              case "a" =>
-                if (tag.closing) flush()
-                else {
-                  flush() // auto-close a dangling anchor
-                  tag.attrs.get("href").filter(_.nonEmpty).foreach { h =>
-                    openHref = h
-                    openBoiler = stripDepth > 0
-                  }
-                }
-              case _ => ()
-            }
-          case None =>
-            if (openHref != null) anchor.append(html.charAt(i))
-            i += 1
-        }
-      } else {
-        if (openHref != null) anchor.append(html.charAt(i))
-        i += 1
       }
+    } { (c, _, _) =>
+      if (openHref != null) anchor.append(c)
     }
     flush()
     out.result()

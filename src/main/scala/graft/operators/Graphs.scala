@@ -118,7 +118,9 @@ object Graphs {
       s"dampingPermille must be in [0,1000], got $dampingPermille")
     val (e, nodes, outdeg) = prepGraph(edges, truncate)
     val base = (1000L - dampingPermille) * 1000L
-    val nCount = truncate(nodes.agg(count(lit(1)).as("n_nodes")))
+    // only the dangling path reads the node count — don't pay its
+    // eager materialization otherwise
+    lazy val nCount = truncate(nodes.agg(count(lit(1)).as("n_nodes")))
     var ranks = truncate(nodes.select(col("id"), lit(1000000L).as("pr")))
     var used = 0
     var converged = false

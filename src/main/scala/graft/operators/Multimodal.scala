@@ -119,7 +119,11 @@ object Multimodal {
 
   /** One decoded image's average-hash as TWO 32-bit halves — the
     * simhash64 convention: an external engine replays 32-bit shift
-    * arithmetic without the signed-bit-63 hazards of a full long. */
+    * arithmetic without the signed-bit-63 hazards of a full long.
+    * `img_id` is LENGTH-PREFIXED (`"<len(doc_id)>:<doc_id>:<ref>"`) so
+    * distinct (doc_id, media_ref) pairs can never collide when a
+    * doc_id itself contains ':' — a collision would silently swallow
+    * a genuine near-dup pair under the `a_id < b_id` predicate. */
   final case class ImageHash(img_id: String, lo: Long, hi: Long)
 
   /** Perceptual hashes of every DECODABLE image payload (PNG/BMP/
@@ -135,7 +139,7 @@ object Multimodal {
         it.flatMap { case (d, r, bytes) =>
           graft.pdf.ImageCodec.decodeToRgba(bytes).map { case (w, h, rgba) =>
             val bits = averageHashBits(rgba, w, h)
-            ImageHash(s"$d:$r", bits & 0xFFFFFFFFL, bits >>> 32)
+            ImageHash(s"${d.length}:$d:$r", bits & 0xFFFFFFFFL, bits >>> 32)
           }
         }
       }

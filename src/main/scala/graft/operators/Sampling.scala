@@ -69,15 +69,20 @@ object Sampling {
       .withColumn("h", permilleHash(col("doc_id")))
       .join(broadcast(counts), Seq(byCol), "left")
       .crossJoin(broadcast(nMin))
+    // a NULL doc_id makes the keep predicate NULL (its hash is NULL):
+    // the filter drops the row, so the accounting must too — without
+    // the coalesce it would land in NEITHER bucket and the three
+    // counters would under-report the input count
+    val keptB = coalesce(kept, lit(false))
     val observed = observer match {
       case Some(obs) => tagged.observe(obs,
         sum(when(col(byCol).isNull, 1L).otherwise(0L)).as("dropped_null_group"),
-        sum(when(col(byCol).isNotNull && kept, 1L).otherwise(0L)).as("kept"),
-        sum(when(col(byCol).isNotNull && !kept, 1L).otherwise(0L)).as("dropped_by_rule"))
+        sum(when(col(byCol).isNotNull && keptB, 1L).otherwise(0L)).as("kept"),
+        sum(when(col(byCol).isNotNull && !keptB, 1L).otherwise(0L)).as("dropped_by_rule"))
       case None => tagged
     }
     observed
-      .where(col(byCol).isNotNull && kept)
+      .where(col(byCol).isNotNull && keptB)
       .select(col("doc_id"), col(byCol), col("n_group"), col("h"))
   }
 }

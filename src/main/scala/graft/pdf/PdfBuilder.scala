@@ -46,17 +46,17 @@ object PdfBuilder {
   private final class Builder {
     val out = new ByteArrayOutputStream()
     val offsets = scala.collection.mutable.TreeMap.empty[Int, Int]
-    /** When set, [[streamObj]] payloads and [[textStr]]/[[hexString]]
-      * strings are encrypted with the per-object key of the object
-      * being written ([[curObj]], gen 0). */
+    /** When set, [[streamObj]] payloads and [[textStr]]/[[strBytes]]
+      * strings are encrypted; every call site passes the owning
+      * object's number EXPLICITLY (bodies are often formatted before
+      * their object opens, so there is deliberately no implicit
+      * current-object state to key off). */
     var crypt: Option[PdfCrypt.StdSecurityHandler] = None
-    var curObj: Int = -1
     def pos: Int = out.size()
     def raw(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     def raw(b: Array[Byte]): Unit = out.write(b)
     def obj(num: Int)(body: => Unit): Unit = {
       offsets(num) = pos
-      curObj = num
       raw(s"$num 0 obj\n"); body; raw("\nendobj\n")
     }
     def streamObj(num: Int, dictExtra: String, data: Array[Byte]): Unit = obj(num) {

@@ -433,8 +433,14 @@ object PdfCrypt {
             }
           }
         val (sm, sBits) = cfMode(filterName("StmF"))
-        val (tm, _) = cfMode(filterName("StrF"))
-        (sm, tm, sBits)
+        val (tm, tBits) = cfMode(filterName("StrF"))
+        // the file key has ONE length; when streams are Identity the
+        // STRING filter's /Length is the only real declaration (the
+        // Acrobat bytes convention lives in the crypt filter, not the
+        // top level) — falling back to the stream side's top-level
+        // default would derive a wrong-length key and fail /U
+        // verification on an openable document
+        (sm, tm, if (sm != IdentityStreams) sBits else tBits)
     }
     val encryptMetadata = resolve(enc.get("EncryptMetadata").getOrElse(PNull)) match {
       case PBool(b) => b

@@ -1829,8 +1829,8 @@ object Oracles {
         |  CAST(SUM(CASE WHEN gray > mean AND bit >= 32
         |    THEN (CAST(1 AS BIGINT) << (bit - 32)) ELSE 0 END) AS BIGINT) AS hi
         | FROM cells c JOIN m USING (i) GROUP BY 1)
-        |SELECT printf('img%08d:p_%d.png', a.i, a.i) AS a_id,
-        | printf('img%08d:p_%d.png', b.i, b.i) AS b_id,
+        |SELECT printf('11:img%08d:p_%d.png', a.i, a.i) AS a_id,
+        | printf('11:img%08d:p_%d.png', b.i, b.i) AS b_id,
         | CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INTEGER) AS hamming
         |FROM h a JOIN h b ON a.i < b.i
         |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3

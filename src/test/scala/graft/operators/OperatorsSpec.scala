@@ -654,7 +654,7 @@ class OperatorsSpec extends AnyFunSuite {
     val pairs = graft.operators.Multimodal.imagePhashPairs(spark, media, maxHamming = 3)
       .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
     // base vs odd-pixel edit: identical after the 2x resize
-    assert(pairs.contains(("d:base.png", "d:odd.png", 0)), s"got ${pairs.toSeq}")
+    assert(pairs.contains(("1:d:base.png", "1:d:odd.png", 0)), s"got ${pairs.toSeq}")
     // the inverted image is maximally distant — never a pair; the
     // non-image payload contributes nothing at all
     assert(pairs.forall(p => !p._1.contains("inv") && !p._2.contains("inv")))
@@ -663,7 +663,7 @@ class OperatorsSpec extends AnyFunSuite {
     // band (pigeonhole over 4 disjoint 16-bit bands) — verified via
     // the hashes themselves
     val h = graft.operators.Multimodal.imageHashes(spark, media).collect()
-      .find(_.img_id == "d:base.png").get
+      .find(_.img_id == "1:d:base.png").get
     val bands = Seq(h.lo & 0xFFFF, (h.lo >> 16) & 0xFFFF, h.hi & 0xFFFF, (h.hi >> 16) & 0xFFFF)
     val fl = h.lo ^ 7L // flip 3 bits in band 0
     val fBands = Seq(fl & 0xFFFF, (fl >> 16) & 0xFFFF, h.hi & 0xFFFF, (h.hi >> 16) & 0xFFFF)
@@ -1038,11 +1038,13 @@ class OperatorsSpec extends AnyFunSuite {
   }
 
   test("temperatureSample: observer surfaces kept + dropped_by_rule + dropped_null_group = input count") {
-    // null-bearing corpus: 64 g0 + 4 g1 + 8 NULL-group rows. The NULL
-    // rows must be VISIBLE as dropped_null_group, not silently shred
-    val rows = (0L until 64L).map(i => (i, Some("g0"))) ++
-      (100L until 104L).map(i => (i, Some("g1"))) ++
-      (200L until 208L).map(i => (i, None: Option[String]))
+    // null-bearing corpus: 64 g0 + 4 g1 + 8 NULL-group rows + one
+    // NULL doc_id (its hash is NULL -> keep predicate NULL -> dropped
+    // by rule). Every drop must be VISIBLE, never silently shred
+    val rows = (0L until 64L).map(i => (Some(i), Some("g0"))) ++
+      (100L until 104L).map(i => (Some(i), Some("g1"))) ++
+      (200L until 208L).map(i => (Some(i), None: Option[String])) :+
+      ((None: Option[Long], Some("g0")))
     val df = rows.toDF("doc_id", "grp")
     val obs = new org.apache.spark.sql.Observation("temp-sample")
     val res = graft.operators.Sampling.temperatureSample(df, byCol = "grp",

@@ -68,6 +68,28 @@ class PdfCryptSpec extends AnyFunSuite {
     assert(!split.encryptString(3, 0, data).sameElements(data))
   }
 
+  test("V4 /StmF Identity + /StrF V2: the file-key length comes from the STRING filter when streams are plaintext") {
+    // no top-level /Length — the only length declaration is the crypt
+    // filter's /Length 16 (bytes = 128 bits, the Acrobat convention);
+    // deriving the key from the stream side's 40-bit default fails /U
+    // verification and drops an openable document
+    val id0 = (0 until 16).map(i => (i * 17 + 3).toByte).toArray
+    val o = PdfCrypt.computeO(4, 128)
+    val key = PdfCrypt.fileKey(o, -44, id0, 4, 128)
+    val u = PdfCrypt.computeU(4, key, id0)
+    val enc = PDict(Map(
+      "Filter" -> PName("Standard"), "V" -> PInt(4), "R" -> PInt(4),
+      "StmF" -> PName("Identity"), "StrF" -> PName("StdCF"),
+      "CF" -> PDict(Map("StdCF" ->
+        PDict(Map("CFM" -> PName("V2"), "Length" -> PInt(16))))),
+      "P" -> PInt(-44), "O" -> PStr(o), "U" -> PStr(u)))
+    val h = PdfCrypt.forDocument(enc, id0, identity)
+    assert(h.mode == PdfCrypt.IdentityStreams && h.strMode == PdfCrypt.Rc4Streams)
+    val data = "string under the 128-bit key".getBytes("US-ASCII")
+    assert(h.decryptString(7, 0, h.encryptString(7, 0, data)).toSeq == data.toSeq)
+    assert(h.decryptStream(7, 0, data).toSeq == data.toSeq, "streams stay plaintext")
+  }
+
   test("/EncryptMetadata false changes the file key (Algorithm 2 step f) and still opens") {
     val texts = Seq("meta false page")
     val enc = PdfBuilder.withEncryption(aes = true, texts, encryptMetadata = false)

@@ -82,8 +82,8 @@ class ExtractStreamSpec extends AnyFunSuite {
     val kept = spark.read.parquet(out).select("img_id").as[String].collect().toSet
     // the cross-batch perceptual duplicate is suppressed; the distinct
     // image survives; the binary payload never enters the stream
-    assert((kept & Set("d1:a.png", "d3:dup.png")).size == 1, s"got $kept")
-    assert(kept.contains("d4:other.png") && !kept.exists(_.contains("bin.dat")))
+    assert((kept & Set("2:d1:a.png", "2:d3:dup.png")).size == 1, s"got $kept")
+    assert(kept.contains("2:d4:other.png") && !kept.exists(_.contains("bin.dat")))
     assert(kept.size == 2)
   }
 
