@@ -367,6 +367,7 @@ object Bench {
       "dedup_containment",
       "dedup_keep_best", "text_dup_coverage",
       "pipeline_clean_corpus", "pipeline_curate", "pipeline_seq_pack",
+      "pipeline_report",
       "sim_topk_brute", "sim_topk_lsh",
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_pq", "sim_topk_pq_rerank",
       "sim_topk_pq_kmeans",

@@ -101,6 +101,20 @@ object GraftSql {
       .createOrReplaceTempView(s"${prefix}topk_pq_kmeans")
   }
 
+  /** Register the MEDIA views over `mediaView(doc_id, media_ref,
+    * payload)`: `<prefix>image_hashes` (real-decode perceptual hashes
+    * as two 32-bit halves; non-images absent) and
+    * `<prefix>image_phash_pairs` (banded near-dup candidates verified
+    * at `maxHamming`). */
+  def registerMediaViews(spark: SparkSession, mediaView: String,
+      maxHamming: Int = 3, prefix: String = "graft_"): Unit = {
+    val media = spark.table(mediaView)
+    graft.operators.Multimodal.imageHashes(spark, media).toDF()
+      .createOrReplaceTempView(s"${prefix}image_hashes")
+    graft.operators.Multimodal.imagePhashPairs(spark, media, maxHamming)
+      .createOrReplaceTempView(s"${prefix}image_phash_pairs")
+  }
+
   /** Register `<prefix>pagerank` and `<prefix>pagerank_adaptive`
     * (fixpoint rounds + dangling redistribution, `rounds_used`
     * column) over `edgesView(src, dst)`: integer fixed-point damped

@@ -1495,6 +1495,29 @@ object Oracles {
         |       LEFT JOIN s3 USING (user_id)
         |ORDER BY user_id""".stripMargin,
 
+    "pipeline_report" ->
+      // per-language corpus health closed-form: token counts, exact
+      // fingerprints occurring >= 2 corpus-wide, the 3-rule quality
+      // gate — the same integer expressions as text_stats/dedup_exact
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, lang,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS BIGINT) AS n_stop,
+        |  md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fp
+        | FROM t),
+        |q AS (SELECT *,
+        |  CAST((CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN floor(n_distinct * 1000 / n_tokens) >= 400 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN floor(n_stop * 1000 / n_tokens) BETWEEN 10 AND 600 THEN 1 ELSE 0 END)
+        |    AS INTEGER) AS quality FROM m),
+        |d AS (SELECT fp FROM q GROUP BY fp HAVING count(*) >= 2)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN fp IN (SELECT fp FROM d) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        | CAST(sum(CASE WHEN quality >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ge2
+        |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
+
     "graph_pagerank" -> {
       // exact replay of Graphs.pageRank: 3 rounds of
       // pr' = 150000 + (850 * sum(pr // outdeg)) // 1000 over the

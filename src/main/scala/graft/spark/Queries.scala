@@ -1102,6 +1102,34 @@ object Queries {
       .orderBy("doc_id")
   }
 
+  /** CORPUS-HEALTH REPORT, one row per language — the summary a
+    * curation run publishes with its output (dataset cards and the
+    * CCNet/RefinedWeb-style per-shard stats tables): document and
+    * token counts, exact-duplicate document count (fingerprint occurs
+    * ≥2 corpus-wide) and the quality-gate pass count, all
+    * integer-exact. Shape at 100 TB: every per-doc column is map-side
+    * (fingerprint/quality/token count are single-pass expressions);
+    * one fingerprint aggregation (the inherent dedup shuffle), its
+    * ≥2 survivors joined back (the post-dedup minority), then ONE
+    * #langs-row aggregation — the corpus text shuffles zero times. */
+  def pipelineReport(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents").select("doc_id", "lang", "text")
+    val perDoc = docs.select(col("doc_id"), col("lang"),
+      TF.tokenCount(col("text")).cast("long").as("toks"),
+      TF.qualityBucket(col("text")).as("q"),
+      TF.fingerprint(col("text")).as("fp"))
+    val dupFp = perDoc.groupBy("fp").agg(count(lit(1)).as("n"))
+      .where(col("n") >= 2)
+      .select(col("fp"), lit(1L).as("is_dup"))
+    perDoc.join(dupFp, Seq("fp"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).as("n_tokens"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_docs"),
+        sum(when(col("q") >= 2, 1L).otherwise(0L)).as("n_quality_ge2"))
+      .orderBy("lang")
+  }
+
   /** Connected components over the MinHash-LSH star pairs — the
     * keep-min union pass of the dedup pipeline (3 BSP min-propagation
     * rounds, deterministic; the DuckDB twin replays the same rounds). */
@@ -1982,6 +2010,7 @@ object Queries {
     "dedup_decontaminate" -> (dedupDecontaminate _),
     "pipeline_clean_corpus" -> (pipelineCleanCorpus _),
     "pipeline_curate" -> (pipelineCurate _),
+    "pipeline_report" -> (pipelineReport _),
     "sim_topk_brute" -> (simTopkBrute _),
     "sim_topk_lsh" -> (simTopkLsh _),
     "sim_topk_lsh_multi" -> (simTopkLshMulti _),

@@ -101,6 +101,32 @@ class GraftSqlSpec extends AnyFunSuite {
     assert(pqk.nonEmpty && pqk.forall(_.getLong(1) <= 3))
   }
 
+  test("media views: image hashes + phash pairs round-trip in SQL") {
+    import spark.implicits._
+    def png(shift: Int): Array[Byte] = {
+      val rgba = new Array[Byte](16 * 16 * 4)
+      for (y <- 0 until 16; x <- 0 until 16) {
+        val g = (x * 11 + y * 5 + shift) % 180
+        val p = (y * 16 + x) * 4
+        rgba(p) = g.toByte; rgba(p + 1) = g.toByte
+        rgba(p + 2) = g.toByte; rgba(p + 3) = -1
+      }
+      graft.pdf.PdfImages.encodePng(16, 16, rgba)
+    }
+    Seq(("d1", "a.png", png(0)), ("d2", "b.png", png(0)),
+        ("d3", "c.png", png(90)))
+      .toDF("doc_id", "media_ref", "payload")
+      .createOrReplaceTempView("media_sql")
+    GraftSql.registerMediaViews(spark, "media_sql")
+    val hashes = spark.sql("SELECT img_id FROM graft_image_hashes")
+      .as[String].collect().toSet
+    assert(hashes == Set("2:d1:a.png", "2:d2:b.png", "2:d3:c.png"))
+    val pairs = spark.sql(
+      "SELECT a_id, b_id, hamming FROM graft_image_phash_pairs").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq(("2:d1:a.png", "2:d2:b.png", 0)), s"got ${pairs.toSeq}")
+  }
+
   test("graph view: pagerank round-trips in SQL and matches the direct call") {
     import spark.implicits._
     val edges = Seq((0L, 1L), (1L, 0L), (2L, 0L)).toDF("src", "dst")
