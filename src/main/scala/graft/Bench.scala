@@ -372,7 +372,7 @@ object Bench {
       "sim_topk_lsh_multi", "sim_topk_ivf", "sim_topk_ivf_kmeans", "sim_topk_pq", "sim_topk_pq_rerank",
       "sim_topk_pq_kmeans",
       "sample_temperature", "graph_pagerank", "graph_pagerank_adaptive",
-      "q_events_funnel", "q_events_funnel_window",
+      "q_events_funnel", "q_events_funnel_window", "q_events_retention",
       "text_stats", "text_langid", "text_distinct_kmv", "text_repetition", "text_gopher_quality",
       "pdfz_form_text", "dedup_image_phash", "html_links",
       "q_events_session_windows", "pdfz_images", "pdfz_images_jbig2",

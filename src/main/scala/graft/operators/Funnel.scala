@@ -66,4 +66,32 @@ object Funnel {
       .reduce(_ + _)
     acc.withColumn("stage", stage.cast("int"))
   }
+
+  /** COHORT RETENTION — the third leg of the product-analytics triad
+    * next to funnels and sessions: users are cohorted by the period
+    * of their FIRST event (`cohort = floor(min(ts) / periodMs)`), and
+    * each (cohort, period_offset) row counts the cohort's users
+    * active `offset` periods later. All floor-integer arithmetic —
+    * the DuckDB twin replays it exactly; offset 0 rows give cohort
+    * sizes, so rates are a downstream division the caller owns
+    * (ratios are presentation, counts are the data).
+    *
+    * Shape at 100 TB: one min() hash aggregation per user (map-side
+    * partials collapse a hot user's events), one distinct over
+    * (user, period) — both shuffle on the user key and the join
+    * reuses that partitioning — then a #cohorts×#offsets-row rollup.
+    * No window over the event stream. */
+  def retention(events: DataFrame, periodMs: Long,
+      userCol: String = "user_id", tsCol: String = "tms"): DataFrame = {
+    require(periodMs >= 1, s"periodMs must be >= 1, got $periodMs")
+    val ev = events.select(col(userCol).as("user_id"), col(tsCol).as("tms"))
+    val cohort = ev.groupBy("user_id")
+      .agg(expr(s"min(tms) div $periodMs").as("cohort"))
+    val active = ev
+      .select(col("user_id"), expr(s"tms div $periodMs").as("period"))
+      .distinct()
+    active.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("period_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -1518,6 +1518,17 @@ object Oracles {
         | CAST(sum(CASE WHEN quality >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ge2
         |FROM q GROUP BY lang ORDER BY lang""".stripMargin,
 
+    "q_events_retention" ->
+      // weekly cohorts: floor-integer epoch weeks; offset-0 rows are
+      // cohort sizes
+      """WITH ev AS (SELECT user_id, epoch_ms(ts) AS tms FROM events),
+        |c AS (SELECT user_id, min(tms) // 604800000 AS cohort FROM ev GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, tms // 604800000 AS period FROM ev)
+        |SELECT cohort, CAST(period - cohort AS BIGINT) AS period_offset,
+        | count(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, period_offset""".stripMargin,
+
     "graph_pagerank" -> {
       // exact replay of Graphs.pageRank: 3 rounds of
       // pr' = 150000 + (850 * sum(pr // outdeg)) // 1000 over the

@@ -1446,6 +1446,18 @@ object Queries {
       .orderBy("user_id")
   }
 
+  /** WEEKLY cohort retention over the events table
+    * ([[graft.operators.Funnel.retention]]): users cohorted by the
+    * epoch-week of their first event, each (cohort, period_offset)
+    * row counting users active that many weeks later — floor-integer
+    * throughout, exactly replayed by the DuckDB twin. */
+  def qEventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = rd(s, dir, "events")
+      .select(col("user_id"), unix_millis(col("ts").cast("timestamp")).as("tms"))
+    graft.operators.Funnel.retention(ev, periodMs = 604800000L)
+      .orderBy("cohort", "period_offset")
+  }
+
   /** Integer fixed-point PAGERANK (3 damped rounds) over a
     * deterministic synthetic link graph on the documents table: each
     * doc links to (7·id+3) mod n (a permutation — keeps the graph
@@ -2028,6 +2040,7 @@ object Queries {
     "graph_pagerank_adaptive" -> (graphPagerankAdaptive _),
     "q_events_funnel" -> (qEventsFunnel _),
     "q_events_funnel_window" -> (qEventsFunnelWindow _),
+    "q_events_retention" -> (qEventsRetention _),
     "text_tokens_fp" -> (textTokensFp _),
     "text_repetition" -> (textRepetition _),
     "text_gopher_quality" -> (textGopherQuality _),

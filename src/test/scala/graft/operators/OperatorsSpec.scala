@@ -740,6 +740,19 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(4L) == ((100L, 150L, -1L, 2)))
   }
 
+  test("retention: cohort by first-event period; offset counts hand-computed; re-activity dedupes per period") {
+    import spark.implicits._
+    // period 100ms. u1: first at 50 (cohort 0), active periods 0,2
+    // (two events in period 2 count once); u2: first at 150 (cohort
+    // 1), active 1 only; u3: first at 20 (cohort 0), active 0,1
+    val ev = Seq((1L, 50L), (1L, 250L), (1L, 299L),
+      (2L, 150L), (3L, 20L), (3L, 130L)).toDF("user_id", "tms")
+    val got = graft.operators.Funnel.retention(ev, periodMs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (1L, 0L, 1L)),
+      s"got $got")
+  }
+
   test("pageRank: hand-computed integer fixed-point ladder on a 3-node graph") {
     import spark.implicits._
     // edges 0->1, 1->0, 2->0 (all outdeg 1):

@@ -281,6 +281,24 @@ class PlanSpec extends AnyFunSuite {
       s"stage times lost their map-side min partials:\n${plan.take(4000)}")
   }
 
+  test("image phash: banded candidates, no cartesian product, no window — exact verify is per-candidate arithmetic") {
+    val plan = physical(Queries.dedupImagePhash(spark, sf))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"phash pairs must come from the band join, never all-pairs:\n${plan.take(4000)}")
+    assert(!plan.contains("Window"), s"no window belongs here:\n${plan.take(4000)}")
+    assert(plan.contains("bit_count"),
+      s"exact Hamming verify must ride bit_count:\n${plan.take(4000)}")
+  }
+
+  test("corpus report: map-side partial aggregations; no window; the lang rollup is a hash agg") {
+    val plan = physical(Queries.pipelineReport(spark, sf))
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"report lost its map-side partials:\n${plan.take(4000)}")
+    assert(!plan.contains("Window"), s"no window belongs here:\n${plan.take(4000)}")
+    assert(!plan.contains("CartesianProduct"),
+      s"no cartesian belongs here:\n${plan.take(4000)}")
+  }
+
   test("temperature sampling: group stats broadcast back — the corpus itself is never shuffled") {
     val plan = physical(Queries.sampleTemperature(spark, sf))
     assert(plan.contains("BroadcastHashJoin") && !plan.contains("SortMergeJoin"),
