@@ -82,7 +82,7 @@ object Multimodal {
   final class SniffDecoder(docId: String) extends MediaDecoder {
     private val stub = new StubDecoder(docId)
     def decode(ref: String, bytes: Array[Byte]): MediaFeatures =
-      graft.pdf.ImageCodec.decodeToRgba(bytes) match {
+      graft.pdf.ImageCodec.decodeToRgbaBounded(bytes) match {
         case Some((w, h, rgba)) =>
           MediaFeatures(docId, ref, bytes.length,
             graft.pdf.ImageCodec.sniffFormat(bytes).getOrElse("img"),
@@ -137,7 +137,7 @@ object Multimodal {
       .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
         it.flatMap { case (d, r, bytes) =>
-          graft.pdf.ImageCodec.decodeToRgba(bytes).map { case (w, h, rgba) =>
+          graft.pdf.ImageCodec.decodeToRgbaBounded(bytes).map { case (w, h, rgba) =>
             val bits = averageHashBits(rgba, w, h)
             ImageHash(s"${d.length}:$d:$r", bits & 0xFFFFFFFFL, bits >>> 32)
           }

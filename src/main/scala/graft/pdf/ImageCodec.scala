@@ -29,6 +29,37 @@ object ImageCodec {
     * opaque formats like JPEG read back as alpha 255 — getRGB reports
     * 0xff for alpha-less color models). None when the bytes are not a
     * recognizable image (fail-soft). */
+  /** [[decodeToRgba]] with an AREA CAP enforced BEFORE pixel decode:
+    * dims come from the container header via the ImageIO reader
+    * (no BufferedImage allocation), so a crafted 50k×50k
+    * decompression bomb is rejected up front — `ImageIO.read` would
+    * allocate the full frame first, and that failure is an
+    * OutOfMemoryError (NOT NonFatal: it kills the executor, not the
+    * row). The corpus-facing hashers use this; the PDF image path
+    * keeps [[decodeToRgba]] (its payloads already passed stream-size
+    * bounds). */
+  def decodeToRgbaBounded(bytes: Array[Byte],
+      maxPixels: Long = 16777216L): Option[(Int, Int, Array[Byte])] = {
+    val dimsOk =
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) false
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis)
+              val w = r.getWidth(0).toLong
+              val h = r.getHeight(0).toLong
+              w > 0 && h > 0 && w * h <= maxPixels
+            } finally r.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case scala.util.control.NonFatal(_) => false }
+    if (dimsOk) decodeToRgba(bytes) else None
+  }
+
   def decodeToRgba(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] =
     try {
       val img = ImageIO.read(new ByteArrayInputStream(bytes))

@@ -68,6 +68,31 @@ class PdfImagesSpec extends AnyFunSuite {
     assert(ImageCodec.decodeToRgba(Array.emptyByteArray).isEmpty)
   }
 
+  test("decodeToRgbaBounded: a declared-50k-square PNG header is rejected BEFORE pixel decode; small images pass") {
+    // craft a syntactically valid PNG signature + IHDR declaring
+    // 50000x50000 (CRC32 correct so the reader accepts the header) —
+    // ImageIO.read would allocate the ~10 GB frame first and die with
+    // an OutOfMemoryError, which is NOT NonFatal: the bound must trip
+    // on the HEADER dims
+    val ihdrBody = new java.io.ByteArrayOutputStream()
+    def be32(v: Int): Array[Byte] = Array((v >>> 24).toByte,
+      (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    ihdrBody.write("IHDR".getBytes("US-ASCII"))
+    ihdrBody.write(be32(50000)); ihdrBody.write(be32(50000))
+    ihdrBody.write(Array[Byte](8, 6, 0, 0, 0)) // 8-bit RGBA
+    val crc = new java.util.zip.CRC32()
+    crc.update(ihdrBody.toByteArray)
+    val bomb = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      be32(13) ++ ihdrBody.toByteArray ++ be32(crc.getValue.toInt)
+    assert(ImageCodec.decodeToRgbaBounded(bomb).isEmpty,
+      "the area cap must reject the header before any frame allocation")
+    // and a genuinely small image still decodes through the bound
+    val small = PdfImages.encodePng(2, 1, Array[Byte](1, 2, 3, -1, 4, 5, 6, -1))
+    assert(ImageCodec.decodeToRgbaBounded(small).exists(_._1 == 2))
+    assert(ImageCodec.decodeToRgbaBounded(small, maxPixels = 1).isEmpty,
+      "the cap is honored exactly")
+  }
+
   test("FlateDecode: inflated gray pixels -> rotate90 -> real PNG (the reference's quirk)") {
     val im = images()(1)
     assert(im.format == "png" && im.width == 4 && im.height == 4)
