@@ -73,7 +73,15 @@ object PdfCrypt {
     val c = Cipher.getInstance("AES/CBC/PKCS5Padding")
     c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
       new IvParameterSpec(data.take(16)))
-    c.doFinal(data.drop(16))
+    // corrupted ciphertext surfaces as the JDK's BadPaddingException /
+    // IllegalBlockSizeException — re-class as the DECLARED parse-error
+    // family so every fail-soft path treats a tampered encrypted
+    // object like any other corrupt object, not a crash class
+    try c.doFinal(data.drop(16))
+    catch {
+      case e: java.security.GeneralSecurityException =>
+        throw new PdfCryptException(s"AES decrypt failed: ${e.getMessage}")
+    }
   }
 
   /** Fixture-side AES-CBC encrypt with a DETERMINISTIC IV derived from

@@ -7,7 +7,7 @@ import graft.core.model._
 import graft.engine.Extractor
 import graft.fixtures.InterleavedGen
 import graft.html.Boilerplate
-import graft.pdf.{ContentText, Filters, PdfBuilder, PdfDocument}
+import graft.pdf.{ContentText, Filters, PdfBuilder, PdfDocument, PdfMeta, PdfParseException}
 
 /** Property-based invariants (SURVEY.md §5.3): round-trip identities,
   * order/determinism laws, fail-soft totality. Pure JVM — no Spark
@@ -125,6 +125,43 @@ object EngineProperties extends Properties("graft.engine") {
         Seq(RawSpan("pdf_bytes", InterleavedGen.b64(pdf), "", 0)))
       val r = Extractor.extractDoc(in, ExtractOptions())
       r.doc.isDefined || r.error.isDefined
+    }
+  }
+
+  property("PdfMeta is total under random mutations of metadata fixtures (declared errors only)") = {
+    // the round-8 parse surface — /Info strings, link annotations,
+    // outline + name trees, AcroForm trees, PageLabels number trees,
+    // string decryption — must fail with the DECLARED PdfParseException
+    // class (or succeed) on any byte corruption: no NPE, no match
+    // error, no unbounded walk, no JDK crypto crash class
+    val mutations = Gen.listOf(Gen.zip(Gen.chooseNum(0, Int.MaxValue), Gen.chooseNum(-128, 127)))
+    forAll(mutations, Gen.chooseNum(0, 4)) { (muts, style) =>
+      val pdf = style match {
+        case 0 => PdfBuilder.withInfoAndLinks(Seq("m"),
+          Seq("Title" -> PdfBuilder.utf16Bytes("Té"),
+            "Author" -> PdfBuilder.latin1Bytes("J A")),
+          Seq(Seq(("https://x.example/a", (1, 2, 3, 4)))))
+        case 1 => PdfBuilder.withOutline(Seq("a", "b"),
+          Seq((0, "s(é)", 0), (1, "k", 1), (0, "n", -1)), namedDests = true)
+        case 2 => PdfBuilder.withPageLabels(Seq("p", "q", "r"),
+          Seq((0, Some("r"), None, None), (2, Some("D"), Some("x-"), Some(3))),
+          kidsTree = true)
+        case 3 => PdfBuilder.withAcroForm(Seq("p"),
+          Seq((0, "grp", Some("Tx"), Some("v")), (1, "kid", None, None)))
+        case _ => PdfBuilder.withInfoAndLinks(Seq("m"),
+          Seq("Author" -> PdfBuilder.latin1Bytes("J")),
+          Seq(Seq(("https://e/x", (0, 0, 9, 9)))),
+          enc = Some(PdfBuilder.EncAes))
+      }
+      muts.foreach { case (pos, b) => pdf(pos % pdf.length) = b.toByte }
+      def total(f: PdfDocument => Any): Boolean =
+        try { f(PdfDocument.load(pdf)); true }
+        catch {
+          case _: PdfParseException => true // the declared fail-soft class
+          case _: Throwable         => false
+        }
+      total(PdfMeta.info) && total(PdfMeta.links) && total(PdfMeta.outline) &&
+        total(PdfMeta.formFields) && total(PdfMeta.pageLabels)
     }
   }
 }
