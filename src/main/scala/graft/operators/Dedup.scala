@@ -108,7 +108,14 @@ object Dedup {
     // by construction) — a filter on mh.isNotNull gets pushed below
     // the projection and evaluates the interpreted minhash expression
     // TWICE per row (CodegenFallback has no subexpression elimination)
-    val sigs = docs.where(size(split(col("text"), " ")) >= shingleN)
+    // the explicit isNotNull matches the constraint the star variant's
+    // doc_id =!= canon post-join filter infers onto the MEMBER side
+    // only: with it stated on both consumers the two exchange subtrees
+    // canonicalize equal and ReuseExchange serves them from one
+    // shuffle (doc_id is never null in any corpus; min/groupBy would
+    // drop nulls anyway, so results are unchanged)
+    val sigs = docs.where(col("doc_id").isNotNull &&
+        size(split(col("text"), " ")) >= shingleN)
       .select(col("doc_id"), mh.as("mh"))
     // band signature = md5 of its concatenated minhash values
     val bandSig = (0 until bands).map { b =>
@@ -128,20 +135,25 @@ object Dedup {
     * [[minhashLshPairs]] remains for pairwise-similarity consumers. */
   def minhashLshStarPairs(docs: DataFrame, shingleN: Int = 3,
       numHashes: Int = 8, bands: Int = 4): DataFrame = {
+    // ONE explicit exchange on the bucket key, shared by both
+    // consumers: the canon aggregation's clustering requirement and
+    // the member-side join requirement are both satisfied by this
+    // partitioning, so ReuseExchange serves the agg AND the join probe
+    // from a single shuffle of the banded rows — the signature
+    // expression (the dominant per-row cost: 8 md5 chains per shingle)
+    // and the corpus scan now run ONCE instead of once per side
+    // (round-8 shape; measured 1.95 → 1.2 s executor CPU at sf0.1).
     val banded = bandedSignatures(docs, shingleN, numHashes, bands)
+      .repartition(col("band"), col("sig"))
     // bucket canonical member via min aggregation + join back — the
-    // same shape as the simhash/embedding star siblings: the canon agg
-    // MAP-SIDE-COMBINES a mega-bucket's rows before its shuffle, and
-    // the member side shuffles on the same (band, sig) key, so both
-    // exchanges stay splittable however giant one duplicate cluster
-    // gets. (History: min("doc_id").over(Window.partitionBy(band, sig))
-    // evaluated the signature subtree once but serialized a mega-bucket
-    // into ONE unsplittable window task — the same scale-killer class
-    // as the round-2 jaccard window-df.) The price is a second
-    // evaluation of the per-row signature expression (canon side +
-    // member side; band×sig cardinality is corpus-scale, so unlike the
-    // simhash star the canon side cannot broadcast) — per-row compute
-    // parallelizes; an unsplittable task does not.
+    // same shape as the simhash/embedding star siblings. A mega-bucket
+    // concentrates its member rows in one partition, but that was
+    // always true of the JOIN side (members must co-locate with their
+    // canon); the agg and join over it both stay hash-based and
+    // spillable. (History: min("doc_id").over(Window.partitionBy(band,
+    // sig)) evaluated the signature subtree once but serialized a
+    // mega-bucket into ONE unsplittable window task — the same
+    // scale-killer class as the round-2 jaccard window-df.)
     val canon = banded.groupBy("band", "sig").agg(min("doc_id").as("canon"))
     banded.join(canon, Seq("band", "sig"))
       .where(col("doc_id") =!= col("canon"))
@@ -266,7 +278,17 @@ object Dedup {
     * GenerateExec is codegen'd, unlike the nested-transform HOF unfold
     * (interpreted; measured ~2x slower at 5M pairs). */
   private def pairIntersections(kept: DataFrame): (DataFrame, DataFrame) = {
-    val sizes = kept
+    // the `df >= 1` predicate is a tautology (df = count(1) of a
+    // non-empty group): it exists so the sizes consumer REFERENCES df,
+    // making its pruned partial aggregate [partial_count,
+    // partial_collect_list] — byte-identical to the intersection
+    // consumer's — so ReuseExchange serves BOTH consumers from ONE
+    // shingle scan+explode+hash+partial-agg subtree. Without it,
+    // column pruning drops partial_count from this side only, the
+    // exchange subtrees stop being equal, and the dominant
+    // scan+md5-shingle pass executes twice (measured: ~19 s → ~10 s
+    // executor CPU on the sf0.1 jaccard/containment pair).
+    val sizes = kept.where(col("df") >= 1)
       .select(explode(col("ms")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = kept.where(col("df") >= 2)
@@ -532,7 +554,13 @@ object Dedup {
 
   def componentsStar(pairs: DataFrame, rounds: Int = 3,
       truncate: DataFrame => DataFrame = defaultTruncate): DataFrame = {
-    var edges = pairs.select(col("a_id").as("a"), col("b_id").as("b"))
+    // truncate the INPUT too (the adaptive twin always did): round 1
+    // references its edge set ~16 times, and with an unmaterialized
+    // input each reference re-derives the whole pair-generation plan —
+    // for the LSH star pairs that is the corpus scan + signature
+    // expression per reference (measured: 4.6 → 2.1 s executor CPU on
+    // sf0.1 dedup_components_star). Values are unchanged.
+    var edges = truncate(pairs.select(col("a_id").as("a"), col("b_id").as("b")))
     for (_ <- 0 until rounds) edges = truncate(starRound(edges))
     starLabels(edges)
   }
@@ -558,14 +586,26 @@ object Dedup {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     var edges = truncate(
       pairs.select(col("a_id").as("a"), col("b_id").as("b")).distinct())
+    // edge rows are DISTINCT by construction (input distinct, starRound
+    // rounds end in distinct), so multiset equality ≡ equal count +
+    // one-directional containment, and containment is a plain left-anti
+    // join on the two key columns — one probe job over the two already-
+    // materialized frames instead of exceptAll's union-rewrite. Counts
+    // are carried across rounds (edges.count() of round k IS
+    // next.count() of round k-1 — recounting it was one redundant job
+    // per round). `converged` takes the same value as the original
+    // count+exceptAll formulation, so rounds_used is unchanged.
+    var edgeCount = edges.count()
     var used = 0
     var converged = false
     while (!converged && used < maxRounds) {
       val next = truncate(starRound(edges))
       used += 1
-      converged = next.count() == edges.count() &&
-        next.exceptAll(edges).limit(1).count() == 0
+      val nextCount = next.count()
+      converged = nextCount == edgeCount &&
+        next.join(edges, Seq("a", "b"), "left_anti").isEmpty
       edges = next
+      edgeCount = nextCount
     }
     (starLabels(edges), used)
   }

@@ -135,8 +135,15 @@ object Graphs {
       val next = truncate(
         rankRound(e, nodes, outdeg, ranks, base, dampingPermille, share))
       used += 1
-      converged = next.count() == ranks.count() &&
-        next.exceptAll(ranks).limit(1).count() == 0
+      // every rank frame holds EXACTLY one row per node (initial ranks
+      // project the node set; rankRound is nodes left-join inflow with
+      // inflow unique per id), so the count-equality arm of the
+      // fixpoint test is an invariant truth and multiset equality
+      // reduces to one left-anti containment probe on (id, pr) — one
+      // job per round over the two materialized frames instead of two
+      // counts + an exceptAll. `converged` takes the same value, so
+      // rounds_used is unchanged.
+      converged = next.join(ranks, Seq("id", "pr"), "left_anti").isEmpty
       ranks = next
     }
     (ranks, used)
