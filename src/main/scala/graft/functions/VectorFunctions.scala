@@ -41,6 +41,17 @@ object VectorFunctions {
     toColumn(VectorDotQ(toExpression(a), toExpression(a)))
   }
 
+  /** Element-wise SUM aggregate over quantized vectors (native
+    * [[ArrayLongSumAgg]]): the per-dimension sums of a group's member
+    * vectors as one hash aggregate with map-side combine — the Lloyd
+    * centroid-mean numerator without the explode + per-dim aggregation
+    * + reassembly-sort detour (one exchange per training round instead
+    * of two). */
+  def arraySumAgg(a: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge._
+    toColumn(graft.functions.ArrayLongSumAgg(toExpression(a)).toAggregateExpression())
+  }
+
   /** cos(a,b) ≥ tPct/100, exact. `dot`, `na`, `nb` are the quantized
     * dot and squared norms. Widened to DECIMAL(38,0) before the
     * multiplies: 10^4·dot² wraps int64 for large/unnormalized inputs

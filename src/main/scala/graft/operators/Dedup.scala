@@ -291,10 +291,17 @@ object Dedup {
     val sizes = kept.where(col("df") >= 1)
       .select(explode(col("ms")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // ordered pairs directly: `ms` is sorted, so the partners of the
+    // element at (0-based) position i are exactly the slice after it —
+    // df·(df−1)/2 generated rows instead of the full df² cross with a
+    // post-filter (the a<b predicate discarded half the unfold and the
+    // diagonal; slice clamps past the end, so the last element emits
+    // nothing). Same pair set, half the Generate volume feeding the
+    // pair aggregation.
     val inter = kept.where(col("df") >= 2)
-      .select(col("ms"), explode(col("ms")).as("a"))
-      .select(col("a"), explode(col("ms")).as("b"))
-      .where(col("a") < col("b"))
+      .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("i") + lit(2), size(col("ms")))).as("b"))
       .groupBy(col("a").as("a_id"), col("b").as("b_id"))
       .agg(count(lit(1)).as("inter"))
     (inter, sizes)

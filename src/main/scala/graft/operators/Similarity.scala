@@ -103,16 +103,19 @@ object Similarity {
     val it = items.select(col("vec_id").as("item_id"), VF.quantize(col("embedding")).as("qv"))
     for (_ <- 0 until iterations) {
       val asg = assignNearestQ(it, cent, "item_id", "qv")
-      // element-wise floored mean per (centroid, dim): floor(sum/cnt)
-      // via double division then floor — bit-identical across engines
-      // for BIGINT sums (both use IEEE double division)
+      // element-wise floored mean per centroid: the per-dim sums ride
+      // ONE array-sum hash aggregate (native [[graft.functions
+      // .ArrayLongSumAgg]], map-side combine) instead of a posexplode
+      // + per-(cid, dim) aggregation + collect_list reassembly — one
+      // exchange per training round instead of two. floor(sum/cnt)
+      // stays double division then floor, bit-identical across engines
+      // for BIGINT sums (both use IEEE double division), and the sums
+      // array preserves dim order by construction.
       cent = asg
-        .select(col("cid"), posexplode(col("qv")).as(Seq("d", "x")))
-        .groupBy("cid", "d")
-        .agg(floor(sum(col("x")) / count(lit(1))).cast("long").as("m"))
         .groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          p => p.getField("m")).as("cv"))
+        .agg(VF.arraySumAgg(col("qv")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("cid"),
+          transform(col("s"), x => floor(x / col("cnt")).cast("long")).as("cv"))
         .withColumn("cn", VF.normSqQ(col("cv")))
     }
     val lists = assignNearestQ(it, cent, "item_id", "qv")
@@ -253,13 +256,14 @@ object Similarity {
         .agg(min_by(struct(col("code"), col("sv").as("v")),
           struct(col("d2"), col("code"))).as("m"))
         .select(col("sub"), col("m.code").as("code"), col("m.v").as("sv"))
+      // per-(subspace, code) floored mean via ONE array-sum hash
+      // aggregate — same recipe (and rationale) as the coarse
+      // [[ivfTopKKmeans]] round above
       cb = asg
-        .select(col("sub"), col("code"), posexplode(col("sv")).as(Seq("d", "x")))
-        .groupBy("sub", "code", "d")
-        .agg(floor(sum(col("x")) / count(lit(1))).cast("long").as("m"))
         .groupBy("sub", "code")
-        .agg(transform(array_sort(collect_list(struct(col("d"), col("m")))),
-          p => p.getField("m")).as("scv"))
+        .agg(VF.arraySumAgg(col("sv")).as("s"), count(lit(1)).as("cnt"))
+        .select(col("sub"), col("code"),
+          transform(col("s"), x => floor(x / col("cnt")).cast("long")).as("scv"))
         .withColumn("scn", VF.normSqQ(col("scv")))
     }
     pqScoreAndRank(queries, it, items, k, numCentroids, nProbe, numSub,

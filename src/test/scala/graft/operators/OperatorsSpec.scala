@@ -317,6 +317,42 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got(2L) == List("q", "q", "q"))
   }
 
+  test("ArrayLongSumAgg: element-wise sum across a shuffled group; null inputs ignored") {
+    val df = Seq(
+      (1L, Some(Seq(1L, 10L, 100L))),
+      (1L, Some(Seq(2L, 20L, 200L))),
+      (1L, None: Option[Seq[Long]]), // ignored like built-in sum
+      (2L, Some(Seq(-5L, 0L, 7L))))
+      .toDF("k", "arr").repartition(4) // forces partial/merge/serialize path
+    val got = df.groupBy("k")
+      .agg(graft.functions.VectorFunctions.arraySumAgg($"arr").as("s"))
+      .collect()
+      .map(r => r.getAs[Long]("k") -> r.getAs[scala.collection.Seq[Long]]("s").toList)
+      .toMap
+    assert(got(1L) == List(3L, 30L, 300L))
+    assert(got(2L) == List(-5L, 0L, 7L))
+  }
+
+  test("ArrayLongSumAgg ≡ the explode + per-dim sum formulation (the Lloyd mean numerator)") {
+    // the kmeans operators replaced groupBy(g, d).sum + reassembly with
+    // this aggregate; pin the equivalence the swap relies on
+    val df = Seq(
+      (0L, Seq(3L, -1L, 4L)), (0L, Seq(1L, 5L, 9L)), (0L, Seq(2L, 6L, 5L)),
+      (1L, Seq(7L, 7L, 7L)))
+      .toDF("g", "v").repartition(3)
+    val viaAgg = df.groupBy("g")
+      .agg(graft.functions.VectorFunctions.arraySumAgg($"v").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("s").toList).toMap
+    val viaExplode = df
+      .select($"g", posexplode($"v").as(Seq("d", "x")))
+      .groupBy("g", "d").agg(sum($"x").as("m"))
+      .groupBy("g")
+      .agg(transform(array_sort(collect_list(struct($"d", $"m"))),
+        p => p.getField("m")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Long]]("s").toList).toMap
+    assert(viaAgg == viaExplode)
+  }
+
   test("ArrayMinAgg: null ELEMENTS are skipped; all-null positions stay null; shuffled merge path") {
     val df = Seq(
       (1L, Seq(Some("m"), None, None)),
