@@ -322,10 +322,19 @@ object Dedup {
     // ONE evaluation of the 32-term sketch expression per doc: the 4
     // block keys ride a posexplode'd array (the union-of-selects form
     // recomputed the sketch once per block; CollapseProject does not
-    // inline `sh` into the array because it is referenced 5×)
-    val blocks = sketch.select(col("doc_id"), col("sh"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("sh"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("block", "key")))
+    // inline `sh` into the array because it is referenced 5×) — and
+    // ONE evaluation per CORPUS, not per join side: the explicit
+    // (block, key) exchange satisfies both sides of the self-join, so
+    // ReuseExchange reads the scan + sketch + explode once (the
+    // isNotNull filter states the constraints the join's inequality
+    // predicates would otherwise infer asymmetrically; doc ids and
+    // sketches are never null, so results are unchanged)
+    val blocks = sketch
+      .where(col("doc_id").isNotNull && col("sh").isNotNull)
+      .select(col("doc_id"), col("sh"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("sh"), b * 8).bitwiseAND(lit(255L))): _*)).as(Seq("block", "key")))
+      .repartition(col("block"), col("key"))
     def keyAt(sh: Column, b: Int): Column = shiftright(sh, b * 8).bitwiseAND(lit(255L))
     // first-match restriction: emit a pair ONLY from its smallest
     // matching block (for every earlier block the keys must differ) —
@@ -394,9 +403,14 @@ object Dedup {
     def keyAt(loC: Column, hiC: Column, b: Int): Column =
       if (b < 2) shiftright(loC, b * 16).bitwiseAND(lit(65535L))
       else shiftright(hiC, (b - 2) * 16).bitwiseAND(lit(65535L))
-    val blocks = sketch.select(col("doc_id"), col("lo"), col("hi"),
-      posexplode(array((0 until 4).map(b => keyAt(col("lo"), col("hi"), b)): _*))
-        .as(Seq("block", "key")))
+    // one sketch evaluation per corpus, not per join side — the same
+    // explicit shared (block, key) exchange as [[simhashPairs]]
+    val blocks = sketch
+      .where(col("doc_id").isNotNull && col("lo").isNotNull && col("hi").isNotNull)
+      .select(col("doc_id"), col("lo"), col("hi"),
+        posexplode(array((0 until 4).map(b => keyAt(col("lo"), col("hi"), b)): _*))
+          .as(Seq("block", "key")))
+      .repartition(col("block"), col("key"))
     val firstMatch = (0 until 3).map { b =>
       col("l.block") <= b ||
         keyAt(col("l.lo"), col("l.hi"), b) =!= keyAt(col("r.lo"), col("r.hi"), b)
@@ -533,11 +547,25 @@ object Dedup {
     *
     * Input: (a_id, b_id) pairs. Output: (doc_id, component) for every
     * doc appearing in any pair. */
-  /** One large-star + small-star round over an (a, b) edge set. */
+  /** One large-star + small-star round over an (a, b) edge set.
+    *
+    * Each star operation consumes its symmetrized edge view twice —
+    * once under the per-node min aggregation, once as the join probe —
+    * and both consumers cluster on `u`, so `sym` ends in ONE explicit
+    * exchange on `u` that ReuseExchange serves to both (the agg and
+    * the join add no exchange of their own): two shuffles per star
+    * operation become one, and the symmetrize union is evaluated once
+    * instead of once per consumer. The explicit isNotNull filters
+    * state the constraints the join/inequality predicates would infer
+    * onto the PROBE side only, keeping the two subtrees
+    * canonically equal (node ids are never null; groupBy/min would
+    * drop nulls anyway, so values are unchanged). */
   private def starRound(edges: DataFrame): DataFrame = {
     def sym(e: DataFrame): DataFrame =
       e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        .where(col("u").isNotNull && col("v").isNotNull)
+        .repartition(col("u"))
     def mins(s: DataFrame): DataFrame =
       s.groupBy("u").agg(least(col("u"), min(col("v"))).as("m"))
     val s1 = sym(edges)
@@ -939,12 +967,18 @@ object Dedup {
     * per-bucket work O(n²/2^bits) — quadratic again at 10^12 rows. */
   def embeddingNearDupPairs(emb: DataFrame, tPct: Int = 80,
       lshBits: Int = 4, tables: Int = 1): DataFrame = {
+    // one quantize/signBucket evaluation per corpus, not per join
+    // side: explicit shared (tbl, bucket) exchange (simhashPairs
+    // recipe; the isNotNull filter keeps the two subtrees canonically
+    // equal under the join's inferred constraints)
     val q = emb.select(col("vec_id"),
       posexplode(array((0 until tables).map(t =>
         VF.signBucket(col("embedding"), lshBits, offset = t * lshBits)): _*))
         .as(Seq("tbl", "bucket")),
       VF.quantize(col("embedding")).as("qv"))
       .withColumn("nsq", VF.normSqQ(col("qv")))
+      .where(col("vec_id").isNotNull && col("bucket").isNotNull)
+      .repartition(col("tbl"), col("bucket"))
     val cands = q.as("l").join(q.as("r"),
         col("l.tbl") === col("r.tbl") && col("l.bucket") === col("r.bucket") &&
           col("l.vec_id") < col("r.vec_id"))

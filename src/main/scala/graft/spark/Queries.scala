@@ -1028,7 +1028,14 @@ object Queries {
       VF.quantize(col("embedding")).as("qv"))
     val mut = base.select((col("vec_id") + 100000).as("vec_id"), col("bucket"),
       transform(col("qv"), (x, i) => when(i === 0, lit(0L)).otherwise(x)).as("qv"))
+    // one quantize/signBucket evaluation per corpus, not per join side:
+    // the explicit bucket exchange is shared by both sides of the
+    // self-join (the simhashPairs recipe; isNotNull states the
+    // constraints the join would infer one-sidedly — ids/buckets are
+    // never null, results unchanged)
     val all = base.unionAll(mut).withColumn("nsq", VF.normSqQ(col("qv")))
+      .where(col("vec_id").isNotNull && col("bucket").isNotNull)
+      .repartition(col("bucket"))
     all.as("l").join(all.as("r"),
         col("l.bucket") === col("r.bucket") && col("l.vec_id") < col("r.vec_id"))
       .withColumn("dot", VF.dotQ(col("l.qv"), col("r.qv")))
