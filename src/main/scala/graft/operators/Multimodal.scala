@@ -369,6 +369,12 @@ object Multimodal {
   def audioGoertzel(spark: SparkSession, media: DataFrame,
       frameLen: Int = 60, coefs: Seq[Int] = Seq(1, 0, -1)): Dataset[GoertzelRow] = {
     require(frameLen >= 2, s"frameLen must be >= 2, got $frameLen")
+    // upper bound pins the exact-integer contract: the power term
+    // s1² + s2² − c·s1·s2 overflows a long once |s| ≈ frameLen·32768
+    // passes ~3·10⁹ (frameLen ≳ 92k at full-scale PCM); 65536 keeps
+    // ≥ 2^20 headroom on every product
+    require(frameLen <= 65536, s"frameLen must be <= 65536 to keep the " +
+      s"integer power arithmetic exact at full-scale PCM, got $frameLen")
     require(coefs.nonEmpty && coefs.forall(c => c >= -1 && c <= 1),
       s"integer Goertzel probes need coefficients in {-1,0,1}, got $coefs")
     import spark.implicits._

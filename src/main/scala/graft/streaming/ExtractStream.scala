@@ -200,7 +200,15 @@ object ExtractStream {
     * State is one row per distinct hash; the same unbounded-state
     * contract as [[nearDedupStream]] (bound it with
     * `withWatermark` + `dropDuplicatesWithinWatermark` upstream when
-    * the stream carries an event-time column). */
+    * the stream carries an event-time column).
+    *
+    * PRECISION caveat (mirrors the batch pair emitter's): dedup keys
+    * on the EXACT 64-bit aHash, and aHash collapses low-contrast
+    * images — monochrome/flat frames all hash to the same bits (every
+    * cell sits at the mean), so visually distinct flat images are
+    * suppressed as duplicates. Route such corpora through a
+    * higher-contrast hash (or pre-filter by pixel variance) before
+    * this stream. */
   def imageDedupStream(spark: SparkSession, media: DataFrame): DataFrame =
     graft.operators.Multimodal.imageHashes(spark, media)
       .toDF()
