@@ -136,20 +136,34 @@ object Similarity {
   private def d2Col(qvName: String): Column =
     col("vn") - lit(2L) * VF.dotQ(col(qvName), col("cv")) + col("cn")
 
-  /** Nearest-centroid assignment (keep=1) via min_by AGGREGATION:
-    * map-side partial combine collapses each vector's C candidate rows
-    * before the shuffle — the row_number-window form shuffled and
-    * sorted all n×C rows through unsplittable per-vector partitions.
-    * Ties break to the smaller centroid id (struct ordering). */
+  /** The centroid table folded to ONE broadcastable row — the shape
+    * that makes nearest-centroid assignment a map-side expression. */
+  private def centArr(cent: DataFrame): DataFrame =
+    cent.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cents"))
+
+  /** Nearest-centroid assignment as a MAP-SIDE expression (round 9):
+    * the centroid table is folded to one array row, broadcast, and
+    * each vector computes `array_min` over per-centroid (d2, cid)
+    * structs — exact integer L2², ties to the smaller centroid id by
+    * struct ordering, identical to the retired min_by aggregation.
+    * No exchange AT ALL: the previous form generated n×C candidate
+    * rows and, although the partial min_by collapsed them map-side,
+    * still shuffled one row per vector to finalize the aggregation —
+    * a full corpus shuffle at 10^12 items for what is a pure per-row
+    * function of (vector, centroid table). Assignment output now
+    * stays in the scan's partitions. (History: the row_number-window
+    * form before THAT sorted all n×C rows through unsplittable
+    * per-vector partitions.) */
   private def assignNearestQ(v: DataFrame, cent: DataFrame,
       idName: String, qvName: String): DataFrame =
     v.withColumn("vn", VF.normSqQ(col(qvName)))
-      .crossJoin(broadcast(cent))
-      .withColumn("d2", d2Col(qvName))
-      .groupBy(idName)
-      .agg(min_by(struct(col("cid"), col(qvName).as("v")),
-        struct(col("d2"), col("cid"))).as("m"))
-      .select(col(idName), col("m.cid").as("cid"), col("m.v").as(qvName))
+      .crossJoin(broadcast(centArr(cent)))
+      .select(col(idName),
+        array_min(transform(col("cents"), c =>
+          struct((col("vn") - lit(2L) * VF.dotQ(col(qvName), c.getField("cv")) +
+            c.getField("cn")).as("d2"),
+            c.getField("cid").as("cid")))).getField("cid").as("cid"),
+        col(qvName))
 
   private def assignNearest(df: DataFrame, cent: DataFrame,
       idName: String, qvName: String): DataFrame =
@@ -249,13 +263,11 @@ object Similarity {
     val sub = it.select(col("item_id"), subVecs("qv", numSub))
       .withColumn("svn", VF.normSqQ(col("sv")))
     for (_ <- 0 until iterations) {
-      val asg = sub.join(broadcast(cb), Seq("sub"))
-        .withColumn("d2",
-          col("svn") - lit(2L) * VF.dotQ(col("sv"), col("scv")) + col("scn"))
-        .groupBy("item_id", "sub")
-        .agg(min_by(struct(col("code"), col("sv").as("v")),
-          struct(col("d2"), col("code"))).as("m"))
-        .select(col("sub"), col("m.code").as("code"), col("m.v").as("sv"))
+      // MAP-SIDE nearest-codeword assignment (round 9 — the
+      // [[assignNearestQ]] recipe): no per-(item, sub) aggregation
+      // exchange per training round
+      val asg = sub.join(broadcast(subCodebookArr(cb)), Seq("sub"))
+        .select(col("sub"), codeArgmin("sv", "svn").as("code"), col("sv"))
       // per-(subspace, code) floored mean via ONE array-sum hash
       // aggregate — same recipe (and rationale) as the coarse
       // [[ivfTopKKmeans]] round above
@@ -293,6 +305,23 @@ object Similarity {
       .withColumnRenamed("sv", "scv")
       .withColumn("scn", VF.normSqQ(col("scv")))
 
+  /** The (sub, code, scv, scn) codebook folded to one row PER
+    * SUBSPACE — the broadcastable shape that makes encoding a
+    * map-side expression. */
+  private def subCodebookArr(cb: DataFrame): DataFrame =
+    cb.groupBy("sub")
+      .agg(collect_list(struct(col("code"), col("scv"), col("scn"))).as("cbs"))
+
+  /** Nearest-codeword argmin over a folded `cbs` array for a row
+    * carrying subvector `svName` and its norm `svnName` — exact
+    * integer L2², ties to the smaller code (struct ordering),
+    * identical to the retired min_by aggregation. */
+  private def codeArgmin(svName: String, svnName: String): Column =
+    array_min(transform(col("cbs"), c =>
+      struct((col(svnName) - lit(2L) * VF.dotQ(col(svName), c.getField("scv")) +
+        c.getField("scn")).as("d2"),
+        c.getField("code").as("code")))).getField("code")
+
   /** The shared IVF-ADC tail: coarse assignment, encode against `cb`,
     * broadcast ADC LUT (derived from the RAW query side, not from
     * `probes`, so the probe-ranking window subtree is instantiated
@@ -303,14 +332,16 @@ object Similarity {
     val cent = seedCentroids(items, numCentroids)
     val lists = assignNearestQ(it, cent, "item_id", "qv") // (item_id, cid, qv)
 
-    // encode: nearest codeword per (item, subspace) — min_by hash agg,
-    // map-side combine collapses the K candidate rows per (item, sub)
+    // encode: nearest codeword per (item, subspace) as a MAP-SIDE
+    // argmin expression over the per-subspace codeword array (round 9
+    // — the [[assignNearestQ]] recipe): no K-row fan-out, no
+    // per-(item, sub) aggregation exchange; encoding stays in the
+    // scan's partitions
     val enc = lists.select(col("item_id"), col("cid"), subVecs("qv", numSub))
       .withColumn("svn", VF.normSqQ(col("sv")))
-      .join(broadcast(cb), Seq("sub"))
-      .withColumn("d2", col("svn") - lit(2L) * VF.dotQ(col("sv"), col("scv")) + col("scn"))
-      .groupBy("item_id", "cid", "sub")
-      .agg(min_by(col("code"), struct(col("d2"), col("code"))).as("code"))
+      .join(broadcast(subCodebookArr(cb)), Seq("sub"))
+      .select(col("item_id"), col("cid"), col("sub"),
+        codeArgmin("sv", "svn").as("code"))
 
     val probes = assignProbes(queries, cent, "query_id", "q_qv", nProbe)
     // ADC lookup table: q_sub(m) · codeword(m, c) per query

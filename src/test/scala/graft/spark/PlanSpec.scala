@@ -228,18 +228,27 @@ class PlanSpec extends AnyFunSuite {
       s"bottom-k sketch lost its partial aggregation:\n${plan.take(4000)}")
   }
 
-  test("IVF: item→centroid assignment is a min_by aggregation (map-side combine), not an n×C window sort") {
+  test("IVF: item→centroid assignment is a pure map-side argmin expression — no per-item aggregation exchange, no n×C window sort") {
     val plan = physical(Queries.simTopkIvf(spark, sf))
-    assert(plan.contains("partial_min_by"),
-      s"assignment lost its map-side partial min_by:\n${plan.take(4000)}")
+    // round 9: assignment is array_min over the folded broadcast
+    // centroid table — the previous min_by aggregation still shuffled
+    // one row per item to finalize; now assignment stays in the
+    // scan's partitions
+    assert(plan.contains("array_min"),
+      s"assignment lost its map-side argmin expression:\n${plan.take(4000)}")
+    assert(!plan.contains("min_by"),
+      s"assignment regressed to a per-item aggregation:\n${plan.take(4000)}")
   }
 
   test("IVF-PQ: encoding and ADC scoring are hash aggregations with broadcast lookups — windows only on the tiny query side") {
     val plan = physical(Queries.simTopkPq(spark, sf))
-    // item→code assignment must be min_by with map-side partials (a
-    // window over (item, sub) would serialize the n×K candidate rows)
-    assert(plan.contains("partial_min_by"),
-      s"PQ encoding lost its map-side partial min_by:\n${plan.take(4000)}")
+    // item→code assignment must be the map-side argmin expression
+    // (round 9) — neither a window over (item, sub) serializing the
+    // n×K candidate rows nor a per-(item, sub) aggregation exchange
+    assert(plan.contains("array_min"),
+      s"PQ encoding lost its map-side argmin expression:\n${plan.take(4000)}")
+    assert(!plan.contains("min_by"),
+      s"PQ encoding regressed to a per-item aggregation:\n${plan.take(4000)}")
     // ADC sum per (query, item) rides a partial-aggregated hash agg
     assert(plan.contains("partial_sum"),
       s"ADC scoring lost its map-side partial sum:\n${plan.take(4000)}")
@@ -257,18 +266,22 @@ class PlanSpec extends AnyFunSuite {
   test("IVF-PQ kmeans: trained codebook is a materialized leaf — Lloyd lineage absent from the scoring plan") {
     val plan = physical(Queries.simTopkPqKmeans(spark, sf))
     // same scoring shape as the seeded PQ...
-    assert(plan.contains("partial_min_by") && plan.contains("partial_sum") &&
+    assert(plan.contains("array_min") && plan.contains("partial_sum") &&
       plan.contains("BroadcastHashJoin"),
       s"PQ-kmeans scoring shape regressed:\n${plan.take(4000)}")
     val windows = "Window\\b".r.findAllIn(plan).size
     assert(windows == 2, s"expected 2 query-side windows, got $windows:\n${plan.take(4000)}")
     // ...and the trained codebook feeds encoder + LUT from ONE
-    // materialized table: the Lloyd iterations' mean-recompute aggs
-    // (collect_list of per-dim means) must NOT re-instantiate inside
-    // the scoring plan, and only the encoder's + LUT's two subspace
-    // splitters remain
-    assert(!plan.contains("collect_list"),
+    // materialized table: the Lloyd iterations' mean-recompute
+    // aggregation (the element-wise array_long_sum_agg since round 9)
+    // must NOT re-instantiate inside the scoring plan — the only
+    // codebook aggregates allowed here are the tiny per-subspace/
+    // centroid ARRAY FOLDS over the materialized leaf — and only the
+    // encoder's + LUT's two subspace splitters remain
+    assert(!plan.contains("array_long_sum_agg"),
       s"Lloyd training lineage leaked into the scoring plan:\n${plan.take(4000)}")
+    assert(plan.contains("ExistingRDD"),
+      s"trained codebook is not a materialized leaf:\n${plan.take(4000)}")
     val gens = "posexplode".r.findAllIn(plan).size
     assert(gens == 2, s"expected the 2 scoring-side subspace splits, got $gens")
   }
