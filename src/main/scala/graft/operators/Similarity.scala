@@ -137,9 +137,15 @@ object Similarity {
     col("vn") - lit(2L) * VF.dotQ(col(qvName), col("cv")) + col("cn")
 
   /** The centroid table folded to ONE broadcastable row — the shape
-    * that makes nearest-centroid assignment a map-side expression. */
+    * that makes nearest-centroid assignment a map-side expression.
+    * `coalesce(1)` first: a single-partition child satisfies the
+    * global aggregation's distribution, so the fold runs inside the
+    * (tiny — centroid tables are metadata at any scale) scan stage
+    * with NO exchange of its own; element order is irrelevant to the
+    * downstream array_min. */
   private def centArr(cent: DataFrame): DataFrame =
-    cent.agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cents"))
+    cent.coalesce(1)
+      .agg(collect_list(struct(col("cid"), col("cv"), col("cn"))).as("cents"))
 
   /** Nearest-centroid assignment as a MAP-SIDE expression (round 9):
     * the centroid table is folded to one array row, broadcast, and
@@ -309,7 +315,8 @@ object Similarity {
     * SUBSPACE — the broadcastable shape that makes encoding a
     * map-side expression. */
   private def subCodebookArr(cb: DataFrame): DataFrame =
-    cb.groupBy("sub")
+    cb.coalesce(1) // exchange-free fold, as [[centArr]]
+      .groupBy("sub")
       .agg(collect_list(struct(col("code"), col("scv"), col("scn"))).as("cbs"))
 
   /** Nearest-codeword argmin over a folded `cbs` array for a row
