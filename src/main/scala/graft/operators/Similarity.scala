@@ -179,13 +179,20 @@ object Similarity {
 
   /** nProbe-nearest-centroid assignment for the QUERY side — window
     * top-n is fine here: the query set is small by contract (it is
-    * broadcast into the probe join). */
+    * broadcast into the probe join). Reads the FOLDED centroid table
+    * and explodes it back per query row (round 9), so the one
+    * [[centArr]] broadcast serves the item assignment AND the probe
+    * ranking (broadcast-stage reuse) instead of shipping the raw
+    * table a second time. */
   private def assignProbes(queries: DataFrame, cent: DataFrame,
       idName: String, qvName: String, nProbe: Int): DataFrame = {
     val v = queries.select(col("vec_id").as(idName), VF.quantize(col("embedding")).as(qvName))
       .withColumn("vn", VF.normSqQ(col(qvName)))
     val w = Window.partitionBy(idName).orderBy(col("d2"), col("cid"))
-    v.crossJoin(broadcast(cent))
+    v.crossJoin(broadcast(centArr(cent)))
+      .select(col(idName), col(qvName), col("vn"), explode(col("cents")).as("c"))
+      .select(col(idName), col(qvName), col("vn"),
+        col("c.cid").as("cid"), col("c.cv").as("cv"), col("c.cn").as("cn"))
       .withColumn("d2", d2Col(qvName))
       .withColumn("crk", row_number().over(w))
       .where(col("crk") <= nProbe)
@@ -344,20 +351,24 @@ object Similarity {
     // — the [[assignNearestQ]] recipe): no K-row fan-out, no
     // per-(item, sub) aggregation exchange; encoding stays in the
     // scan's partitions
+    val cbA = subCodebookArr(cb) // ONE folded broadcast serves encoder + LUT
     val enc = lists.select(col("item_id"), col("cid"), subVecs("qv", numSub))
       .withColumn("svn", VF.normSqQ(col("sv")))
-      .join(broadcast(subCodebookArr(cb)), Seq("sub"))
+      .join(broadcast(cbA), Seq("sub"))
       .select(col("item_id"), col("cid"), col("sub"),
         codeArgmin("sv", "svn").as("code"))
 
     val probes = assignProbes(queries, cent, "query_id", "q_qv", nProbe)
-    // ADC lookup table: q_sub(m) · codeword(m, c) per query
+    // ADC lookup table: q_sub(m) · codeword(m, c) per query — reads
+    // the same folded broadcast as the encoder (broadcast-stage
+    // reuse) and explodes it back per tiny query-side row
     val lut = queries
       .select(col("vec_id").as("query_id"), VF.quantize(col("embedding")).as("q_qv"))
       .select(col("query_id"), subVecs("q_qv", numSub))
-      .join(broadcast(cb), Seq("sub"))
-      .select(col("query_id"), col("sub"), col("code"),
-        VF.dotQ(col("sv"), col("scv")).as("pdot"))
+      .join(broadcast(cbA), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("sv"), explode(col("cbs")).as("c"))
+      .select(col("query_id"), col("sub"), col("c.code").as("code"),
+        VF.dotQ(col("sv"), col("c.scv")).as("pdot"))
 
     val scored = enc
       .join(broadcast(probes.select("query_id", "cid")), Seq("cid"))
